@@ -1,0 +1,277 @@
+"""The reference's two core queries, Spark-first.
+
+Reference semantics (SURVEY.md §2–3, /root/reference/Code/mapReduce.erl):
+
+- **Actor query** (`mapReduce.erl:76-105`): movies containing actor A →
+  explode casts → drop A → count per co-actor → level = min(count, 4),
+  count exact across partitions (hand-rolled partial+final agg,
+  `master.erl:315-329`).
+- **Title query** (`mapReduce.erl:44-74`): cast of title T → for every
+  other movie, |cast ∩ cast(T)| → level = min(n, 4), priority-deduped
+  (each movie once, at its highest level), sorted by title within level
+  (`master.erl:339-354`). Missing title → empty result
+  (`master.erl:152-154`). All matching exact / case-sensitive
+  (`mapReduce.erl:49`).
+
+Two layers here:
+
+1. Generic plans over any "membership" table in exploded form
+   ``(group_id, member)`` — the shape a 100 TB fact table actually has.
+   Co-member counting is a self-semi-join + hash agg: one shuffle, no
+   arrays materialized.
+2. A movies-schema API (``array<string>`` casts) matching the reference's
+   data model 1:1 — map-only plans using a driver-side probe lookup +
+   ``array_intersect`` (no shuffle at all for the title query).
+
+Registry queries map the semantics onto the driver's testdata: orders are
+"movies", parts are "actors" (lineitem is the exploded membership table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.registry import query
+
+__all__ = [
+    "level_of",
+    "co_members",
+    "similar_groups",
+    "coactor_query",
+    "title_query",
+    "to_levels",
+]
+
+
+def level_of(count_col: str | Column) -> Column:
+    """Bucketize a shared-count into the reference's level 1..4 (R8).
+
+    ``min(count, 4)`` replaces the four guarded comprehensions of
+    /root/reference/Code/mapReduce.erl:52-74; priority dedup (R9) is free
+    because each key has exactly one count row.
+    """
+    c = F.col(count_col) if isinstance(count_col, str) else count_col
+    return F.least(c, F.lit(4)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Layer 1: exploded-form plans (scale path)
+# ---------------------------------------------------------------------------
+
+def co_members(memberships: DataFrame, group_col: str, member_col: str, probe) -> DataFrame:
+    """Actor query, exploded form: members co-occurring with ``probe``.
+
+    Plan: filter to groups containing probe (left-semi self-join on the
+    group key) → drop probe rows → groupBy member → count → level.
+
+    Scale: the probe's group set is tiny (one actor's filmography) →
+    Catalyst broadcasts the semi-join build side; the only shuffle is the
+    final groupBy(member), already partially aggregated map-side. Exactly
+    the reference's map/reduce split (`mapReduce.erl:86-90` map-side count,
+    `master.erl:315-323` exact merge) — done by HashAggregate partial/final.
+    """
+    g, m = F.col(group_col), F.col(member_col)
+    probe_groups = memberships.filter(m == F.lit(probe)).select(group_col).distinct()
+    return (
+        memberships.join(F.broadcast(probe_groups), group_col, "left_semi")
+        .filter(m != F.lit(probe))
+        .groupBy(member_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("level", level_of("cnt"))
+    )
+
+
+def similar_groups(memberships: DataFrame, group_col: str, member_col: str, probe_group) -> DataFrame:
+    """Title query, exploded form: groups sharing members with ``probe_group``.
+
+    Plan: members of the probe group (tiny) → broadcast equi-join on
+    member → groupBy other-group → count shared members → level.
+
+    Scale: broadcast of the probe member set (a cast list — bytes);
+    one shuffle on the group key for the count. Replaces the reference's
+    O(partitions × 4 passes × n·m) nested-loop intersection
+    (`mapReduce.erl:52-74,150-153`) with one hash join pass.
+    """
+    g = F.col(group_col)
+    probe_members = (
+        memberships.filter(g == F.lit(probe_group)).select(member_col).distinct()
+    )
+    return (
+        memberships.filter(g != F.lit(probe_group))
+        .join(F.broadcast(probe_members), member_col)
+        .groupBy(group_col)
+        .agg(F.countDistinct(member_col).alias("n_shared"))
+        .withColumn("level", level_of("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layer 2: movies-schema API (reference data model: title + actors array)
+# ---------------------------------------------------------------------------
+
+def coactor_query(movies: DataFrame, actor: str) -> DataFrame:
+    """Reference actor query on a movies DF ``(movie_id, title, actors)``.
+
+    Mirrors /root/reference/Code/mapReduce.erl:76-105: R3 array_contains →
+    R4 explode → R5 drop probe → R6 count → R8 level. Result columns:
+    (actor, cnt, level). Counts are exact globally (§3.2 step 9) — the
+    groupBy's partial+final agg subsumes the hand-rolled merge.
+
+    Scale: array_contains is a map-side filter evaluated in codegen; only
+    matching movies' casts are exploded; the single shuffle carries
+    (co-actor, partial count) pairs.
+    """
+    return (
+        movies.filter(F.array_contains("actors", actor))  # R3, case-sensitive
+        .select(F.explode("actors").alias("actor"))  # R4
+        .filter(F.col("actor") != F.lit(actor))  # R5
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("cnt"))  # R6 (+R12 exact merge)
+        .withColumn("level", level_of("cnt"))  # R8
+        # no sort: the reference leaves actor results unsorted (master.erl:170-178)
+    )
+
+
+def title_query(movies: DataFrame, title: str) -> DataFrame:
+    """Reference title query on a movies DF ``(movie_id, title, actors)``.
+
+    Mirrors /root/reference/Code/mapReduce.erl:44-74 + master.erl:148-178:
+    R1 driver-side cast lookup (missing title → empty result, exactly
+    `master.erl:152-154`) → R2 self-exclusion (exact, case-sensitive) →
+    R7 array_intersect count → R8 level (R9 priority dedup is implicit) →
+    R14 sort by (level, title).
+
+    Scale: the probe cast becomes a plan literal (the broadcast of
+    `master.erl:157,194-203`); the plan is then **map-only** — a single
+    codegen'd scan with no shuffle until the (optional) presentation sort.
+    """
+    row = movies.filter(F.col("title") == F.lit(title)).select("actors").head(1)
+    if not row:  # unknown title → empty result, schema preserved
+        base = movies.filter(F.lit(False))
+    else:
+        base = movies
+    probe = F.array(*[F.lit(a) for a in (row[0]["actors"] if row else [])])
+    return (
+        base.filter(F.col("title") != F.lit(title))  # R2
+        .withColumn("n_shared", F.size(F.array_intersect("actors", probe)))  # R7
+        .filter(F.col("n_shared") >= 1)
+        .withColumn("level", level_of("n_shared"))  # R8 (R9 free)
+        .select("movie_id", "title", "n_shared", "level")  # R15
+        .orderBy("level", "title")  # R14 (title path only)
+    )
+
+
+def to_levels(result: DataFrame, payload_col: str) -> DataFrame:
+    """Presentation view: one row per level with members + count.
+
+    Replaces the digraph/DOT sink (/root/reference/Code/movie_graph.erl:19-93)
+    — the level-keyed assoc list of `mapReduce.erl:117-129` as a DataFrame.
+    ``sort_array`` gives the per-level lexicographic order of R14.
+    """
+    return (
+        result.groupBy("level")
+        .agg(
+            F.sort_array(F.collect_list(payload_col)).alias("members"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine facade (the #query record made into an API)
+# ---------------------------------------------------------------------------
+
+class Engine:
+    """Public query API mirroring the reference's ``#query`` record
+    (/root/reference/Code/clientGUI.erl:89): category ∈ {'Title','Actor'}.
+    """
+
+    def __init__(self, spark: SparkSession, movies: DataFrame):
+        self.spark = spark
+        self.movies = movies
+
+    def query(self, category: str, search_val: str) -> DataFrame:
+        if category == "Actor":
+            return coactor_query(self.movies, search_val)
+        if category == "Title":
+            return title_query(self.movies, search_val)
+        raise ValueError(f"unknown searchCategory {category!r} (expected Title|Actor)")
+
+
+# ---------------------------------------------------------------------------
+# Registry queries: semantics mapped onto the driver's testdata
+# (orders = movies, parts = actors, lineitem = exploded membership)
+# ---------------------------------------------------------------------------
+
+_PROBE_PART = 1
+_PROBE_ORDER = 1
+
+
+@query(
+    "coactor_parts",
+    oracle=f"""
+    WITH memberships AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    probe_groups AS (
+      SELECT l_orderkey FROM memberships WHERE l_partkey = {_PROBE_PART}
+    )
+    SELECT
+      m.l_partkey AS co_partkey,
+      COUNT(*) AS cnt,
+      CAST(LEAST(COUNT(*), 4) AS INTEGER) AS level
+    FROM memberships m
+    JOIN probe_groups p ON m.l_orderkey = p.l_orderkey
+    WHERE m.l_partkey <> {_PROBE_PART}
+    GROUP BY m.l_partkey
+    """,
+)
+def coactor_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference actor query (exploded form) on lineitem: parts that
+    co-occur in orders with part {probe}, leveled 1..4."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        co_members(li, "l_orderkey", "l_partkey", _PROBE_PART)
+        .select(
+            F.col("l_partkey").alias("co_partkey"),
+            "cnt",
+            "level",
+        )
+    )
+
+
+@query(
+    "title_similarity_orders",
+    oracle=f"""
+    WITH memberships AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    probe_members AS (
+      SELECT l_partkey FROM memberships WHERE l_orderkey = {_PROBE_ORDER}
+    )
+    SELECT
+      m.l_orderkey,
+      COUNT(DISTINCT m.l_partkey) AS n_shared,
+      CAST(LEAST(COUNT(DISTINCT m.l_partkey), 4) AS INTEGER) AS level
+    FROM memberships m
+    JOIN probe_members p ON m.l_partkey = p.l_partkey
+    WHERE m.l_orderkey <> {_PROBE_ORDER}
+    GROUP BY m.l_orderkey
+    """,
+)
+def title_similarity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference title query (exploded form) on lineitem: orders sharing
+    parts with order {probe}, leveled by shared-part count."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return similar_groups(li, "l_orderkey", "l_partkey", _PROBE_ORDER)

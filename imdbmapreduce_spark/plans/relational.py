@@ -1,0 +1,492 @@
+"""General relational operator surface (SURVEY.md §2.3 generalized, Phase 3).
+
+The reference's dataflow core is filter/explode/hash-agg/intersect
+(/root/reference/Code/mapReduce.erl:44-105); this module widens that to the
+full relational algebra a user of a general engine needs — scans with
+pushdown, the join family (broadcast/semi/anti), partial+final hash
+aggregation, rollup, windows, top-k, set ops, JSON access — each as a
+declarative DataFrame plan Catalyst can optimize, each with a DuckDB oracle.
+
+Scale notes are attached per query: what shuffles, what broadcasts, and why
+the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.functions import (
+    cents,
+    cents_sum,
+    one_minus_cents,
+    one_plus_cents,
+)
+from imdbmapreduce_spark.registry import query
+
+# DuckDB spelling of the cents helpers (see imdbmapreduce_spark.functions:
+# exact long-cents money math, identical bit-for-bit in both engines).
+_C = "CAST(round({col}*100) AS BIGINT)"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM({_C.format(col='l_quantity')}) AS DOUBLE)/100.0 AS sum_qty,
+      CAST(SUM({_C.format(col='l_extendedprice')}) AS DOUBLE)/100.0 AS sum_base_price,
+      CAST(SUM({_C.format(col='l_extendedprice')}
+               * (100 - {_C.format(col='l_discount')})) AS DOUBLE)/10000.0
+        AS sum_disc_price,
+      CAST(SUM({_C.format(col='l_extendedprice')}
+               * (100 - {_C.format(col='l_discount')})
+               * (100 + {_C.format(col='l_tax')})) AS DOUBLE)/1000000.0
+        AS sum_charge,
+      CAST(SUM({_C.format(col='l_quantity')}) AS DOUBLE)/100.0/COUNT(*) AS avg_qty,
+      CAST(SUM({_C.format(col='l_discount')}) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → partial/final hash agg on low-cardinality keys.
+
+    The reference hand-rolls exactly this partial+final dance for its actor
+    counts (/root/reference/Code/mapReduce.erl:99-103 +
+    Code/master.erl:315-329); here Catalyst's HashAggregate partial/final
+    modes do it automatically inside whole-stage codegen.
+
+    Scale: shuffle carries only |flags|×|status| (=6) groups per map task —
+    map-side combine makes the exchange O(groups), independent of row count.
+    Money math in long cents: exact, order-independent, and stays on the
+    codegen long-sum fast path (decimal agg with precision >18 measured
+    ~20× slower).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = cents("l_extendedprice") * one_minus_cents("l_discount")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            cents_sum("l_quantity", "sum_qty"),
+            cents_sum("l_extendedprice", "sum_base_price"),
+            (F.sum(disc_price).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(disc_price * one_plus_cents("l_tax")).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(cents("l_quantity")).cast("double") / F.lit(100.0) / n).alias("avg_qty"),
+            (F.sum(cents("l_discount")).cast("double") / F.lit(100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      CAST(SUM({_C.format(col='l_extendedprice')}
+               * (100 - {_C.format(col='l_discount')})) AS DOUBLE)/10000.0
+        AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join fact → agg → top-k.
+
+    Scale: customer (filtered to one segment) and orders are the small
+    sides; the segment filter is pushed to the parquet scan. The
+    customer→orders join is broadcast (dim ≪ fact); the orders→lineitem
+    join shuffles on orderkey — the only unavoidable exchange. Top-10 is a
+    TakeOrdered, not a global sort. LIMIT has a total order (revenue,
+    l_orderkey) so the selected set is deterministic.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.sum(cents("l_extendedprice") * one_minus_cents("l_discount")).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    oracle=f"""
+    SELECT
+      n_name,
+      CAST(SUM({_C.format(col='l_extendedprice')}
+               * (100 - {_C.format(col='l_discount')})) AS DOUBLE)/10000.0
+        AS revenue,
+      COUNT(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_mktsegment = 'MACHINERY'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, all dims broadcast.
+
+    (TPC-H's customer-nation = supplier-nation colocation clause is
+    dropped: the synthetic data has no such overlap, which would make the
+    query a trivially-empty check.)
+
+    Scale: lineitem is the only fact; every other table broadcasts, so the
+    whole plan is one shuffle (the final groupBy on n_name, ~25 groups).
+    Catalyst pushes the region filter through nation→supplier before the
+    fact join.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(cents("l_extendedprice") * one_minus_cents("l_discount")).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "distinct_parts_per_flag",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_supps,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood).
+
+    Scale: Spark rewrites multi-distinct via Expand; partial aggregation
+    still dedups map-side so the shuffle carries distinct (flag, key)
+    pairs, not raw rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM({_C.format(col='l_extendedprice')}) AS DOUBLE)/100.0 AS revenue,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-sets family; SURVEY §2.5 gap fill).
+
+    Scale: Expand multiplies rows ×3 (grouping sets) before the partial
+    agg, but the combine collapses to |sets|×|groups| rows on the wire.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        cents_sum("l_extendedprice", "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "top_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT
+        o_orderpriority,
+        o_orderkey,
+        o_totalprice,
+        ROW_NUMBER() OVER (
+          PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey
+        ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 5
+    """,
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (SURVEY §2.5 gap fill).
+
+    Scale: one shuffle on the partition key; rank order includes a
+    tiebreaker (o_orderkey) so results are deterministic. AQE handles a
+    skewed priority. At extreme K≪group sizes a partial top-K per
+    partition (window after repartition+sortWithinPartitions) would cut
+    shuffle volume; Spark's WindowGroupLimit pushes rn<=5 down for us.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "customer_running_spend",
+    oracle=f"""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(SUM({_C.format(col='o_totalprice')}) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE)/100.0 AS running_spend
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (cumulative frame).
+
+    Long-cents accumulation keeps the running sum bit-exact regardless of
+    frame evaluation strategy; order includes o_orderkey tiebreaker since
+    order dates collide.
+    """
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / F.lit(100.0)).alias(
+            "running_spend"
+        ),
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+    )
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no orders in 1995H1.
+
+    (Date-bounded because every synthetic customer has *some* order — the
+    unbounded variant would be a trivially-empty check.)
+
+    Scale: the probe-side dedup is implicit in anti-join semantics; with a
+    small distinct key set the build side broadcasts (BroadcastHashJoin,
+    anti), else AQE falls back to shuffle-hash.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "priority_with_late_lines",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then agg.
+
+    Scale: semi join on orderkey dedups the fact side during the join (no
+    post-join distinct); shuffle keyed on orderkey only.
+    """
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "part_type_pivot",
+    oracle=f"""
+    SELECT
+      p_brand,
+      CAST(SUM(CASE WHEN p_type = 'ECONOMY'  THEN {_C.format(col='p_retailprice')} ELSE 0 END) AS DOUBLE)/100.0 AS economy,
+      CAST(SUM(CASE WHEN p_type = 'STANDARD' THEN {_C.format(col='p_retailprice')} ELSE 0 END) AS DOUBLE)/100.0 AS standard,
+      CAST(SUM(CASE WHEN p_type = 'PROMO'    THEN {_C.format(col='p_retailprice')} ELSE 0 END) AS DOUBLE)/100.0 AS promo
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def part_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) expressed as conditional aggregation.
+
+    Using explicit CASE WHEN sums (not .pivot()) keeps the plan a single
+    hash aggregate — same shuffle profile as any groupBy, and the column
+    set is statically known, which a 100 TB job wants anyway.
+    """
+    part = table(spark, sf_dir, "part")
+
+    def bucket(t: str, alias: str) -> F.Column:
+        return (
+            F.sum(
+                F.when(F.col("p_type") == t, cents("p_retailprice")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias(alias)
+
+    return part.groupBy("p_brand").agg(
+        bucket("ECONOMY", "economy"),
+        bucket("STANDARD", "standard"),
+        bucket("PROMO", "promo"),
+    )
+
+
+@query(
+    "nation_customer_supplier_union",
+    oracle="""
+    SELECT n_nationkey, kind, n FROM (
+      SELECT c_nationkey AS n_nationkey, 'customer' AS kind, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey
+      UNION ALL
+      SELECT s_nationkey AS n_nationkey, 'supplier' AS kind, COUNT(*) AS n
+      FROM supplier GROUP BY s_nationkey
+    )
+    """,
+)
+def nation_customer_supplier_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: unionByName of two aggregated branches (X5 analog).
+
+    The reference's gather step is a bare concat of per-partition results
+    (/root/reference/Code/master.erl:212-229); union-all is its relational
+    form.
+    """
+    cust = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kind", F.lit("customer"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kind", F.lit("supplier"))
+    )
+    return cust.unionByName(supp).select("n_nationkey", "kind", "n")
+
+
+@query(
+    "limit_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 85000
+    """,
+)
+def limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-N (R17: the reference's 85k ingest cap,
+    /root/reference/Code/csv_to_ets.erl:21).
+
+    The reference caps by file position; a distributed engine needs an
+    explicit total order for "first N" to mean anything, so we order by
+    the key. TakeOrderedAndProject avoids a global sort.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(85000)
+    )

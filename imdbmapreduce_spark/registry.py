@@ -1,0 +1,75 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every implemented operator from SURVEY.md §2 registers itself here with a
+Spark plan and (when SQL-expressible) the exact DuckDB oracle SQL. The
+driver's ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin reads of
+this registry.
+
+Determinism contract for oracle-checked queries:
+- money math in DECIMAL (bit-exact in both engines), cast to DOUBLE last;
+- every computed column aliased identically in the plan and the SQL;
+- every LIMIT preceded by a total order (tiebreaker keys) so the row *set*
+  is deterministic;
+- timestamps surfaced as DATE or formatted strings (engine-neutral).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
+    doc: str = ""
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = RegisteredQuery(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_plans()
+    return {name: rq.fn for name, rq in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_plans()
+    return {name: rq.oracle for name, rq in _REGISTRY.items() if rq.oracle is not None}
+
+
+def get(name: str) -> RegisteredQuery:
+    _load_plans()
+    return _REGISTRY[name]
+
+
+_LOADED = False
+
+
+def _load_plans() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    # Imported for their registration side effects.
+    from imdbmapreduce_spark.plans import relational  # noqa: F401
+    from imdbmapreduce_spark.operators import cooccurrence  # noqa: F401

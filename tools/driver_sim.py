@@ -1,0 +1,64 @@
+"""Simulate the driver: import __spark_entry__ by path, smoke entry(),
+then run queries() vs oracle_sql() at sf0.01 with an order-insensitive
+value-hash compare (what CORRECTNESS_r{N}.json records)."""
+import hashlib
+import importlib.util
+import sys
+
+import duckdb
+
+spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+sys.path.insert(0, "/root/repo")
+spec.loader.exec_module(mod)
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# --- smoke: entry() ---
+df = mod.entry(spark)
+rows = df.collect()
+print(f"ENTRY: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+assert len(rows) >= 0
+
+# --- correctness gate at sf0.01 ---
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def value_hash(pdf):
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "|".join(repr(v) for v in row)
+        for row in pdf[cols].astype(str).itertuples(index=False, name=None)
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+qs, oracles = mod.queries(), mod.oracle_sql()
+fails = []
+for name in sorted(qs):
+    sdf = qs[name](spark, SF).toPandas()
+    if name not in oracles:
+        print(f"ROWS-ONLY {name}: {len(sdf)} rows")
+        continue
+    odf = con.execute(oracles[name]).fetchdf()
+    ok_rows = len(sdf) == len(odf)
+    ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+    ok_hash = value_hash(sdf) == value_hash(odf)
+    status = "MATCH" if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
+    if status == "MISMATCH":
+        fails.append(name)
+    print(f"{status} {name}: spark_rows={len(sdf)} oracle_rows={len(odf)} cols_ok={ok_cols} hash_ok={ok_hash}")
+
+print("RESULT:", "ALL MATCH" if not fails else f"FAILURES: {fails}")
+spark.stop()
+sys.exit(1 if fails else 0)
