@@ -1,0 +1,133 @@
+"""Reference-semantics tests for the IMDb core (SURVEY.md §5 item 2-3).
+
+Every edge case reverse-engineered from the reference code is locked here:
+missing title → empty; exact/case-sensitive matching; probe exclusion;
+cap at 4; level disjointness; sorted titles / unsorted actors;
+partition invariance of the distributed merge.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark.operators.cooccurrence import (
+    Engine,
+    coactor_query,
+    title_query,
+    to_levels,
+)
+
+# (movie_id, title, actors). Designed so levels 1..4 all occur:
+# - m1..m5 share increasing actor counts with "Hub Movie"
+# - "Ann" appears with "Bob" in 5 movies (cap test)
+FIXTURE = [
+    (1, "Hub Movie", ["Ann", "Bob", "Cat", "Dan", "Eve"]),
+    (2, "One Shared", ["Ann", "Xavier"]),
+    (3, "Two Shared", ["Ann", "Bob", "Yolanda"]),
+    (4, "Three Shared", ["Ann", "Bob", "Cat", "Zed"]),
+    (5, "Four Shared", ["Ann", "Bob", "Cat", "Dan"]),
+    (6, "Five Shared", ["Ann", "Bob", "Cat", "Dan", "Eve"]),
+    (7, "No Overlap", ["Quinn", "Rex"]),
+    (8, "hub movie", ["Quinn"]),  # case differs from "Hub Movie"
+    (9, "Ann Bob Again", ["Ann", "Bob"]),
+    (10, "Ann Solo", ["Ann"]),
+]
+
+
+@pytest.fixture(scope="module")
+def movies(spark):
+    df = spark.createDataFrame(FIXTURE, "movie_id long, title string, actors array<string>")
+    df.cache().count()
+    return df
+
+
+def test_title_query_levels_and_sort(spark, movies):
+    rows = title_query(movies, "Hub Movie").collect()
+    got = {r["title"]: (r["n_shared"], r["level"]) for r in rows}
+    assert got == {
+        "One Shared": (1, 1),
+        "Ann Solo": (1, 1),
+        "Ann Bob Again": (2, 2),
+        "Two Shared": (2, 2),
+        "Three Shared": (3, 3),
+        "Four Shared": (4, 4),
+        "Five Shared": (5, 4),  # cap at 4 (master.erl:326-329)
+    }
+    # R14: sorted by (level, title); self row and non-overlapping excluded.
+    # (lexicographically "Five" < "Four")
+    assert [r["title"] for r in rows] == [
+        "Ann Solo", "One Shared", "Ann Bob Again", "Two Shared",
+        "Three Shared", "Five Shared", "Four Shared",
+    ]
+    assert "Hub Movie" not in got and "No Overlap" not in got
+    # case-sensitive: lowercase "hub movie" shares no actors → absent
+    assert "hub movie" not in got
+
+
+def test_title_query_missing_title_empty(spark, movies):
+    res = title_query(movies, "Does Not Exist")
+    assert res.count() == 0  # master.erl:152-154
+    assert res.columns == ["movie_id", "title", "n_shared", "level"]
+
+
+def test_title_query_case_sensitive_probe(spark, movies):
+    # Probing the lowercase variant must use ITS cast (Quinn), not Hub's.
+    rows = title_query(movies, "hub movie").collect()
+    assert {r["title"] for r in rows} == {"No Overlap"}
+
+
+def test_coactor_query_counts(spark, movies):
+    rows = coactor_query(movies, "Ann").collect()
+    got = {r["actor"]: (r["cnt"], r["level"]) for r in rows}
+    # Bob co-occurs with Ann in movies 1,3,4,5,6,9 → 6 times, level 4
+    assert got["Bob"] == (6, 4)
+    assert got["Xavier"] == (1, 1)
+    assert got["Cat"] == (4, 4)
+    assert got["Dan"] == (3, 3)
+    assert "Ann" not in got  # R5: probe removed (mapReduce.erl:84)
+    assert "Quinn" not in got  # appears only in movies without Ann
+
+
+def test_coactor_query_unknown_actor_empty(spark, movies):
+    assert coactor_query(movies, "Nobody").count() == 0
+
+
+def test_levels_disjoint_and_complete(spark, movies):
+    """Union of levels = all rows with count>=1, pairwise disjoint (R9)."""
+    res = coactor_query(movies, "Ann")
+    per_level = res.groupBy("level").agg(F.collect_set("actor").alias("s")).collect()
+    sets = [set(r["s"]) for r in per_level]
+    union = set().union(*sets) if sets else set()
+    assert sum(len(s) for s in sets) == len(union)  # disjoint
+    assert union == {r["actor"] for r in res.collect()}
+
+
+def test_partition_invariance(spark, movies):
+    """The distributed merge is exact: identical results at 1/2/8 partitions
+    (the property proved for the reference in SURVEY §3.2 step 9)."""
+    expected = None
+    for n in (1, 2, 8):
+        df = movies.repartition(n)
+        got = sorted(
+            (r["actor"], r["cnt"], r["level"])
+            for r in coactor_query(df, "Ann").collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"partitions={n}"
+
+
+def test_engine_dispatch(spark, movies):
+    eng = Engine(spark, movies)
+    assert eng.query("Actor", "Ann").count() > 0
+    assert eng.query("Title", "Hub Movie").count() == 7
+    with pytest.raises(ValueError):
+        eng.query("Genre", "Drama")
+
+
+def test_to_levels_presentation(spark, movies):
+    lv = to_levels(title_query(movies, "Hub Movie"), "title").collect()
+    as_dict = {r["level"]: (r["members"], r["n"]) for r in lv}
+    assert as_dict[4] == (["Five Shared", "Four Shared"], 2)
+    assert as_dict[1] == (["Ann Solo", "One Shared"], 2)
