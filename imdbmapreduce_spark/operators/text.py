@@ -1,0 +1,214 @@
+"""Text-analysis operators over the ``documents`` table (north-star scope,
+SURVEY.md §2.5/§7 Phase 4: tokenize/normalize generalizing the reference's
+cast tokenizer F1/F2, /root/reference/Code/mapReduce.erl:140-148).
+
+All hot-path logic is built-in column expressions (whole-stage codegen) —
+token counting, quality ratios and fingerprints run JVM-side with zero
+Python. Language-ID is a marker-token profile scorer, also pure
+expressions. Each oracle-checked query keeps ratio math as exact-int
+divisions so DuckDB reproduces every bit.
+
+Scale: every query here is a single map-only pass over documents (no
+shuffle except final aggregation where noted); at 100 TB these pipeline
+into one codegen stage over the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.functions import tokens
+from imdbmapreduce_spark.registry import query
+
+# BPE-ish word/number/symbol splitter (same regex dialect subset in Java
+# and RE2): letter runs, digit runs, single non-space symbols.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny marker-token profiles for the language-ID heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws} | {"a", "an"})
+
+_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT
+      doc_id,
+      len(toks) AS n_tokens,
+      len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+      length(text) AS n_chars_actual,
+      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / len(toks) AS avg_token_len
+    FROM t
+    WHERE len(toks) > 0
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens per doc.
+
+    Map-only; all expressions codegen'd (no UDF).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            toks.alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+            F.length("text").cast("long").alias("n_chars_actual"),
+            (
+                F.aggregate(
+                    F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.size("toks")
+            ).alias("avg_token_len"),
+        )
+    )
+
+
+def _stop_list_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT
+      doc_id,
+      len(toks) AS n_tokens,
+      len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x))) AS n_stopwords,
+      CAST(len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x))) AS DOUBLE)
+        / len(toks) AS stop_ratio,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+      (len(toks) >= 20 AND len(list_distinct(toks)) * 4 >= len(toks)) AS is_quality
+    FROM t
+    WHERE len(toks) > 0
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, lexical diversity, length gate.
+
+    Ratios are exact-int divisions (deterministic cross-engine); the
+    boolean gate uses integer comparisons only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    base = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(
+                F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))
+            ).alias("n_stopwords"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
+        ((F.col("n_tokens") >= 20) & (F.col("n_distinct") * 4 >= F.col("n_tokens"))).alias(
+            "is_quality"
+        ),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT
+      doc_id,
+      md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+      len(list_distinct(toks)) AS n_distinct
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set.
+
+    Order-canonicalized so the fingerprint is stable under shuffling —
+    the content-hash key exact dedup builds on (see operators/dedup.py).
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+        ).alias("fingerprint"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_distinct"),
+    )
+
+
+@query(
+    "lang_distribution",
+    oracle="""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language tag (hash agg on a low-card key)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: marker-token overlap scoring, pure expressions.
+
+    Adds ``lang_pred`` (argmax language) and ``lang_score`` (marker hits of
+    the winner). Ties break deterministically to the alphabetically-last
+    code (struct max ordering). For a real corpus you'd swap profiles for
+    char-n-gram models — the plan shape (map-only scoring + greatest-of)
+    is what matters at scale.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+                ).alias("score"),
+                F.lit(code).alias("code"),
+            )
+            for code, ws in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn("lang_pred", best["code"]).withColumn(
+        "lang_score", best["score"]
+    )

@@ -73,3 +73,5 @@ def _load_plans() -> None:
     # Imported for their registration side effects.
     from imdbmapreduce_spark.plans import relational  # noqa: F401
     from imdbmapreduce_spark.operators import cooccurrence  # noqa: F401
+    from imdbmapreduce_spark.operators import dedup  # noqa: F401
+    from imdbmapreduce_spark.operators import text  # noqa: F401

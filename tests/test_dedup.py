@@ -1,0 +1,97 @@
+"""Semantics tests for the dedup operators (SURVEY.md §7 Phase 4).
+
+The oracle gate covers dedup_exact and neardup_ngram_jaccard; these tests
+lock the properties of the non-SQL-expressible ops:
+
+- MinHash+LSH recall vs the exact n-gram Jaccard query;
+- SimHash banding completeness (pigeonhole guarantee for distance <= 3);
+- shingling edge semantics.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark import registry
+from imdbmapreduce_spark.operators.dedup import shingles, simhash
+from imdbmapreduce_spark.functions import tokens
+
+
+def test_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [Row(text="a b c d"), Row(text="a b"), Row(text="  x   y  z ")],
+    ).select(shingles(tokens("text")).alias("sh"))
+    rows = [r.sh for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []  # shorter than k -> empty, not null
+    assert rows[2] == ["x y z"]  # whitespace-trimmed tokens
+
+
+def test_dedup_exact_partitions_all_docs(spark, sf_dir):
+    """Every doc lands in exactly one group; group sizes sum to the corpus."""
+    out = registry.get("dedup_exact").fn(spark, sf_dir)
+    total = out.agg(F.sum("n_dups")).first()[0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n_docs
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates (verified >= 0.5) must contain every exact pair with
+    Jaccard >= 0.6 — the planted near-dups. Deterministic hash family +
+    deterministic data => this is a fixed outcome, not a flaky sample."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in registry.get("neardup_ngram_jaccard").fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in registry.get("minhash_lsh_pairs").fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    missed = exact - lsh
+    assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs: {sorted(missed)[:5]}"
+
+
+def test_simhash_banding_is_complete(spark, sf_dir):
+    """Banded candidate join must find EVERY pair at Hamming distance <= 3
+    (4 intact-band pigeonhole) — verify against brute force over all
+    fingerprint pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", simhash(F.col("toks")).alias("fp"))
+        .collect()
+    )
+    brute = {
+        (a.doc_id, b.doc_id)
+        for a, b in combinations(sorted(fps, key=lambda r: r.doc_id), 2)
+        if bin((a.fp ^ b.fp) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in registry.get("simhash_pairs").fn(spark, sf_dir).collect()
+    }
+    assert banded == brute
+
+
+def test_minhash_signature_similarity_monotone(spark):
+    """Identical docs agree on all permutations; disjoint docs on ~none."""
+    from imdbmapreduce_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=3, text="one two three four five six seven"),
+        ]
+    ).select("doc_id", minhash_signature(shingles(tokens("text"))).alias("sig"))
+    sigs = {r.doc_id: r.sig for r in df.collect()}
+    same = sum(x == y for x, y in zip(sigs[1], sigs[2]))
+    diff = sum(x == y for x, y in zip(sigs[1], sigs[3]))
+    assert same == 64
+    assert diff <= 8  # J=0 -> expected agreement ~0
