@@ -26,7 +26,7 @@ def main() -> None:
 
     spark = get_spark(app_name="imdbmapreduce_spark-bench")
 
-    queries = registry.all_queries()
+    queries = registry.bench_queries()
 
     def materialize(name: str) -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

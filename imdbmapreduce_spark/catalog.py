@@ -9,6 +9,7 @@ the 100 TB path is identical, just with a bigger directory.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -29,6 +30,15 @@ __all__ = ["TABLES", "table", "load_tables", "register_views"]
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Read nanos as raw INT64 and truncate to micros —
+        # bit-identical to DuckDB's nanos→micros read of the same file.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,237 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (north-star
+scope; no reference analog — SURVEY.md §2.5).
+
+Pattern: media is an opaque ``BinaryType`` column with a typed metadata
+struct beside it; per-item processing (decode, feature-extract, frame
+sampling) runs in Arrow-batched Pandas lanes (``mapInPandas``), never
+row-at-a-time Python. The container has no image/audio codecs, so the
+real decoders are stubbed behind import-tries (clearly marked below) and
+a deterministic fake decoder exercises the full Spark-side plumbing —
+schema, batch shape, partitioning — which is what these tests lock.
+
+The payload here is the UTF-8 encoding of ``documents.text`` (the test
+corpus has no true media blobs); every byte-level result is therefore
+reproducible from SQL ``octet_length`` where the oracle needs it.
+
+Scale: payloads ride along scans as opaque bytes — no shuffle touches
+them until a lane explicitly needs the content; frame explosion happens
+*after* per-doc filters so the fan-out is load-bearing rows only. Size
+``spark.sql.files.maxPartitionBytes`` (session.py) so fat binary rows
+still split into executor-sized scan tasks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.registry import query
+
+_FRAME_BYTES = 256  # fake "frame" stride for the video sampling lane
+_FRAME_STEP = 4  # keep every 4th frame
+
+_MEDIA_TYPES = ("image", "audio", "video")
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal shape: (doc_id, media_type, payload, meta).
+
+    media_type is assigned deterministically (doc_id mod 3) since the
+    corpus is text-only; meta is the typed struct a real ingest would
+    carry (format tag + byte size).
+    """
+    media = F.element_at(
+        F.array(*[F.lit(m) for m in _MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        media.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            media.alias("format"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+# --- decoders -------------------------------------------------------------
+
+try:  # pragma: no cover - codec libs absent in this container
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — STUB: PIL is not installed in this container.
+
+    The Spark-side lane (:func:`multimodal_features`) never calls this in
+    tests; it uses :func:`fake_decode`, which exercises identical plumbing.
+    """
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/Pillow, absent in this environment; "
+            "use fake_decode for the deterministic test lane"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in decoder: byte stats any codec-backed decoder
+    would be replaced by. Pure function of the payload bytes."""
+    n = len(payload)
+    checksum = sum(payload) % (1 << 31)
+    # 'dimensions' derived from content so downstream code has plausible
+    # typed fields to propagate.
+    width = 16 + checksum % 64
+    height = max(1, n // max(width, 1))
+    return {"n_bytes": n, "checksum": checksum, "width": width, "height": height}
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+@query("multimodal_features")  # no SQL oracle: byte-level decode; see tests
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload lane.
+
+    mapInPandas: each batch arrives as a pandas DataFrame; the 'decode'
+    is :func:`fake_decode` (deterministic — see module docstring for the
+    real-codec stub policy). Output is a flat typed frame, so downstream
+    plans treat extracted features as ordinary columns.
+
+    Scale: no shuffle at all — a narrow per-partition pass; Arrow moves
+    whole batches across the Python boundary. Parallelism = scan splits.
+    """
+    mm = with_payload(table(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out[[f.name for f in _FEATURES_SCHEMA.fields]]
+
+    return mm.mapInPandas(extract, _FEATURES_SCHEMA)
+
+
+@query(
+    "multimodal_meta_stats",
+    oracle="""
+    SELECT
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      COUNT(*) AS n_items,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      MAX(octet_length(encode(text))) AS max_bytes,
+      CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*) AS avg_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation — the catalog view of a media lake.
+
+    Reads ONLY the meta struct (Parquet prunes the payload column away —
+    the scan's ReadSchema carries doc_id+text here since payload is
+    derived, but on a real media table this is the
+    payload-never-touched plan).
+    """
+    mm = with_payload(table(spark, sf_dir, "documents"))
+    return mm.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+        (F.sum(F.col("meta.n_bytes")).cast("double") / F.count(F.lit(1))).alias("avg_bytes"),
+    )
+
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+@query(
+    "video_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT v.doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+             LEAST({_FRAME_BYTES}, v.n_bytes - CAST(t.i AS BIGINT)*{_FRAME_BYTES}) AS frame_len
+      FROM v CROSS JOIN range(0, 100000) t(i)
+      WHERE CAST(t.i AS BIGINT)*{_FRAME_BYTES} < v.n_bytes
+        AND CAST(t.i AS BIGINT) % {_FRAME_STEP} = 0
+    )
+    SELECT doc_id, frame_idx, frame_len FROM frames
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling lane: slice video payloads into fixed-stride frames,
+    keep every {step}-th — the mapInPandas shape of ffmpeg-style frame
+    extraction (the codec call is where :func:`decode_image`'s real
+    implementation would sit).
+
+    The oracle checks the sampling geometry (doc, index, length) from
+    octet_length alone; the frame *bytes* aren't SQL-expressible, so the
+    byte-exactness of slices is locked by tests/test_multimodal.py.
+
+    Scale: the explode happens inside the Python lane after the media_type
+    filter, and emits only sampled frames — fan-out is output-sized, and
+    the lane is shuffle-free.
+    """
+    mm = with_payload(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    return frame_lane(mm).select("doc_id", "frame_idx", "frame_len")
+
+
+def frame_lane(mm: DataFrame) -> DataFrame:
+    """The full frame-sampling lane including frame bytes (tests slice it;
+    the registered query projects the SQL-checkable geometry)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, -(-len(data) // _FRAME_BYTES), _FRAME_STEP):
+                    chunk = data[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    rows.append((int(doc_id), i, len(chunk), chunk))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_len", "frame_bytes"]
+            )
+
+    return mm.mapInPandas(sample, _FRAMES_SCHEMA)

@@ -1,0 +1,238 @@
+"""Similarity search over the ``embeddings`` table (north-star scope).
+
+Generalizes the reference's one similarity primitive — the broadcast
+set-intersection count R7 (/root/reference/Code/mapReduce.erl:150-153,
+probe cast vs every movie) — from token sets to dense vectors: a small
+probe set is broadcast against the corpus and each corpus row is scored,
+exactly the title-query shape with cosine in place of intersection size.
+
+Two plans:
+
+- :func:`knn_bruteforce` — exact cosine top-k, the oracle-checked
+  baseline. Scoring runs in **quantized integer space**: components are
+  rounded to 1e-6 units once, so dot products and squared norms are exact
+  BIGINT sums — order-independent (safe under any partitioning/AQE
+  reshuffle) and bit-reproducible in DuckDB, which a double accumulation
+  is not. Cosine is then a single double op over identical integers.
+- :func:`ann_lsh_topk` — the sub-linear scale path: random-hyperplane
+  (sign) LSH restricts scoring to same-bucket candidates. Hyperplanes are
+  Rademacher (±1 per dimension) derived from xxhash64, so bucket codes are
+  pure codegen expressions — no UDF, no model object to ship. Rows-only at
+  the driver (hash family isn't SQL-portable); recall vs the exact plan is
+  locked by tests/test_similarity.py.
+
+Scale: probes broadcast (R7's own pattern); the corpus never self-joins.
+The one shuffle keys on (q_id, vec_id) — cardinality |probes|×|corpus|,
+uniform by construction. At 100 TB the brute-force plan is the per-probe
+linear scan you fall back to for exactness; the LSH plan trades one extra
+scan (bucket build) for scoring only the colliding fraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.registry import query
+
+# Component quantization scale: 1e-6 units. Unit-norm components are
+# |x| <= 1, so |v| <= 1e6, dot <= 64e12 and norm2 <= ~1e12 — far inside
+# BIGINT. Rounding error per component <= 5e-7 => cosine error <= ~1e-5,
+# irrelevant for ranking and identical in both engines.
+_SCALE = 1_000_000
+_N_PROBES = 10  # probe set: vec_id < 10 queries the rest of the corpus
+_TOP_K = 5
+
+# LSH: L tables of B sign-bits each. Collision prob per table for angle
+# theta is (1 - theta/pi)^B; this corpus's neighbors sit near cos 0.5
+# (theta ~ 60deg, per-bit agreement 2/3), so B=6, L=16 gives
+# 1-(1-(2/3)^6)^16 ~ 0.77 per-neighbor recall while background pairs
+# (cos ~ 0, agreement 1/2) collide at 1/64 per table. B and L are THE
+# tuning knobs: tighter corpora (cos 0.9 dups) take B=16+ with far fewer
+# tables.
+_LSH_BITS = 6
+_LSH_TABLES = 16
+
+
+def quantized_components(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, pos, v): embedding exploded to exact BIGINT 1e-6 units."""
+    return df.select(
+        F.col(id_col), F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        id_col,
+        "pos",
+        F.round(F.col("val").cast("double") * _SCALE).cast("long").alias("v"),
+    )
+
+
+def _norms(ex: DataFrame) -> DataFrame:
+    return ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+
+
+_KNN_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS pos,
+         CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)*{_SCALE}) AS BIGINT) AS v
+  FROM embeddings CROSS JOIN range(1, 4097) t(i)
+  WHERE CAST(t.i AS INTEGER) <= len(embedding)
+),
+probes AS (SELECT vec_id AS q_id, pos, v AS qv FROM ex WHERE vec_id < {_N_PROBES}),
+corpus AS (SELECT * FROM ex WHERE vec_id >= {_N_PROBES}),
+norms AS (SELECT vec_id, SUM(v*v) AS n2 FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT p.q_id, c.vec_id, SUM(p.qv * c.v) AS dot
+  FROM corpus c JOIN probes p USING (pos)
+  GROUP BY p.q_id, c.vec_id
+),
+scored AS (
+  SELECT d.q_id, d.vec_id AS neighbor_id,
+         CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nc ON nc.vec_id = d.vec_id
+)
+SELECT q_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {_TOP_K}
+"""
+
+
+@query("knn_bruteforce", oracle=_KNN_ORACLE)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{k}: each probe vector vs the whole corpus.
+
+    Plan: explode probe components (tiny — broadcast), explode corpus
+    components, equi-join on position, one hash-agg keyed (q_id, vec_id)
+    summing exact integer products, then a per-probe row_number top-k.
+
+    Scale: the corpus-side explode is a narrow map (no shuffle); the only
+    exchange carries |probes| x |corpus| partial sums — with map-side
+    combine that is the true lower bound for exact scoring. The window's
+    partition count equals |probes|, so top-k parallelism is probe-bound;
+    for thousand-probe batches swap the window for a groupBy(q_id)
+    min_by-heap agg. Ranking compares doubles built from identical
+    integers, so result order is engine-stable.
+    """
+    ex = quantized_components(table(spark, sf_dir, "embeddings"))
+    probes = ex.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv")
+    )
+    corpus = ex.filter(F.col("vec_id") >= _N_PROBES)
+    norms = _norms(ex)
+    dots = (
+        corpus.join(F.broadcast(probes), "pos")
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    )
+    nq = F.broadcast(norms.select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")))
+    nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("n2_c"))
+    scored = (
+        dots.withColumnRenamed("vec_id", "neighbor_id")
+        .join(nq, "q_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2_q").cast("double")) * F.sqrt(F.col("n2_c").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _bucket_codes(ex: DataFrame) -> DataFrame:
+    """(vec_id, tbl, code): one {bits}-bit sign-LSH code per table.
+
+    Hyperplane (tbl, bit) has Rademacher components derived per dimension
+    from xxhash64(pos, tbl, bit): projection = sum over pos of +-v, sign
+    -> bit. A flat groupBy builds all {tables} codes in one hash-agg pass
+    over the exploded components (same shuffle the norms need — Catalyst
+    reuses the exchange).
+    """
+    signed = [
+        F.sum(
+            F.when(F.xxhash64("pos", F.lit(t), F.lit(b)) % 2 == 0, F.col("v")).otherwise(-F.col("v"))
+        ).alias(f"p_{t}_{b}")
+        for t in range(_LSH_TABLES)
+        for b in range(_LSH_BITS)
+    ]
+    proj = ex.groupBy("vec_id").agg(*signed)
+    codes = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            sum(
+                (F.when(F.col(f"p_{t}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+                for b in range(_LSH_BITS)
+            ).alias("code"),
+        )
+        for t in range(_LSH_TABLES)
+    ]
+    return proj.select(
+        "vec_id", F.explode(F.array(*codes)).alias("tc")
+    ).select("vec_id", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
+
+
+@query("ann_lsh_topk")  # no SQL oracle: hash-family specifics; see tests
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{k}: score only LSH-bucket-colliding candidates.
+
+    Pipeline: quantize -> {tables} sign-LSH codes per vector -> probe/corpus
+    bucket equi-join on (tbl, code) -> distinct candidate pairs -> exact
+    integer rescore of candidates only -> per-probe top-k.
+
+    Scale: replaces brute-force's |probes| x |corpus| scored pairs with
+    only colliding ones (collision prob (1/2)^bits per table for random
+    pairs). The bucket join keys on (tbl, code) — {tables} x 2^bits
+    distinct keys; a hot bucket (dense cluster) is the skew case AQE
+    splits. Rescoring joins components back per candidate, so exactness
+    of the final cosine is preserved; only recall is approximate.
+    """
+    ex = quantized_components(table(spark, sf_dir, "embeddings")).cache()
+    probe_ids = F.col("vec_id") < _N_PROBES
+    codes = _bucket_codes(ex)
+    pc = codes.filter(probe_ids).select(F.col("vec_id").alias("q_id"), "tbl", "code")
+    cand = (
+        codes.filter(~probe_ids)
+        .join(F.broadcast(pc), ["tbl", "code"])
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    probes = ex.filter(probe_ids).select(F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv"))
+    dots = (
+        ex.join(cand, "vec_id")
+        .join(F.broadcast(probes), ["q_id", "pos"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    )
+    norms = _norms(ex)
+    nq = F.broadcast(norms.select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")))
+    nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("n2_c"))
+    scored = (
+        dots.withColumnRenamed("vec_id", "neighbor_id")
+        .join(nq, "q_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2_q").cast("double")) * F.sqrt(F.col("n2_c").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )

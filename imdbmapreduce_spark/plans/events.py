@@ -1,0 +1,245 @@
+"""Event-stream analytics (batch plans over the ``events`` table).
+
+The reference has no time-series surface at all (SURVEY.md §2.5 — no
+windows, no streaming); this module is the batch half of the additive
+events vertical: tumbling-window aggregation, gap-based sessionization,
+semi-structured JSON access, and an as-of join. The Structured Streaming
+half lives in ``imdbmapreduce_spark.streaming``.
+
+Determinism: timestamps never cross the engine boundary as native values —
+they are surfaced as microsecond epochs (exact BIGINT in both Spark and
+DuckDB) or as formatted strings with explicit microsecond precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.functions import cents_sum
+from imdbmapreduce_spark.registry import query
+
+# Formatted-timestamp spelling in each engine, microsecond-exact.
+_SPARK_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+@query(
+    "events_hourly_stats",
+    oracle=f"""
+    SELECT
+      strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation per event type.
+
+    The batch twin of the streaming windowed-count plan
+    (imdbmapreduce_spark.streaming): same bucket semantics, so a backfill
+    job and the live stream produce unionable results.
+
+    Scale: date_trunc is a narrow projection; the only exchange carries
+    (hour × type) partial aggregates — map-side combine bounds shuffle
+    volume by group count (~24×5 per day), independent of event volume.
+    COUNT(DISTINCT user) expands to a two-phase agg; at 100 TB swap in
+    approx_count_distinct if exactness is negotiable.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            cents_sum("value", "sum_value"),
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence starts a new session.
+
+    The classic lag → flag → running-sum → group pattern. Timestamps are
+    compared as microsecond epochs (exact BIGINT in both engines).
+
+    Scale: both windows and the final agg share one hash-partitioning on
+    user_id — Catalyst plans a single exchange and sorts once. Per-user
+    event counts are human-bounded, so no partition outgrows memory; a
+    pathological robot user is the skew case AQE's skew-join/sort handling
+    absorbs. This is also the batch shape whose streaming twin is
+    ``session_window`` in Structured Streaming.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(_SESSION_GAP_US)),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_new").over(w))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@query(
+    "events_props_json",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract a JSON property, aggregate it.
+
+    Scale: get_json_object evaluates JVM-side inside codegen (no Python).
+    On a real lakehouse the win is schema-on-read without a reload; if the
+    props column stabilizes, promote it to a struct at ingest (parquet
+    then prunes/pushes down into it — JSON strings can't).
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT
+      p.event_id,
+      p.user_id,
+      epoch_us(p.ts) AS purchase_ts_us,
+      CAST(round(p.value*100) AS BIGINT) AS purchase_cents,
+      epoch_us(c.ts) AS click_ts_us,
+      epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase ↔ the latest click at-or-before it, per user.
+
+    Spark has no ASOF JOIN operator (DuckDB does — the oracle uses it), so
+    the plan composes one from a tagged union + running ``last(ignorenulls)``
+    window: click rows carry their own timestamp, purchase rows carry null,
+    and the running last over (user, time) is exactly "most recent click so
+    far". Equal timestamps order click (kind 0) before purchase (kind 1),
+    matching ASOF's >= bound.
+
+    Scale: ONE shuffle on user_id + one sort — linear in events, versus the
+    naive range-join (purchases × clicks per user, then max) which is
+    quadratic in per-user activity. This is the pattern to reach for on any
+    100 TB "latest state at time t" backfill.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us"),
+        F.lit(0).alias("kind"),
+        F.col("ts_us").alias("click_ts_us"),
+        F.lit(None).cast("long").alias("event_id_p"),
+        F.lit(None).cast("double").alias("value_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_ts_us"),
+        F.col("event_id").alias("event_id_p"),
+        F.col("value").alias("value_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_us", F.last("click_ts_us", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id_p").alias("event_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.round(F.col("value_p") * 100).cast("long").alias("purchase_cents"),
+            F.col("last_click_us").alias("click_ts_us"),
+            (F.col("ts_us") - F.col("last_click_us")).alias("gap_us"),
+        )
+    )

@@ -29,21 +29,35 @@ class RegisteredQuery:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
     doc: str = ""
+    bench: bool = True  # False: correctness-gated but out of the perf sweep
 
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+def query(
+    name: str, oracle: str | None = None, bench: bool = True
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
+
+    ``bench=False`` keeps a query in the driver's correctness gate but out
+    of bench.py's timed sweep — used for the streaming twins, whose
+    wall-clock is micro-batch trigger machinery (fixed seconds regardless
+    of data volume), not plan execution.
+    """
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = RegisteredQuery(name, fn, oracle, fn.__doc__ or "")
+        _REGISTRY[name] = RegisteredQuery(name, fn, oracle, fn.__doc__ or "", bench)
         return fn
 
     return wrap
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    _load_plans()
+    return {name: rq.fn for name, rq in _REGISTRY.items() if rq.bench}
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -71,7 +85,11 @@ def _load_plans() -> None:
         return
     _LOADED = True
     # Imported for their registration side effects.
+    from imdbmapreduce_spark.plans import events  # noqa: F401
     from imdbmapreduce_spark.plans import relational  # noqa: F401
     from imdbmapreduce_spark.operators import cooccurrence  # noqa: F401
     from imdbmapreduce_spark.operators import dedup  # noqa: F401
+    from imdbmapreduce_spark.operators import multimodal  # noqa: F401
+    from imdbmapreduce_spark.operators import similarity  # noqa: F401
+    from imdbmapreduce_spark.streaming import windowed  # noqa: F401
     from imdbmapreduce_spark.operators import text  # noqa: F401

@@ -1,0 +1,67 @@
+"""Multimodal lane tests: Arrow plumbing, decode-stub policy, byte
+exactness the SQL oracle can't see (frame bytes, checksums)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark import registry
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.operators.multimodal import (
+    _FRAME_BYTES,
+    _FRAME_STEP,
+    _HAS_PIL,
+    decode_image,
+    fake_decode,
+    frame_lane,
+    with_payload,
+)
+
+
+def test_payload_shape(spark, sf_dir):
+    mm = with_payload(table(spark, sf_dir, "documents"))
+    row = mm.first()
+    assert set(mm.columns) == {"doc_id", "media_type", "payload", "meta"}
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.meta.n_bytes == len(row.payload)
+    assert row.meta.format == row.media_type
+
+
+def test_decode_image_is_stubbed():
+    if _HAS_PIL:
+        pytest.skip("PIL present; stub not in effect")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_features_match_python_reference(spark, sf_dir):
+    """mapInPandas lane output == driver-side fake_decode on raw bytes."""
+    out = {r.doc_id: r for r in registry.get("multimodal_features").fn(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(20).collect()
+    assert len(out) >= len(docs)
+    for d in docs:
+        ref = fake_decode(d.text.encode("utf-8"))
+        got = out[d.doc_id]
+        assert (got.n_bytes, got.checksum, got.width, got.height) == (
+            ref["n_bytes"],
+            ref["checksum"],
+            ref["width"],
+            ref["height"],
+        ), d.doc_id
+
+
+def test_frame_bytes_reassemble(spark, sf_dir):
+    """Sampled frames must be exact slices: stride geometry + content."""
+    mm = with_payload(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    originals = {r.doc_id: bytes(r.payload) for r in mm.limit(5).collect()}
+    frames = frame_lane(mm).filter(F.col("doc_id").isin(*originals)).collect()
+    assert frames
+    for fr in frames:
+        data = originals[fr.doc_id]
+        lo = fr.frame_idx * _FRAME_BYTES
+        assert fr.frame_idx % _FRAME_STEP == 0
+        assert bytes(fr.frame_bytes) == data[lo : lo + _FRAME_BYTES]
+        assert fr.frame_len == len(fr.frame_bytes)

@@ -1,0 +1,73 @@
+"""Semantics tests for similarity search (SURVEY.md §7 Phase 4).
+
+The oracle gate covers knn_bruteforce exactly; these tests lock the
+structural properties plus measured recall of the rows-only LSH plan.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import Row
+
+from imdbmapreduce_spark import registry
+from imdbmapreduce_spark.operators.similarity import _N_PROBES, _TOP_K
+
+
+def _topk_sets(rows):
+    by_q = defaultdict(set)
+    for r in rows:
+        by_q[r.q_id].add(r.neighbor_id)
+    return by_q
+
+
+def test_knn_shape_and_bounds(spark, sf_dir):
+    rows = registry.get("knn_bruteforce").fn(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.q_id].append(r)
+        assert r.neighbor_id >= _N_PROBES  # probes never retrieve themselves
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+    assert set(by_q) == set(range(_N_PROBES))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, _TOP_K + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_self_similarity_is_one(spark):
+    """A vector scored against itself must get cosine 1.0 (exact integer
+    dot product / identical norms)."""
+    from imdbmapreduce_spark.operators.similarity import quantized_components
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.6, 0.8, 0.0]), Row(vec_id=2, embedding=[0.6, 0.8, 0.0])]
+    )
+    ex = quantized_components(df)
+    from pyspark.sql import functions as F
+
+    dots = (
+        ex.filter(F.col("vec_id") == 1)
+        .select("pos", F.col("v").alias("qv"))
+        .join(ex.filter(F.col("vec_id") == 2), "pos")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+        .first()
+    )
+    n2 = ex.filter(F.col("vec_id") == 1).selectExpr("sum(v*v) AS n2").first().n2
+    assert dots.dot == n2  # identical vectors: dot == norm^2 exactly
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH top-k must overlap the exact top-k meaningfully. The corpus's
+    nearest neighbors sit near cosine 0.5 (theta ~ 60 deg) — a hard regime
+    for sign-LSH — so the bound is deliberately modest; the point is the
+    plan retrieves real neighbors, not bucket noise. Deterministic hash
+    family + data => fixed outcome."""
+    exact = _topk_sets(registry.get("knn_bruteforce").fn(spark, sf_dir).collect())
+    ann = _topk_sets(registry.get("ann_lsh_topk").fn(spark, sf_dir).collect())
+    hits = sum(len(exact[q] & ann.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.3, f"ANN recall@{_TOP_K} collapsed: {recall:.2f} ({hits}/{total})"

@@ -1,0 +1,45 @@
+"""Streaming twins must equal their batch plans exactly (the oracle gate
+re-checks vs DuckDB; here we check stream-vs-batch inside Spark, which
+also proves micro-batch boundaries don't leak into results)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark import registry
+
+
+def _as_sorted_tuples(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_streaming_hourly_equals_batch(spark, sf_dir):
+    stream = registry.get("streaming_hourly_counts").fn(spark, sf_dir)
+    batch = (
+        registry.get("events_hourly_stats")
+        .fn(spark, sf_dir)
+        .select(
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+        )
+    )
+    cols = ["bucket_start", "event_type", "n_events", "sum_cents"]
+    assert _as_sorted_tuples(stream, cols) == _as_sorted_tuples(batch, cols)
+
+
+def test_streaming_sessions_equal_batch(spark, sf_dir):
+    stream = registry.get("streaming_sessionization").fn(spark, sf_dir)
+    batch = (
+        registry.get("events_sessionization")
+        .fn(spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("session_start_us"),
+            F.col("session_end_us"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    assert _as_sorted_tuples(stream, cols) == _as_sorted_tuples(batch, cols)
