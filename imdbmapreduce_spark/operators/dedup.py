@@ -226,12 +226,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py; the driver records rows-only here since the hash
     family isn't SQL-portable.
     """
-    # cache: the shingle rows feed the signature build AND the verify sets.
-    ex = _shingle_rows(spark, sf_dir).cache()
-    sh = ex.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    # Pre-hash each shingle to one int64: the 64 permutations then re-key
+    # an 8-byte long instead of re-hashing a ~25-byte string 64 times, and
+    # the verify sets carry longs (collision prob ~2^-64·|pairs| — nil,
+    # and deterministic). cache: feeds the signature build AND the verify
+    # sets.
+    ex = (
+        _shingle_rows(spark, sf_dir)
+        .select("doc_id", F.xxhash64("shingle").alias("hx"))
+        .cache()
+    )
+    sh = ex.groupBy("doc_id").agg(F.collect_list("hx").alias("sh"))
     rows_per_band = _N_PERM // _N_BANDS
     sig = ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}") for i in range(_N_PERM)]
+        *[F.min(F.xxhash64("hx", F.lit(i))).alias(f"mh{i}") for i in range(_N_PERM)]
     )
     bands = sig.select(
         "doc_id",
@@ -314,8 +322,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same math as :func:`simhash`, expressed as explode + 64-column hash
     # agg: per-row aggregate() lambdas run interpreted per element, a flat
     # sum stays in codegen (measured ~6× on sf0.1). One shuffle on doc_id.
-    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
-    h = F.xxhash64("tok")
+    # Hash each token ONCE in a projection; the 64 agg expressions then do
+    # pure bit tests on the long (inside each agg the string hash would
+    # re-evaluate per expression — no CSE across aggregate buffers).
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    h = F.col("h")
     sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
