@@ -182,6 +182,121 @@ def _bucket_codes(ex: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
 
 
+# Near-dup threshold: the corpus is unit-norm random vectors (pairwise
+# cosine ~ N(0, 1/sqrt(64))), so 0.45 (~3.6 sigma) selects the genuine
+# distribution tail — the same knob a real corpus would set at 0.9+.
+_NEARDUP_THETA = 0.45
+# Block count for the pair-block decomposition. Locally 8 blocks -> 36
+# tasks saturate the box; on a cluster pick B ~ sqrt(2 * total cores) so
+# B(B+1)/2 block-pairs fill the executors while each row is replicated
+# only B times (n*B shuffled bytes for the full n^2 pair space).
+_N_BLOCKS = 8
+
+_NEARDUP_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS pos,
+         CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)*{_SCALE}) AS BIGINT) AS v
+  FROM embeddings CROSS JOIN range(1, 4097) t(i)
+  WHERE CAST(t.i AS INTEGER) <= len(embedding)
+),
+norms AS (SELECT vec_id, SUM(v*v) AS n2 FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.a_id, d.b_id,
+         CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.a_id
+  JOIN norms nb ON nb.vec_id = d.b_id
+)
+SELECT a_id, b_id, cosine FROM scored WHERE cosine >= {_NEARDUP_THETA}
+"""
+
+
+@query("neardup_embedding_cosine", oracle=_NEARDUP_ORACLE)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with cosine >= theta.
+
+    The all-pairs analog of the reference's R7 probe-vs-corpus scoring
+    (/root/reference/Code/mapReduce.erl:150-153) — here the "probe set" is
+    the corpus itself, so the plan is a **block outer product**: vectors
+    hash into B blocks, every unordered block pair (i <= j) becomes one
+    cogroup task, and each task scores its two blocks with a single int64
+    gram-matrix multiply (numpy, Arrow-batched via applyInPandas). This is
+    the one lane where a Pandas UDF beats expressions: an n^2 pairwise
+    explode-join would shuffle n^2 * d rows, while the block form shuffles
+    n * B rows total and does the O(n^2 d) arithmetic inside BLAS-shaped
+    batches.
+
+    Exactness: components quantize to 1e-6 integer units (same contract as
+    :func:`knn_bruteforce`), so the numpy int64 matmul, the DuckDB oracle
+    and any Spark expression form agree bit-for-bit; the theta comparison
+    is therefore deterministic.
+
+    Scale: shuffled volume is n*B rows (each vector to its B block-pair
+    tasks); task memory is two blocks (~2n/B vectors) — pick B so a block
+    fits executor memory with headroom. No skew: blocks are id-uniform.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pair_rows = [(i * _N_BLOCKS + j, i, j) for i in range(_N_BLOCKS) for j in range(i, _N_BLOCKS)]
+
+    def side(block_col: str) -> DataFrame:
+        # fresh scan + fresh pair table per side: independent lineage (no
+        # self-join attribute clash); each side column-prunes at the source
+        emb = (
+            table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .withColumn("blk", F.pmod("vec_id", F.lit(_N_BLOCKS)).cast("int"))
+        )
+        pairs = spark.createDataFrame(pair_rows, "pair_id int, pa int, pb int")
+        sel = pairs.select("pair_id", F.col(block_col).alias("blk"))
+        return emb.join(F.broadcast(sel), "blk").select("pair_id", "vec_id", "embedding")
+
+    left, right = side("pa"), side("pb")
+
+    def _quant(col: pd.Series) -> "np.ndarray":
+        a = np.stack(col.to_numpy()).astype(np.float64) * _SCALE
+        # round-half-away-from-zero, matching Spark/DuckDB round()
+        return (np.floor(np.abs(a) + 0.5) * np.sign(a)).astype(np.int64)
+
+    empty = {"a_id": pd.Series([], dtype="int64"), "b_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+
+    def gram(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(empty)
+        ia = l["vec_id"].to_numpy(dtype=np.int64)
+        ib = r["vec_id"].to_numpy(dtype=np.int64)
+        A, B = _quant(l["embedding"]), _quant(r["embedding"])
+        dot = A @ B.T  # exact int64
+        sa = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        sb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        cos = dot.astype(np.float64) / (sa[:, None] * sb[None, :])
+        keep = cos >= _NEARDUP_THETA
+        if ia[0] % _N_BLOCKS == ib[0] % _N_BLOCKS:
+            keep &= ia[:, None] < ib[None, :]  # same block: upper triangle once
+        ai, bi = np.nonzero(keep)
+        a_id, b_id = ia[ai], ib[bi]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(a_id, b_id),
+                "b_id": np.maximum(a_id, b_id),
+                "cosine": cos[ai, bi],
+            }
+        )
+
+    return (
+        left.groupBy("pair_id")
+        .cogroup(right.groupBy("pair_id"))
+        .applyInPandas(gram, "a_id long, b_id long, cosine double")
+    )
+
+
 @query("ann_lsh_topk")  # no SQL oracle: hash-family specifics; see tests
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{k}: score only LSH-bucket-colliding candidates.

@@ -468,6 +468,77 @@ def nation_customer_supplier_union(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "parts_intersect_except",
+    oracle="""
+    SELECT l_partkey FROM (
+      (SELECT DISTINCT l_partkey
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       WHERE s_nationkey = 1
+       INTERSECT
+       SELECT DISTINCT l_partkey
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       WHERE s_nationkey = 2)
+      EXCEPT
+      SELECT DISTINCT l_partkey
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 3
+    )
+    """,
+)
+def parts_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations INTERSECT / EXCEPT (SURVEY §2.5 gap fill): parts
+    shipped by suppliers of nations 1 AND 2 but not 3.
+
+    Scale: each branch is fact ⋈ broadcast(filtered dim) then a distinct on
+    l_partkey; Spark plans INTERSECT/EXCEPT as left-semi/left-anti joins
+    over the deduped branches, so every exchange keys on l_partkey —
+    high-cardinality, unskewed.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+
+    def nation_parts(nk: int) -> DataFrame:
+        supp = (
+            table(spark, sf_dir, "supplier")
+            .filter(F.col("s_nationkey") == nk)
+            .select("s_suppkey")
+        )
+        return li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).select("l_partkey")
+
+    return nation_parts(1).intersect(nation_parts(2)).exceptAll(nation_parts(3).distinct())
+
+
+@query(
+    "cube_order_stats",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      CAST(SUM({_C.format(col='o_totalprice')}) AS DOUBLE)/100.0 AS total_price,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id: all 4 grouping sets of (status, priority).
+
+    Completes the grouping-sets family next to rollup_revenue. The gid
+    column disambiguates real NULLs from subtotal rows — the standard
+    downstream-consumer contract for cube output.
+
+    Scale: Expand ×4 before partial agg; the exchange still carries only
+    |sets|×|groups| combined rows thanks to map-side combine.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        cents_sum("o_totalprice", "total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
     "limit_scan",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

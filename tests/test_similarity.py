@@ -59,6 +59,35 @@ def test_knn_self_similarity_is_one(spark):
     assert dots.dot == n2  # identical vectors: dot == norm^2 exactly
 
 
+def test_neardup_embedding_cosine_matches_numpy_bruteforce(spark, sf_dir):
+    """The blocked gram-matrix plan must reproduce a driver-side numpy
+    all-pairs scan exactly: same pair set, each unordered pair once, and
+    bit-identical cosines (both paths use the 1e-6 integer quantization)."""
+    import numpy as np
+
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.similarity import _NEARDUP_THETA, _SCALE
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb], dtype=np.int64)
+    M = np.stack([r.embedding for r in emb]).astype(np.float64) * _SCALE
+    Q = (np.floor(np.abs(M) + 0.5) * np.sign(M)).astype(np.int64)
+    dot = Q @ Q.T
+    s = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    cos = dot.astype(np.float64) / (s[:, None] * s[None, :])
+    ai, bi = np.nonzero((cos >= _NEARDUP_THETA) & (ids[:, None] < ids[None, :]))
+    expected = {(int(ids[a]), int(ids[b])): cos[a, b] for a, b in zip(ai, bi)}
+
+    rows = registry.get("neardup_embedding_cosine").fn(spark, sf_dir).collect()
+    got = {(r.a_id, r.b_id): r.cosine for r in rows}
+    assert len(rows) == len(got), "a pair was emitted more than once"
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == expected[k], f"cosine mismatch for {k}"
+    for a, b in got:
+        assert a < b
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     """LSH top-k must overlap the exact top-k meaningfully. The corpus's
     nearest neighbors sit near cosine 0.5 (theta ~ 60 deg) — a hard regime
