@@ -297,32 +297,13 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # no SQL oracle: hash-family specifics; see tests
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-{k}: score only LSH-bucket-colliding candidates.
-
-    Pipeline: quantize -> {tables} sign-LSH codes per vector -> probe/corpus
-    bucket equi-join on (tbl, code) -> distinct candidate pairs -> exact
-    integer rescore of candidates only -> per-probe top-k.
-
-    Scale: replaces brute-force's |probes| x |corpus| scored pairs with
-    only colliding ones (collision prob (1/2)^bits per table for random
-    pairs). The bucket join keys on (tbl, code) — {tables} x 2^bits
-    distinct keys; a hot bucket (dense cluster) is the skew case AQE
-    splits. Rescoring joins components back per candidate, so exactness
-    of the final cosine is preserved; only recall is approximate.
-    """
-    ex = quantized_components(table(spark, sf_dir, "embeddings")).cache()
-    probe_ids = F.col("vec_id") < _N_PROBES
-    codes = _bucket_codes(ex)
-    pc = codes.filter(probe_ids).select(F.col("vec_id").alias("q_id"), "tbl", "code")
-    cand = (
-        codes.filter(~probe_ids)
-        .join(F.broadcast(pc), ["tbl", "code"])
-        .select("q_id", "vec_id")
-        .distinct()
+def _exact_rescore_topk(ex: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared ANN tail: exact integer rescore of (q_id, vec_id) candidate
+    pairs + per-probe top-k. Identical math to :func:`knn_bruteforce`, so
+    an ANN plan differs from brute force only in which pairs it scores."""
+    probes = ex.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv")
     )
-    probes = ex.filter(probe_ids).select(F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv"))
     dots = (
         ex.join(cand, "vec_id")
         .join(F.broadcast(probes), ["q_id", "pos"])
@@ -351,3 +332,92 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@query("ann_lsh_topk")  # no SQL oracle: hash-family specifics; see tests
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{k}: score only LSH-bucket-colliding candidates.
+
+    Pipeline: quantize -> {tables} sign-LSH codes per vector -> probe/corpus
+    bucket equi-join on (tbl, code) -> distinct candidate pairs -> exact
+    integer rescore of candidates only -> per-probe top-k.
+
+    Scale: replaces brute-force's |probes| x |corpus| scored pairs with
+    only colliding ones (collision prob (1/2)^bits per table for random
+    pairs). The bucket join keys on (tbl, code) — {tables} x 2^bits
+    distinct keys; a hot bucket (dense cluster) is the skew case AQE
+    splits. Rescoring joins components back per candidate, so exactness
+    of the final cosine is preserved; only recall is approximate.
+    """
+    ex = quantized_components(table(spark, sf_dir, "embeddings")).cache()
+    probe_ids = F.col("vec_id") < _N_PROBES
+    codes = _bucket_codes(ex)
+    pc = codes.filter(probe_ids).select(F.col("vec_id").alias("q_id"), "tbl", "code")
+    cand = (
+        codes.filter(~probe_ids)
+        .join(F.broadcast(pc), ["tbl", "code"])
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    return _exact_rescore_topk(ex, cand)
+
+
+# IVF coarse quantizer: C cells, probes search the NPROBE nearest cells.
+# Centroids are hash-sampled corpus vectors (IVF random init) — fully
+# deterministic, no training job; a production index would k-means-refine
+# them, which changes recall, not the plan shape.
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@query("ann_ivf_topk")  # no SQL oracle: sampled-centroid specifics; see tests
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{k}, IVF-style: inverted file over coarse cells.
+
+    Pipeline: hash-sample {cells} corpus vectors as centroids (broadcast)
+    -> assign every vector to its nearest centroid by cosine (one hash-agg
+    over components x cells) -> probes additionally keep their {nprobe}
+    nearest cells -> candidates = corpus rows in any probed cell -> exact
+    integer rescore (shared with the LSH plan) -> per-probe top-k.
+
+    Scale: assignment costs |corpus| x C dots as one codegen'd agg — the
+    map-side work that replaces scoring |corpus| x |probes| pairs; the
+    candidate join keys on cell (C keys — AQE splits a hot cell, and a
+    production layout would *bucket the corpus by cell* so queries prune
+    whole files). Rescoring touches ~NPROBE/C of the corpus per probe.
+    """
+    ex = quantized_components(table(spark, sf_dir, "embeddings")).cache()
+    probe_ids = F.col("vec_id") < _N_PROBES
+    cent_ids = (
+        ex.filter(~probe_ids)
+        .select("vec_id")
+        .distinct()
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(_IVF_CELLS)
+        .select("vec_id", F.row_number().over(Window.orderBy(F.xxhash64("vec_id"), "vec_id")).alias("cell"))
+    )
+    cents = (
+        ex.join(F.broadcast(cent_ids), "vec_id")
+        .select("cell", "pos", F.col("v").alias("cv"))
+    )
+    cnorm = cents.groupBy("cell").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
+    # nearest cells per vector: argsort of dot/|centroid| (|v| constant per vec)
+    aff = (
+        ex.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
+        .join(F.broadcast(cnorm), "cell")
+        .withColumn("score", F.col("dot").cast("double") / F.sqrt(F.col("cn2").cast("double")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    ranked = aff.select("vec_id", "cell", F.row_number().over(w).alias("cr"))
+    corpus_cells = ranked.filter(~probe_ids & (F.col("cr") == 1)).select("vec_id", "cell")
+    probe_cells = ranked.filter(probe_ids & (F.col("cr") <= _IVF_NPROBE)).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(probe_cells), "cell")
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    return _exact_rescore_topk(ex, cand)

@@ -100,3 +100,20 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     total = sum(len(exact[q]) for q in exact)
     recall = hits / total
     assert recall >= 0.3, f"ANN recall@{_TOP_K} collapsed: {recall:.2f} ({hits}/{total})"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF candidate generation must retrieve real neighbors too; same
+    hard-regime caveat (and deterministic hash-sampled centroids) as the
+    LSH test, so the bound is modest but the outcome is fixed."""
+    exact = _topk_sets(registry.get("knn_bruteforce").fn(spark, sf_dir).collect())
+    ivf = _topk_sets(registry.get("ann_ivf_topk").fn(spark, sf_dir).collect())
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.25, f"IVF recall@{_TOP_K} collapsed: {recall:.2f} ({hits}/{total})"
+
+    rows = registry.get("ann_ivf_topk").fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.neighbor_id >= _N_PROBES
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
