@@ -173,3 +173,69 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(agg, "complete")
     return out.select("user_id", "session_start_us", "session_end_us", "n_events")
+
+
+@query(
+    "streaming_user_totals_stateful",
+    bench=False,
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals carried in explicit group state.
+
+    This is the escape hatch for stateful logic the built-in windows can't
+    express (per-key models, custom eviction, CUSUM detectors …) — here
+    deliberately instantiated with totals so a SQL oracle can check the
+    machinery end-to-end. Each micro-batch folds its Arrow batches into
+    (n, sum_cents, version) state and emits the updated state row; the
+    accumulation is commutative integers and the version is monotone per
+    key, so "latest version per key" equals the batch GROUP BY no matter
+    how AvailableNow slices the source into batches.
+
+    Scale: state is three longs per user, shuffled once on user_id; Arrow
+    moves whole batches into pandas (never row-at-a-time). On a live
+    stream the append-mode sink receives one refreshed row per touched key
+    per batch — downstream consumers key on (user_id, ver).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, s, ver = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v = pdf["value"].to_numpy(dtype="float64") * 100
+            # round-half-away-from-zero: the engine-wide cents contract
+            s += int((np.floor(np.abs(v) + 0.5) * np.sign(v)).astype("int64").sum())
+        ver += 1
+        state.update((n, s, ver))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [s], "ver": [ver]}
+        )
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_cents bigint, ver bigint",
+        stateStructType="n bigint, s bigint, ver bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_table(updates, "append")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ver"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_cents")
+    )

@@ -43,3 +43,22 @@ def test_streaming_sessions_equal_batch(spark, sf_dir):
     )
     cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
     assert _as_sorted_tuples(stream, cols) == _as_sorted_tuples(batch, cols)
+
+
+def test_streaming_stateful_totals_equal_batch(spark, sf_dir):
+    """applyInPandasWithState running totals must equal the batch GROUP BY
+    (commutative integer state + latest-version-wins selection)."""
+    from imdbmapreduce_spark.catalog import table
+
+    stream = registry.get("streaming_user_totals_stateful").fn(spark, sf_dir)
+    cents = F.floor(F.abs(F.col("value") * 100) + 0.5) * F.signum(F.col("value"))
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents.cast("long")).alias("sum_cents"),
+        )
+    )
+    cols = ["user_id", "n_events", "sum_cents"]
+    assert _as_sorted_tuples(stream, cols) == _as_sorted_tuples(batch, cols)
