@@ -155,31 +155,29 @@ def _bucket_codes(ex: DataFrame) -> DataFrame:
 
     Hyperplane (tbl, bit) has Rademacher components derived per dimension
     from xxhash64(pos, tbl, bit): projection = sum over pos of +-v, sign
-    -> bit. A flat groupBy builds all {tables} codes in one hash-agg pass
-    over the exploded components (same shuffle the norms need — Catalyst
-    reuses the exchange).
+    -> bit. Shape note: the tables dimension is EXPLODED into rows and the
+    agg keys on (vec_id, tbl) with only {bits} sum buffers — a single
+    flat groupBy(vec_id) with tables x bits (=96) buffers blows past the
+    JIT-friendly codegen size and ran ~6x slower; 16x more input rows with
+    6 buffers stays on the fast path, and map-side combine collapses the
+    exchange to |vectors| x |tables| rows.
     """
-    signed = [
+    et = ex.select(
+        "vec_id", "pos", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_LSH_TABLES - 1))).alias("tbl"),
+    )
+    sums = [
         F.sum(
-            F.when(F.xxhash64("pos", F.lit(t), F.lit(b)) % 2 == 0, F.col("v")).otherwise(-F.col("v"))
-        ).alias(f"p_{t}_{b}")
-        for t in range(_LSH_TABLES)
+            F.when(F.xxhash64("pos", "tbl", F.lit(b)) % 2 == 0, F.col("v")).otherwise(-F.col("v"))
+        ).alias(f"p{b}")
         for b in range(_LSH_BITS)
     ]
-    proj = ex.groupBy("vec_id").agg(*signed)
-    codes = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            sum(
-                (F.when(F.col(f"p_{t}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-                for b in range(_LSH_BITS)
-            ).alias("code"),
-        )
-        for t in range(_LSH_TABLES)
-    ]
-    return proj.select(
-        "vec_id", F.explode(F.array(*codes)).alias("tc")
-    ).select("vec_id", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
+    proj = et.groupBy("vec_id", "tbl").agg(*sums)
+    code = sum(
+        (F.when(F.col(f"p{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        for b in range(_LSH_BITS)
+    )
+    return proj.select("vec_id", "tbl", code.alias("code"))
 
 
 # Near-dup threshold: the corpus is unit-norm random vectors (pairwise
