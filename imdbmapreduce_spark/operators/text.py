@@ -212,3 +212,63 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", best["code"]).withColumn(
         "lang_score", best["score"]
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df AS score
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by a TF-IDF-style score.
+
+    Score = tf × N / df — the idf kept as an exact rational (no log) so
+    ranking and values are bit-identical in both engines: tf, N, df are
+    integers, and double multiply-then-divide over exactly-representable
+    operands is correctly rounded IEEE in JVM and DuckDB alike. Ties break
+    on term, making the top-5 set fully deterministic.
+
+    Scale: tf is one shuffle on (doc_id, term); df reuses tf (one more
+    exchange on term, vocab-sized); the df side of the join is vocab-sized
+    → broadcast. The final window shuffles on doc_id. No UDFs, no
+    collects; at 100 TB the vocab table is the only candidate for a
+    shuffle join fallback, which AQE decides from its actual size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
