@@ -32,9 +32,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as raw INT64 and truncate to micros —
-        # bit-identical to DuckDB's nanos→micros read of the same file.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reader rejects. session.get_spark sets
+        # spark.sql.legacy.parquet.nanosAsLong globally so nanos read as raw
+        # INT64; truncate to micros here — bit-identical to DuckDB's
+        # nanos→micros read of the same file. The conf.set below is a
+        # belt-and-braces for externally-built sessions.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

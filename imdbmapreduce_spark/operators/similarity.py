@@ -127,7 +127,12 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "vec_id")
         .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
     )
-    nq = F.broadcast(norms.select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")))
+    # only the |probes| norm rows can ever match q_id — filter BEFORE the
+    # broadcast so the shipped table is probe-sized, not corpus-sized
+    nq = F.broadcast(
+        norms.filter(F.col("vec_id") < _N_PROBES)
+        .select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q"))
+    )
     nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("n2_c"))
     scored = (
         dots.withColumnRenamed("vec_id", "neighbor_id")
@@ -309,7 +314,12 @@ def _exact_rescore_topk(ex: DataFrame, cand: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
     )
     norms = _norms(ex)
-    nq = F.broadcast(norms.select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")))
+    # probe-sized broadcast (see knn_bruteforce): only vec_id < _N_PROBES
+    # rows can match q_id, so don't ship the corpus-sized norms table
+    nq = F.broadcast(
+        norms.filter(F.col("vec_id") < _N_PROBES)
+        .select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q"))
+    )
     nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("n2_c"))
     scored = (
         dots.withColumnRenamed("vec_id", "neighbor_id")

@@ -243,10 +243,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     on term, making the top-5 set fully deterministic.
 
     Scale: tf is one shuffle on (doc_id, term); df reuses tf (one more
-    exchange on term, vocab-sized); the df side of the join is vocab-sized
-    → broadcast. The final window shuffles on doc_id. No UDFs, no
-    collects; at 100 TB the vocab table is the only candidate for a
-    shuffle join fallback, which AQE decides from its actual size.
+    exchange on term, vocab-sized). The tf⋈df join carries NO broadcast
+    hint: a web-scale corpus's vocabulary is unbounded (billions of
+    terms), so AQE decides broadcast vs shuffle from the df table's actual
+    runtime size — broadcast locally, shuffle join at 100 TB. The final
+    window shuffles on doc_id. No UDFs, no collects.
     """
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
@@ -254,7 +255,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

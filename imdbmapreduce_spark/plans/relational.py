@@ -110,12 +110,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join fact → agg → top-k.
 
-    Scale: customer (filtered to one segment) and orders are the small
-    sides; the segment filter is pushed to the parquet scan. The
-    customer→orders join is broadcast (dim ≪ fact); the orders→lineitem
-    join shuffles on orderkey — the only unavoidable exchange. Top-10 is a
-    TakeOrdered, not a global sort. LIMIT has a total order (revenue,
-    l_orderkey) so the selected set is deterministic.
+    Scale: the segment filter is pushed to the parquet scan; the filtered
+    customer dim is broadcast into orders. The (orders⋈customer)→lineitem
+    join is NOT hinted: that intermediate is fact-sized (date-filtered
+    orders grow linearly with data), so forcing a broadcast would OOM at
+    100× — AQE picks broadcast vs shuffle from the runtime size instead.
+    The orders→lineitem shuffle on orderkey is the only unavoidable
+    exchange. Top-10 is a TakeOrdered, not a global sort. LIMIT has a
+    total order (revenue, l_orderkey) so the selected set is deterministic.
     """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
@@ -126,7 +128,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy(
@@ -171,8 +173,11 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped: the synthetic data has no such overlap, which would make the
     query a trivially-empty check.)
 
-    Scale: lineitem is the only fact; every other table broadcasts, so the
-    whole plan is one shuffle (the final groupBy on n_name, ~25 groups).
+    Scale: lineitem is the only fact. nation (25 rows) and region (5 rows)
+    are bounded — safe to broadcast unconditionally. orders, customer and
+    supplier all grow linearly with data, so they carry NO broadcast hint:
+    locally AQE still picks BroadcastHashJoin from their runtime size, and
+    at 100× it degrades to a shuffle join instead of a driver OOM.
     Catalyst pushes the region filter through nation→supplier before the
     fact join.
     """
@@ -183,9 +188,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")

@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP(NANOS) parquet columns (events.ts) read as raw INT64
+        # instead of erroring in the vectorized reader. Set once here —
+        # harmless for non-nanos files — so schema never depends on which
+        # table was read first (catalog.table relies on it).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # documents/embeddings rows are fat (long text, 64-float vectors);
         # keep scan partitions bounded so a 100 TB table still splits sanely.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
