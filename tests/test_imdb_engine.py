@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 
 from imdbmapreduce_spark.operators.cooccurrence import (
     Engine,
+    co_members,
     coactor_query,
     title_query,
+    to_dot,
     to_levels,
 )
 
@@ -118,6 +120,31 @@ def test_partition_invariance(spark, movies):
         assert got == expected, f"partitions={n}"
 
 
+def test_co_members_hot_actor_skew(spark):
+    """SURVEY §7 Phase 5 skew harness: one hot actor with 10⁴ memberships
+    (and a co-actor sharing ALL of them — the worst-case hot aggregation
+    key) must produce exact counts at 8 partitions. Why this holds at any
+    skew: the probe's group set ships as a broadcast semi-join (no
+    shuffle of the fact), and the hot co-actor key collapses map-side via
+    partial aggregation before the one exchange — verified on the
+    executed plan below, not just asserted."""
+    n = 10_000
+    rows = [(g, "HOT") for g in range(n)]
+    rows += [(g, "BUDDY") for g in range(n)]  # co-occurs in every HOT group
+    rows += [(g, f"rare{g // 100}") for g in range(0, n, 100)]  # 100 singletons
+    rows += [(n + 1, "BUDDY"), (n + 2, "loner")]  # groups without HOT
+    df = spark.createDataFrame(rows, "g long, m string").repartition(8)
+    out_df = co_members(df, "g", "m", "HOT")
+    out = {r["m"]: (r["cnt"], r["level"]) for r in out_df.collect()}
+    assert out["BUDDY"] == (n, 4)
+    assert all(out[f"rare{i}"] == (1, 1) for i in range(100))
+    assert "HOT" not in out and "loner" not in out
+    # plan shape: broadcast semi-join for the probe, partial+final agg
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
+
+
 def test_engine_dispatch(spark, movies):
     eng = Engine(spark, movies)
     assert eng.query("Actor", "Ann").count() > 0
@@ -131,3 +158,29 @@ def test_to_levels_presentation(spark, movies):
     as_dict = {r["level"]: (r["members"], r["n"]) for r in lv}
     assert as_dict[4] == (["Five Shared", "Four Shared"], 2)
     assert as_dict[1] == (["Ann Solo", "One Shared"], 2)
+    # F7: the reference's `levelN` atom construction (master.erl:334)
+    assert {r["level"]: r["level_label"] for r in lv} == {
+        1: "level1", 2: "level2", 3: "level3", 4: "level4",
+    }
+
+
+def test_to_dot_matches_reference_graph_shape(spark, movies):
+    """S6 DOT sink mirrors movie_graph.erl:42-93: lightblue level0 root,
+    lightgrey per-level boxes labeled Count + members, root→L1→…→L4
+    chain, quote escaping."""
+    levels = to_levels(title_query(movies, "Hub Movie"), "title")
+    dot = to_dot(levels, 'Hub "Movie"')
+    assert dot.startswith("digraph MovieGraph {\n  rankdir=LR;\n")
+    assert '"level0" [label="Hub \\"Movie\\"", shape=box, style=filled, fillcolor=lightblue];' in dot
+    assert (
+        '"level1" [label="Count: 2\\nAnn Solo\\nOne Shared", shape=box, '
+        "style=filled, fillcolor=lightgrey];" in dot
+    )
+    assert (
+        '"level4" [label="Count: 2\\nFive Shared\\nFour Shared", shape=box, '
+        "style=filled, fillcolor=lightgrey];" in dot
+    )
+    for edge in ['"level0" -> "level1";', '"level1" -> "level2";',
+                 '"level2" -> "level3";', '"level3" -> "level4";']:
+        assert edge in dot
+    assert dot.rstrip().endswith("}")

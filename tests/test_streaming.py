@@ -45,6 +45,38 @@ def test_streaming_sessions_equal_batch(spark, sf_dir):
     assert _as_sorted_tuples(stream, cols) == _as_sorted_tuples(batch, cols)
 
 
+def test_session_gap_boundary_merges_in_both_engines(spark, tmp_path):
+    """An EXACTLY-30-minute gap must merge into one session on both sides:
+    the batch rule is strict (`gap > 30 min` splits) and the stream gap is
+    30 min + 1 µs so the half-open session_window coincides with it —
+    previously this boundary silently depended on the fixtures never
+    containing an exact-gap pair."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: exactly 30:00.000000 apart -> ONE session
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(minutes=30), 1, "click", 1.0, "{}"),
+        # user 2: 30:00.000001 apart -> TWO sessions
+        (3, t0, 2, "click", 1.0, "{}"),
+        (4, t0 + timedelta(minutes=30, microseconds=1), 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    stream = registry.get("streaming_sessionization").fn(spark, sf)
+    batch = registry.get("events_sessionization").fn(spark, sf)
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    stream_t = _as_sorted_tuples(stream, cols)
+    assert stream_t == _as_sorted_tuples(batch, cols)
+    per_user = {u: sum(1 for t in stream_t if t[0] == u) for u in (1, 2)}
+    assert per_user == {1: 1, 2: 2}
+
+
 def test_streaming_stateful_totals_equal_batch(spark, sf_dir):
     """applyInPandasWithState running totals must equal the batch GROUP BY
     (commutative integer state + latest-version-wins selection)."""
