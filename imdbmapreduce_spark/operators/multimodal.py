@@ -171,6 +171,112 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Resize target: normalize every image into a _RESIZE_BOX² box preserving
+# aspect ratio (integer rational math, so the geometry is bit-exact in SQL).
+_RESIZE_BOX = 64
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", LongType()),
+        StructField("src_h", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def _src_dims(n_bytes: int) -> tuple[int, int]:
+    """Deterministic source dimensions from payload size — the stand-in
+    for a codec header read (SQL-expressible: pure integer math)."""
+    w = 16 + n_bytes % 97
+    return w, max(1, n_bytes // w)
+
+
+@query(
+    "image_resize",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 0
+    ), dims AS (
+      SELECT doc_id,
+             16 + n_bytes % 97 AS src_w,
+             GREATEST(1, n_bytes // (16 + n_bytes % 97)) AS src_h
+      FROM img
+    )
+    SELECT doc_id,
+           CAST(src_w AS BIGINT) AS src_w,
+           CAST(src_h AS BIGINT) AS src_h,
+           CAST(GREATEST(1, src_w * {_RESIZE_BOX} // GREATEST(src_w, src_h)) AS BIGINT) AS out_w,
+           CAST(GREATEST(1, src_h * {_RESIZE_BOX} // GREATEST(src_w, src_h)) AS BIGINT) AS out_h,
+           CAST(GREATEST(1, src_w * {_RESIZE_BOX} // GREATEST(src_w, src_h))
+              * GREATEST(1, src_h * {_RESIZE_BOX} // GREATEST(src_w, src_h)) AS BIGINT) AS out_bytes
+    FROM dims
+    """,
+)
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize lane: fit every image into a {box}×{box} box preserving
+    aspect ratio — the mapInPandas shape of a thumbnailing pipeline (the
+    pixel resample is where :func:`decode_image`'s real codec would sit;
+    here it's a deterministic byte-tiling fake, see module docstring).
+
+    The oracle checks the resize GEOMETRY (source dims from the header
+    stand-in, target dims by integer rational scaling, output byte count)
+    — all exact integer math. The resized *bytes* aren't SQL-expressible;
+    their determinism and length contract are locked by
+    tests/test_multimodal.py.
+
+    Scale: shuffle-free narrow lane after the media_type filter; Arrow
+    batches in, flat typed columns out. Output bytes are bounded
+    ({box}²/image) regardless of source size — the classic
+    payload-shrinking map.
+    """
+    mm = with_payload(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    return resize_lane(mm).select(
+        "doc_id", "src_w", "src_h", "out_w", "out_h", "out_bytes"
+    )
+
+
+def resize_lane(mm: DataFrame) -> DataFrame:
+    """Full resize lane including the fake resized payload (tests assert
+    byte determinism; the registered query projects the SQL-checkable
+    geometry)."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                src_w, src_h = _src_dims(len(data))
+                m = max(src_w, src_h)
+                out_w = max(1, src_w * _RESIZE_BOX // m)
+                out_h = max(1, src_h * _RESIZE_BOX // m)
+                n_out = out_w * out_h
+                # deterministic "pixels": tile the payload to output size
+                reps = -(-n_out // max(len(data), 1)) if data else 0
+                resized = bytes(
+                    np.frombuffer(data * reps, dtype=np.uint8)[:n_out]
+                ) if data else b"\x00" * n_out
+                rows.append(
+                    (int(doc_id), src_w, src_h, out_w, out_h, n_out, resized)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "out_w", "out_h",
+                    "out_bytes", "resized",
+                ],
+            )
+
+    return mm.mapInPandas(resize, _RESIZE_SCHEMA)
+
+
 _FRAMES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -12,9 +12,12 @@ from imdbmapreduce_spark.operators.multimodal import (
     _FRAME_BYTES,
     _FRAME_STEP,
     _HAS_PIL,
+    _RESIZE_BOX,
+    _src_dims,
     decode_image,
     fake_decode,
     frame_lane,
+    resize_lane,
     with_payload,
 )
 
@@ -49,6 +52,29 @@ def test_features_match_python_reference(spark, sf_dir):
             ref["width"],
             ref["height"],
         ), d.doc_id
+
+
+def test_resize_lane_geometry_and_bytes(spark, sf_dir):
+    """Resized output: aspect-preserving integer geometry, length contract,
+    deterministic tiled bytes (the parts the SQL oracle can't see)."""
+    mm = with_payload(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    originals = {r.doc_id: bytes(r.payload) for r in mm.limit(5).collect()}
+    rows = resize_lane(mm).filter(F.col("doc_id").isin(*originals)).collect()
+    assert rows
+    for r in rows:
+        data = originals[r.doc_id]
+        src_w, src_h = _src_dims(len(data))
+        assert (r.src_w, r.src_h) == (src_w, src_h)
+        m = max(src_w, src_h)
+        assert r.out_w == max(1, src_w * _RESIZE_BOX // m)
+        assert r.out_h == max(1, src_h * _RESIZE_BOX // m)
+        assert max(r.out_w, r.out_h) == _RESIZE_BOX  # fits the box exactly
+        resized = bytes(r.resized)
+        assert r.out_bytes == r.out_w * r.out_h == len(resized)
+        reps = -(-len(resized) // len(data))
+        assert resized == (data * reps)[: len(resized)]  # deterministic tiling
 
 
 def test_frame_bytes_reassemble(spark, sf_dir):
