@@ -24,7 +24,24 @@ TABLES = (
     "embeddings",
 )
 
-__all__ = ["TABLES", "table", "load_tables", "register_views"]
+__all__ = ["TABLES", "table", "load_tables", "register_views", "parallelize_scan"]
+
+
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before an expensive explode/agg stage.
+
+    A single-row-group test file yields a 1-task scan, which serializes
+    every narrow stage that follows (token explodes, packed-lane aggs,
+    component explodes). This guard repartitions ONLY when the scan's
+    partition count is below the session's shuffle width — exactly the
+    small-input case where the added exchange is a few MB. A production
+    multi-row-group table already splits via maxPartitionBytes, the guard
+    never fires, and no full-corpus shuffle is ever added at scale.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.catalog import parallelize_scan, table
 from imdbmapreduce_spark.functions import tokens
 from imdbmapreduce_spark.registry import query
 
@@ -63,7 +63,7 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     one shuffle on doc_id (window sort) + a distinct: 3 s on the same
     corpus, and the shuffle key (doc_id) is unskewed at any scale.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     nxt = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
@@ -375,7 +375,7 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     inside the agg the string hash would re-evaluate per buffer (no CSE
     across aggregate buffers). One shuffle on doc_id.
     """
-    tok = docs.select(
+    tok = parallelize_scan(docs).select(
         "doc_id",
         F.explode(
             F.slice(F.array_distinct(tokens(text_col)), 1, _MAX_SIMHASH_TOKENS)

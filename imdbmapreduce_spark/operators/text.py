@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.catalog import parallelize_scan, table
 from imdbmapreduce_spark.functions import tokens
 from imdbmapreduce_spark.registry import query
 
@@ -307,7 +307,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffles on doc_id. No UDFs, no collects.
     """
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tok = parallelize_scan(docs).select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
