@@ -214,6 +214,51 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Scrub patterns: the Java-regex/RE2 COMMON subset only (char classes,
+# +, literal dots) so Spark and DuckDB tokenize identically — no
+# lookaround, no \b, no lazy quantifiers.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[A-Za-z0-9./_%+&#?=-]+"
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    SELECT
+      doc_id,
+      len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+      len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+      length(regexp_replace(regexp_replace(text, '{URL_RE}', '<URL>', 'g'),
+                            '{EMAIL_RE}', '<EMAIL>', 'g')) AS scrubbed_len,
+      length(text) AS orig_len
+    FROM documents
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing pass: count and redact emails and URLs per doc —
+    the pre-training hygiene map every LLM corpus pipeline runs.
+
+    URLs are replaced before emails so an address inside a URL query
+    string is not double-counted; patterns stay in the Java-regex/RE2
+    common subset so the oracle reproduces every replacement. Map-only,
+    fully codegen'd (regexp_* are JVM expressions), zero shuffle.
+
+    Scale: pure narrow pass — pipelines into the scan stage; at 100 TB
+    the cost is one regex automaton run per doc, no exchange.
+    """
+    docs = table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), 0)).alias("n_urls"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.length("text").cast("long").alias("orig_len"),
+    )
+
+
 def _lang_id_oracle() -> str:
     """DuckDB twin of :func:`lang_id`'s scorer: per-language marker
     intersection counts, argmax with the SAME tie rule as Spark's

@@ -185,6 +185,51 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_exact",
+    bench=False,
+    oracle="""
+    WITH keyed AS (
+      SELECT md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))), ' '))
+             AS content_key
+      FROM documents
+    )
+    SELECT DISTINCT content_key FROM keyed
+    """,
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen document per canonical
+    content hash — the live-ingest twin of ``dedup_exact`` (an LLM-corpus
+    pipeline dedups at ingest, not only in batch).
+
+    ``dropDuplicates`` on a stream holds one state row per key and drops
+    every later arrival. WHICH physical row is kept depends on micro-batch
+    arrival order, so the oracle checks the deterministic part — the set
+    of distinct content keys — while the keep-first mechanics are the
+    engine's own contract. On a live deployment add
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` to bound state
+    by event time; the finite AvailableNow drain here has no late data,
+    so the unbounded form is exact.
+
+    Scale: state = one (key, seen) row per distinct document — the same
+    cardinality any exact dedup must hold; shuffled once on the content
+    key (uniform by construction).
+    """
+    from imdbmapreduce_spark.functions import tokens
+
+    docs = spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    ).parquet(f"{sf_dir}/*documents.parquet")
+    keyed = docs.select(
+        F.md5(F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")).alias(
+            "content_key"
+        )
+    )
+    out = _run_to_table(keyed.dropDuplicates(["content_key"]), "append")
+    return out.select("content_key")
+
+
+@query(
     "streaming_user_totals_stateful",
     bench=False,
     oracle="""

@@ -45,6 +45,20 @@ def test_streaming_sessions_equal_batch(spark, sf_dir):
     assert _as_sorted_tuples(stream, cols) == _as_sorted_tuples(batch, cols)
 
 
+def test_streaming_dedup_matches_batch_groups(spark, sf_dir):
+    """Streaming dropDuplicates must keep exactly one row per content key —
+    the same key set, same group count, as the batch dedup_exact query."""
+    stream_keys = [
+        r.content_key
+        for r in registry.get("streaming_dedup_exact").fn(spark, sf_dir).collect()
+    ]
+    batch_keys = {
+        r.content_key for r in registry.get("dedup_exact").fn(spark, sf_dir).collect()
+    }
+    assert len(stream_keys) == len(set(stream_keys))  # one row per key
+    assert set(stream_keys) == batch_keys
+
+
 def test_session_gap_boundary_merges_in_both_engines(spark, tmp_path):
     """An EXACTLY-30-minute gap must merge into one session on both sides:
     the batch rule is strict (`gap > 30 min` splits) and the stream gap is

@@ -25,3 +25,33 @@ def test_lang_id_no_markers_scores_zero(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="zzz qqq xxx")])
     row = lang_id(df).first()
     assert row.lang_score == 0
+
+
+def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
+    """The driver fixtures contain no PII, so the oracle row only proves
+    the no-op path; this locks the actual redaction on planted data
+    (through the registered query, via a documents-shaped parquet)."""
+    from imdbmapreduce_spark import registry
+
+    rows = [
+        (1, "contact me at jane.doe+spam@mail.example.org for details", "en", "s", 0),
+        (2, "docs at https://example.com/a_b/c?q=1&x=2#frag and more", "en", "s", 0),
+        (3, "mixed https://x.io/p bob@x.io trailing", "en", "s", 0),
+        (4, "no pii here at all", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r.doc_id: r for r in registry.get("doc_pii_scrub").fn(spark, sf).collect()
+    }
+    assert (out[1].n_emails, out[1].n_urls) == (1, 0)
+    assert (out[2].n_emails, out[2].n_urls) == (0, 1)
+    assert (out[3].n_emails, out[3].n_urls) == (1, 1)
+    assert (out[4].n_emails, out[4].n_urls) == (0, 0)
+    # redaction really shortens: "<EMAIL>"/"<URL>" replace longer spans
+    assert out[1].scrubbed_len == out[1].orig_len - len("jane.doe+spam@mail.example.org") + len("<EMAIL>")
+    assert out[2].scrubbed_len == out[2].orig_len - len("https://example.com/a_b/c?q=1&x=2#frag") + len("<URL>")
+    assert out[4].scrubbed_len == out[4].orig_len
