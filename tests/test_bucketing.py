@@ -1,0 +1,61 @@
+"""Bucketed-layout proof for the SCALE.md claim that the fact-to-fact
+exchange (orders⋈lineitem-shaped joins) disappears under a bucketed
+physical layout with zero plan changes.
+
+The engine's plans key joins/aggs on stable columns, so a production
+deployment buckets the big tables on those keys; this test materializes
+that layout at sf0.001 and asserts Spark's bucketed scan actually
+removes the shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark.catalog import table
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the join to stay sort-merge so the exchange question is real
+    (at sf0.001 everything would otherwise broadcast)."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path, no_broadcast):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    for name, df, key in (
+        ("b_lineitem", li, "l_orderkey"),
+        ("b_orders", orders, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{tmp_path}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    try:
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketed scans co-locate both sides
+        # and the same join over plain parquet DOES shuffle
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+        # results identical either way
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
