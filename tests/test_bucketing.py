@@ -28,6 +28,21 @@ def no_broadcast(spark):
     spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
+def test_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
+    """The other production-layout claim: date-partitioned writes let a
+    date filter prune whole directories at planning time (PartitionFilters
+    in the scan, not a post-scan Filter)."""
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(f"{tmp_path}/events_by_day")
+    some_day = ev.select("day").first()["day"]
+    rd = spark.read.parquet(f"{tmp_path}/events_by_day").filter(F.col("day") == F.lit(some_day))
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+    # pruned read returns exactly that day's rows
+    expected = ev.filter(F.col("day") == F.lit(some_day)).count()
+    assert rd.count() == expected > 0
+
+
 def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path, no_broadcast):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")

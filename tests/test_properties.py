@@ -1,0 +1,66 @@
+"""Property tests (SURVEY.md §5 item 3): the IMDb query plans vs a
+direct Python model on randomized small fixtures — level = min(count, 4),
+probe exclusion, case sensitivity, and set-intersection counting hold for
+ARBITRARY casts, not just the handcrafted fixture."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from imdbmapreduce_spark.operators.cooccurrence import coactor_query, title_query
+
+_ACTORS = ["Ann", "ann", "Bob", "Cat", "Dan", "Eve", "Fay"]
+
+_movies_strategy = st.lists(
+    st.sets(st.sampled_from(_ACTORS), min_size=0, max_size=5).map(sorted),
+    min_size=1,
+    max_size=8,
+).map(
+    lambda casts: [(i, f"title{i}", cast) for i, cast in enumerate(casts)]
+)
+
+
+def _py_title(movies, probe_title):
+    cast = next((set(a) for _, t, a in movies if t == probe_title), None)
+    if cast is None:
+        return {}
+    out = {}
+    for _, t, a in movies:
+        if t == probe_title:
+            continue
+        n = len(set(a) & cast)
+        if n >= 1:
+            out[t] = (n, min(n, 4))
+    return out
+
+
+def _py_coactor(movies, actor):
+    counts: dict[str, int] = {}
+    for _, _, a in movies:
+        if actor in a:
+            for co in set(a):
+                if co != actor:
+                    counts[co] = counts.get(co, 0) + 1
+    return {co: (n, min(n, 4)) for co, n in counts.items()}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(movies=_movies_strategy)
+def test_title_query_matches_python_model(spark, movies):
+    df = spark.createDataFrame(movies, "movie_id long, title string, actors array<string>")
+    got = {
+        r["title"]: (r["n_shared"], r["level"])
+        for r in title_query(df, "title0").collect()
+    }
+    assert got == _py_title(movies, "title0")
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(movies=_movies_strategy)
+def test_coactor_query_matches_python_model(spark, movies):
+    df = spark.createDataFrame(movies, "movie_id long, title string, actors array<string>")
+    got = {
+        r["actor"]: (r["cnt"], r["level"]) for r in coactor_query(df, "Ann").collect()
+    }
+    assert got == _py_coactor(movies, "Ann")  # case-sensitive: 'ann' is a co-actor
