@@ -67,16 +67,19 @@ def co_members(memberships: DataFrame, group_col: str, member_col: str, probe) -
     Plan: filter to groups containing probe (left-semi self-join on the
     group key) → drop probe rows → groupBy member → count → level.
 
-    Scale: the probe's group set is tiny (one actor's filmography) →
-    Catalyst broadcasts the semi-join build side; the only shuffle is the
-    final groupBy(member), already partially aggregated map-side. Exactly
-    the reference's map/reduce split (`mapReduce.erl:86-90` map-side count,
-    `master.erl:315-323` exact merge) — done by HashAggregate partial/final.
+    Scale: the probe's group set is usually tiny (one actor's filmography)
+    and AQE broadcasts the semi-join build side from its measured size —
+    no forced hint, so a pathological probe key (a member of millions of
+    groups) degrades to a shuffled semi-join instead of a driver OOM. The
+    only other shuffle is the final groupBy(member), already partially
+    aggregated map-side. Exactly the reference's map/reduce split
+    (`mapReduce.erl:86-90` map-side count, `master.erl:315-323` exact
+    merge) — done by HashAggregate partial/final.
     """
     g, m = F.col(group_col), F.col(member_col)
     probe_groups = memberships.filter(m == F.lit(probe)).select(group_col).distinct()
     return (
-        memberships.join(F.broadcast(probe_groups), group_col, "left_semi")
+        memberships.join(probe_groups, group_col, "left_semi")
         .filter(m != F.lit(probe))
         .groupBy(member_col)
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -494,8 +494,10 @@ def parts_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations INTERSECT / EXCEPT (SURVEY §2.5 gap fill): parts
     shipped by suppliers of nations 1 AND 2 but not 3.
 
-    Scale: each branch is fact ⋈ broadcast(filtered dim) then a distinct on
-    l_partkey; Spark plans INTERSECT/EXCEPT as left-semi/left-anti joins
+    Scale: each branch joins the fact to a one-nation supplier slice —
+    linearly growing, so no broadcast hint (AQE broadcasts it locally from
+    its runtime size, shuffle-joins at 100×); then a distinct on
+    l_partkey. Spark plans INTERSECT/EXCEPT as left-semi/left-anti joins
     over the deduped branches, so every exchange keys on l_partkey —
     high-cardinality, unskewed.
     """
@@ -507,7 +509,7 @@ def parts_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("s_nationkey") == nk)
             .select("s_suppkey")
         )
-        return li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).select("l_partkey")
+        return li.join(supp, li.l_suppkey == supp.s_suppkey).select("l_partkey")
 
     return nation_parts(1).intersect(nation_parts(2)).exceptAll(nation_parts(3).distinct())
 
