@@ -214,6 +214,72 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             (len(toks) >= 20 AND len(list_distinct(toks)) * 4 >= len(toks)) AS is_quality,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_key
+      FROM t WHERE len(toks) > 0
+    ), keepers AS (
+      SELECT content_key, MIN(doc_id) AS keep_id FROM scored GROUP BY content_key
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens,
+           (s.doc_id = k.keep_id) AS is_canonical,
+           (s.is_quality AND s.doc_id = k.keep_id) AS keep
+    FROM scored s JOIN keepers k USING (content_key)
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision the verticals exist for: per doc,
+    the quality gate (doc_quality's rule), exact-dedup canonicality
+    (dedup_exact's min-id keeper on the same canonical content hash), and
+    the final keep/drop verdict — one composed plan, one oracle.
+
+    A real pipeline extends the keep predicate with lang allowlists, PII
+    thresholds (doc_pii_scrub) and near-dup keep-lists (minhash_lsh_pairs)
+    — all joins on doc_id, same shape.
+
+    Scale: one map pass computes tokens/quality/hash together (shared
+    subexpression, no re-tokenization), one shuffle on the content hash
+    for the keeper group, one uniform-key join back. The verticals
+    compose without re-reading the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").alias("n_tokens"),
+            (
+                (F.size("toks") >= 20)
+                & (F.size(F.array_distinct("toks")) * 4 >= F.size("toks"))
+            ).alias("is_quality"),
+            F.md5(F.array_join(F.array_sort(F.array_distinct("toks")), " ")).alias(
+                "content_key"
+            ),
+        )
+    )
+    keepers = scored.groupBy("content_key").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        scored.join(keepers, "content_key")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+            (F.col("is_quality") & (F.col("doc_id") == F.col("keep_id"))).alias("keep"),
+        )
+    )
+
+
 # Scrub patterns: the Java-regex/RE2 COMMON subset only (char classes,
 # +, literal dots) so Spark and DuckDB tokenize identically — no
 # lookaround, no \b, no lazy quantifiers.

@@ -243,3 +243,71 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_us") - F.col("last_click_us")).alias("gap_us"),
         )
     )
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*) FROM s3
+    )
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who did view, THEN click, THEN
+    purchase — each step strictly after their first completion of the
+    previous one. Counts per step (classic product-analytics op; no
+    reference analog, SURVEY §2.5).
+
+    Plan: per step, an equi-join to the previous step's first-completion
+    times + a min-aggregate on user_id. Every shuffle keys on user_id, so
+    the three stages reuse one co-partitioning (AQE keeps them aligned);
+    each step's input shrinks to the survivors of the previous step.
+    The step timestamps are exact integer micros — min() is
+    order-independent, so the result is partition-invariant.
+
+    Scale: |steps| joins on a uniform key with monotonically shrinking
+    build sides — the later steps broadcast for free once conversion
+    decimates the audience.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    prev: DataFrame | None = None
+    counts = []
+    for idx, step in enumerate(_FUNNEL_STEPS, start=1):
+        cur = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("ts_us") > F.col("t_prev"))
+        reached = cur.groupBy("user_id").agg(F.min("ts_us").alias("t_prev"))
+        counts.append(
+            reached.agg(
+                F.lit(idx).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+        prev = reached
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
