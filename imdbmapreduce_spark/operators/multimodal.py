@@ -171,6 +171,91 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio lane: payload bytes interpreted as little-endian int16 PCM
+# samples (a real pipeline would decode flac/mp3 here — same stub policy
+# as decode_image), reduced in fixed windows.
+_AUDIO_WINDOW = 1024  # samples per analysis chunk
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+@query(
+    "audio_chunk_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, octet_length(encode(text)) // 2 AS n_samples
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    chunks AS (
+      SELECT a.doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+             LEAST({_AUDIO_WINDOW}, a.n_samples - CAST(t.i AS BIGINT)*{_AUDIO_WINDOW})
+               AS n_samples
+      FROM a CROSS JOIN range(0, 100000) t(i)
+      WHERE CAST(t.i AS BIGINT)*{_AUDIO_WINDOW} < a.n_samples
+    )
+    SELECT doc_id, chunk_idx, n_samples FROM chunks
+    """,
+)
+def audio_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis lane: fixed-window sample statistics over the
+    payload as int16 PCM — the mapInPandas shape of loudness/VAD feature
+    extraction (the codec decode is stubbed, module docstring policy).
+
+    The oracle checks the windowing GEOMETRY (chunk index, sample count
+    per chunk — exact integer math from the byte length); the sample
+    sums are integer-exact but not SQL-reachable (byte unpacking), so
+    numpy parity is locked by tests/test_multimodal.py.
+
+    Scale: shuffle-free narrow lane; window reduction happens inside the
+    Arrow batch with vectorized numpy, emitting |samples|/{window}
+    rows/doc.
+    """
+    mm = with_payload(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "audio"
+    )
+    return audio_lane(mm).select("doc_id", "chunk_idx", "n_samples")
+
+
+def audio_lane(mm: DataFrame) -> DataFrame:
+    """Full audio lane including integer sample sums (sum_abs, sum_sq are
+    exact int64 — deterministic under any batching)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                samples = np.frombuffer(
+                    data[: len(data) - (len(data) % 2)], dtype="<i2"
+                ).astype(np.int64)
+                for ci in range(0, -(-len(samples) // _AUDIO_WINDOW)):
+                    w = samples[ci * _AUDIO_WINDOW : (ci + 1) * _AUDIO_WINDOW]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ci,
+                            len(w),
+                            int(np.abs(w).sum()),
+                            int((w * w).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "chunk_idx", "n_samples", "sum_abs", "sum_sq"],
+            )
+
+    return mm.mapInPandas(stats, _AUDIO_SCHEMA)
+
+
 # Resize target: normalize every image into a _RESIZE_BOX² box preserving
 # aspect ratio (integer rational math, so the geometry is bit-exact in SQL).
 _RESIZE_BOX = 64

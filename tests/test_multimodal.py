@@ -77,6 +77,29 @@ def test_resize_lane_geometry_and_bytes(spark, sf_dir):
         assert resized == (data * reps)[: len(resized)]  # deterministic tiling
 
 
+def test_audio_chunk_sums_match_numpy(spark, sf_dir):
+    """Audio windows: integer sample sums equal a direct numpy reference
+    on the raw bytes (the part the geometry oracle can't see)."""
+    import numpy as np
+    from imdbmapreduce_spark.operators.multimodal import _AUDIO_WINDOW, audio_lane
+
+    mm = with_payload(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "audio"
+    )
+    originals = {r.doc_id: bytes(r.payload) for r in mm.limit(4).collect()}
+    rows = audio_lane(mm).filter(F.col("doc_id").isin(*originals)).collect()
+    assert rows
+    for r in rows:
+        data = originals[r.doc_id]
+        samples = np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2").astype(
+            np.int64
+        )
+        w = samples[r.chunk_idx * _AUDIO_WINDOW : (r.chunk_idx + 1) * _AUDIO_WINDOW]
+        assert r.n_samples == len(w)
+        assert r.sum_abs == int(np.abs(w).sum())
+        assert r.sum_sq == int((w * w).sum())
+
+
 def test_frame_bytes_reassemble(spark, sf_dir):
     """Sampled frames must be exact slices: stride geometry + content."""
     mm = with_payload(table(spark, sf_dir, "documents")).filter(
