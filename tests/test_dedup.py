@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from itertools import combinations
 
-import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

@@ -5,7 +5,6 @@ queries correctly."""
 
 from __future__ import annotations
 
-import tempfile
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import functions as F

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-import pytest
 from pyspark.sql import Row
 
 from imdbmapreduce_spark import registry
