@@ -568,3 +568,104 @@ def limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(85000)
     )
+
+
+_Q17_BRAND = "Brand#1"
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_partkey,
+             {_C.format(col='l_quantity')} AS qc,
+             {_C.format(col='l_extendedprice')} AS pc
+      FROM lineitem
+    ), agg AS (
+      SELECT l_partkey, SUM(qc) AS sq, COUNT(*) AS cnt FROM li GROUP BY 1
+    )
+    SELECT CAST(SUM(li.pc) AS DOUBLE)/100.0/7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM li
+    JOIN agg USING (l_partkey)
+    JOIN part p ON li.l_partkey = p.p_partkey
+    WHERE p.p_brand = '{_Q17_BRAND}' AND li.qc * 5 * agg.cnt < agg.sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate — lineitems whose quantity is
+    below 20% of their part's average, revenue summed.
+
+    The correlation (qty < 0.2 × avg per part) is decorrelated into a
+    per-part aggregate joined back on partkey, and the 0.2×avg comparison
+    is cross-multiplied into exact integers (qc·5·cnt < sum_qc) so no
+    division ever happens — bit-identical in both engines.
+
+    Scale: one shuffle builds the per-part aggregate, reusing the same
+    hash partitioning the join-back needs (Catalyst aligns both on
+    l_partkey — no second exchange of the fact); the brand dim filter
+    pushes to the part scan and AQE sizes that join side.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        cents("l_quantity").alias("qc"),
+        cents("l_extendedprice").alias("pc"),
+    )
+    agg = li.groupBy("l_partkey").agg(
+        F.sum("qc").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == _Q17_BRAND)
+    return (
+        li.join(agg, "l_partkey")
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(F.col("qc") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            (F.sum("pc").cast("double") / 100.0 / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q18_MIN_QTY_CENTS = 25_000  # orders totaling > 250 quantity units
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM({_C.format(col='l_quantity')}) AS sum_qc
+      FROM lineitem GROUP BY 1
+      HAVING SUM({_C.format(col='l_quantity')}) > {_Q18_MIN_QTY_CENTS}
+    )
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST({_C.format(col='o.o_totalprice')} AS DOUBLE)/100.0 AS total_price,
+           CAST(big.sum_qc AS DOUBLE)/100.0 AS sum_qty
+    FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING filter on an aggregate, joined back to the
+    dimension row — the "large volume customers" pattern.
+
+    Scale: the groupBy(orderkey) shuffle is the only fact exchange; the
+    HAVING filter decimates it to the heavy tail BEFORE the orders join,
+    so AQE sees a small build side and broadcasts it. Quantities compare
+    as exact cents.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("sum_qc"))
+        .filter(F.col("sum_qc") > _Q18_MIN_QTY_CENTS)
+    )
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            (cents("o_totalprice").cast("double") / 100.0).alias("total_price"),
+            (F.col("sum_qc").cast("double") / 100.0).alias("sum_qty"),
+        )
+    )
