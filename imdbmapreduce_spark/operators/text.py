@@ -214,6 +214,51 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Content-hash split boundaries over md5's first two hex digits
+# (256 buckets): train < 204 (~80%), val < 230 (~10%), else test.
+_SPLIT_TRAIN, _SPLIT_VAL = 204, 230
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang,
+             CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by CONTENT hash — the
+    dataset-split primitive of a training pipeline. Hashing the text (not
+    the id) makes the split stable under re-sharding, re-ingestion and id
+    reassignment, and sends exact duplicates to the same split (no
+    train→test leakage through dup pairs). md5 is bit-identical in Spark
+    and DuckDB, so the oracle reproduces every assignment.
+
+    Scale: map-only bucket assignment + one low-cardinality hash agg;
+    as a writer this becomes `.write.partitionBy("split")` with zero
+    plan change.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy(
+        "lang", split.alias("split")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 @query(
     "corpus_curation",
     oracle=f"""
