@@ -601,9 +601,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is cross-multiplied into exact integers (qc·5·cnt < sum_qc) so no
     division ever happens — bit-identical in both engines.
 
-    Scale: one shuffle builds the per-part aggregate, reusing the same
-    hash partitioning the join-back needs (Catalyst aligns both on
-    l_partkey — no second exchange of the fact); the brand dim filter
+    Scale: the fact is exchanged twice — once into the per-part aggregate
+    and once for the join-back (the aggregate side reuses its
+    partitioning). The alternative one-exchange form (sum/count over a
+    partitionBy window) trades the second exchange for a per-partition
+    sort; measured equivalent at sf0.1, and the join form wins when the
+    aggregate output is much smaller than the fact. The brand dim filter
     pushes to the part scan and AQE sizes that join side.
     """
     li = table(spark, sf_dir, "lineitem").select(
