@@ -185,6 +185,53 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_enriched_counts",
+    bench=False,
+    oracle="""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS user_n FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(u.user_n) AS BIGINT) AS sum_user_n
+    FROM events e JOIN u ON e.user_id = u.user_id
+    GROUP BY 1
+    """,
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each streamed event enriched with a static
+    per-user dimension (here the user's batch lifetime event count), then
+    aggregated — the standard dimension-enrichment topology where a live
+    stream joins a slowly-refreshed reference table.
+
+    The static side is a plain batch DataFrame; Spark re-plans it per
+    micro-batch (so a refreshed dim file is picked up between batches)
+    and broadcasts it when small. Complete-mode counts make the drained
+    result equal the batch join bit-for-bit.
+
+    Scale: the stream side never shuffles before the join when the dim
+    broadcasts; state is |event_type| rows. A growing dim degrades to a
+    shuffled stream-static join — same contract as the batch planner.
+    """
+    ev = _events_stream(spark, sf_dir)
+    static_users = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_n"))
+    )
+    agg = (
+        ev.join(static_users, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_n").alias("sum_user_n"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select("event_type", "n_events", "sum_user_n")
+
+
+@query(
     "streaming_dedup_exact",
     bench=False,
     oracle="""
