@@ -74,6 +74,26 @@ def test_streaming_dedup_checkpoint_resume(spark, sf_dir, tmp_path):
     assert first <= set(rows) and len(first) < len(rows)
 
 
+def test_sql_entry_point(spark, sf_dir):
+    """register_views exposes every catalog table to spark.sql — the
+    string-SQL entry the reference never had (SURVEY §2.5). A SQL text
+    query must agree with its DataFrame twin."""
+    from imdbmapreduce_spark.catalog import TABLES, register_views
+
+    register_views(spark, sf_dir)
+    for t in TABLES:
+        assert spark.catalog.tableExists(t)
+    sql = spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1"
+    )
+    df = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_concurrent_queries_share_one_session(spark, sf_dir):
     """The reference isolates concurrent queries in Erlang processes
     (master.erl:61-64); one SparkSession runs them as concurrent jobs.
