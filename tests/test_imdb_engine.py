@@ -120,6 +120,20 @@ def test_partition_invariance(spark, movies):
         assert got == expected, f"partitions={n}"
 
 
+def test_title_query_bigint_arrays_and_missing_probe(spark, sf_dir):
+    """The generic title_query must work on non-string member types (the
+    probe literal casts to the actors element type) and preserve the
+    empty-result contract for an unknown title on that schema too."""
+    from imdbmapreduce_spark.operators.cooccurrence import _orders_as_movies
+
+    movies = _orders_as_movies(spark, sf_dir)
+    hit = title_query(movies, "1")
+    assert hit.count() > 0
+    miss = title_query(movies, "no-such-order")
+    assert miss.count() == 0
+    assert miss.columns == ["movie_id", "title", "n_shared", "level"]
+
+
 def test_co_members_hot_actor_skew(spark):
     """SURVEY §7 Phase 5 skew harness: one hot actor with 10⁴ memberships
     (and a co-actor sharing ALL of them — the worst-case hot aggregation
