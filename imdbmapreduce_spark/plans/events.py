@@ -311,3 +311,79 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query("events_approx_distinct")  # no SQL oracle: HLL sketch is engine-specific
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HyperLogLog++
+    (`approx_count_distinct`, rsd 2%) next to the exact count — the
+    sketch every 100 TB pipeline uses where exact distinct is a full
+    extra shuffle.
+
+    No SQL oracle: HLL implementations differ per engine, so the driver
+    records rows-only; the error bound vs the exact count is locked by
+    tests/test_events_extra.py (within 5% on every type).
+
+    Scale: the sketch is a fixed few-KB buffer per group merged
+    map-side — the exchange carries |groups| sketches instead of
+    |groups|×|users| rows. Exact distinct (the column beside it) is the
+    expand+two-shuffle plan; at 100 TB you pick per query.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "user_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    WHERE day_offset <= 14
+    GROUP BY 1, 2
+    """,
+)
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later day they return (offsets 0..14) — the canonical
+    product-analytics rollup.
+
+    Plan: first-seen aggregate on user_id, joined back to activity (both
+    exchanges share the user_id partitioning), distinct per (user,
+    offset), then a small (cohort × offset) count.
+
+    Scale: the join-back build side is one row per user; the distinct
+    keys on (user, cohort, offset) — uniform; the final agg output is
+    |days| × 15 rows regardless of input size.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 14)
+        .distinct()
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
