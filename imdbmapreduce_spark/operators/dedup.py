@@ -491,3 +491,140 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return intra.unionByName(cross)
+
+
+# --- connected-components clustering (pairs → cluster assignment) ---------
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list: every node gets
+    ``cluster_id`` = the minimum node id reachable from it.
+
+    The last stage every near-dup pipeline needs — pair lists (Jaccard /
+    MinHash / SimHash emit *edges*) don't answer "which rows form one
+    duplicate group"; components do. The reference's dedup never composes
+    groups at all (last-write-wins replaces a key in place,
+    /root/reference/Code/csv_to_ets.erl:27-53), so this generalizes R9's
+    cross-level dedup to transitive content identity.
+
+    ``nodes``: one column ``node``; ``edges``: columns ``src,dst``.
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (a) lowers every label to the min over its graph neighbors, then
+    (b) rewrites every label by its own label's label (path halving) —
+    step (b) squares the propagation distance, so rounds are
+    O(log(diameter)), not O(diameter): a 1M-node chain converges in ~20
+    rounds instead of 1M. Per round: one shuffle join on node + one on
+    label — both uniform keys. Lineage is truncated every round with
+    ``localCheckpoint`` (on a real cluster: ``checkpoint`` to durable
+    storage) so the plan doesn't grow exponentially with iterations; the
+    driver holds only the scalar changed-row count, never row data.
+    """
+    sym = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(comp.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        lowered = (
+            comp.join(nbr_min, "node", "left")
+            .select("node", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
+        )
+        jumped = (
+            lowered.join(
+                lowered.select(F.col("node").alias("comp"), F.col("comp").alias("comp2")),
+                "comp",
+            )
+            .select("node", F.col("comp2").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(comp.withColumnRenamed("comp", "prev"), "node")
+            .filter(F.col("comp") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        comp = jumped
+        if changed == 0:
+            return comp.select("node", F.col("comp").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)-1),
+                                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ), exall AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), ex AS (
+      SELECT doc_id, shingle FROM exall
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_SHINGLE_DF_CAP}
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_sh FROM ex GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.6
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jac
+    ), walk(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.r
+    ), assign AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM assign
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: Jaccard >= 0.6 pairs → connected
+    components → ``(doc_id, cluster_id, cluster_size)`` for EVERY
+    document (singletons keep their own id).
+
+    This is the artifact a curation pipeline actually consumes — "keep
+    cluster_id == doc_id, drop the rest" is one filter away. Edges come
+    from the oracle-checked exact-Jaccard pair query; the oracle replays
+    the same pairs in DuckDB and closes them with a recursive-CTE
+    transitive closure (exact min-reachable-id semantics, so the gate
+    hash-checks the whole clustering, not just pair recall).
+
+    Scale: edges are near-dup pairs — o(corpus) rows; the component loop
+    is O(log diameter) rounds of uniform-key shuffles on that small edge
+    set (see :func:`connected_components`). The final size window
+    shuffles one row per doc on cluster_id; the giant-component skew case
+    is AQE's skew-join territory, and cluster_id cardinality ~ n_docs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    edges = neardup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    assign = connected_components(docs.select(F.col("doc_id").alias("node")), edges)
+    return assign.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )
