@@ -340,3 +340,72 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_cents")
     )
+
+
+@query(
+    "streaming_view_purchase_join",
+    bench=False,
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to every view
+    by the same user in the preceding 30 minutes — the canonical
+    two-stream attribution topology (clickstream ⋈ conversions).
+
+    Both sides carry a watermark and the join predicate bounds event time
+    (``p.ts ∈ [v.ts, v.ts + 30 min]``), which is what lets Spark compute
+    a state-eviction bound: a buffered view can be dropped once the
+    purchase-side watermark passes ``view.ts + 30 min``, so state is the
+    last ~30 min + watermark delay of each stream, not the whole history.
+    An inner join in append mode emits each match exactly once; with a
+    finite AvailableNow drain every batch-join match is emitted, so the
+    result equals the batch interval join row-for-row.
+
+    Scale: both streams shuffle on user_id into the same join exchange —
+    one symmetric-hash stateful join, bounded state, no sort. The batch
+    twin (`events_asof_join` family) shares the bucket semantics, so
+    backfill and live attribution are unionable.
+    """
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = _run_to_table(joined, "append")
+    return out.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+    )
