@@ -672,3 +672,195 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_qc").cast("double") / 100.0).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "price_quartiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont({_C.format(col='l_extendedprice')}, 0.25) AS p25,
+           quantile_cont({_C.format(col='l_extendedprice')}, 0.50) AS p50,
+           quantile_cont({_C.format(col='l_extendedprice')}, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles of extended price (interpolated
+    percentile over exact cents).
+
+    Quartile fractions (.0/.25/.5/.75 of an integer gap) are exact in
+    binary floating point, so Spark's `percentile` and DuckDB's
+    `quantile_cont` — both defined as linear interpolation at rank
+    p·(n−1) — agree bit-for-bit on long-cent inputs; that makes EXACT
+    quantiles oracle-checkable where p90-style fractions would hash-drift.
+
+    Scale: exact percentile sorts each group's values (one shuffle on the
+    group key; 3 groups here makes each group huge — real deployments
+    with few giant groups use `approx_percentile` (KLL-style mergeable
+    sketch, map-side combined, no per-group sort) and accept the rank
+    error; `approx_quantile_error` below locks that path's error bound.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pc = cents("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.percentile(pc, F.lit(0.25)).alias("p25"),
+        F.percentile(pc, F.lit(0.50)).alias("p50"),
+        F.percentile(pc, F.lit(0.75)).alias("p75"),
+    )
+
+
+@query("approx_quantile_error", bench=True)  # no SQL oracle: sketch internals
+def approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_percentile` next to the exact percentile, with the relative
+    error surfaced as a column — the scale path for quantiles over
+    few-giant-groups data, self-reporting its accuracy.
+
+    Scale: the sketch is a bounded-size mergeable summary per group,
+    combined map-side; the exchange carries |groups| sketches. The exact
+    column beside it is the per-group sort plan; at 100 TB only the
+    sketch path survives, and tests/test_relational_extra.py locks its
+    error within the sketch's accuracy parameter (10000 ≈ 0.01% rank error).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pc = cents("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(pc, F.lit(0.5)).alias("exact_p50"),
+        F.approx_percentile(pc, F.lit(0.5), F.lit(10000)).cast("double").alias("approx_p50"),
+    )
+
+
+# Knuth multiplicative hash — shared verbatim with the oracle SQL so the
+# sampled row SET is engine-independent (md5/xxhash availability and hex
+# casting differ across engines; integer arithmetic doesn't). Production
+# note: for string keys use xxhash64/md5 — any uniform keyed hash works,
+# the contract is only "deterministic function of the key".
+_SAMPLE_HASH = "((({key} * 2654435761) % 4294967296) + 4294967296) % 4294967296"
+_SAMPLE_PCT = 10  # keep ~10%
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM orders
+    WHERE {_SAMPLE_HASH.format(key='o_orderkey')} < 4294967296 * {_SAMPLE_PCT} / 100
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample per stratum: keep a row iff a
+    multiplicative hash of its key lands in the bottom 10% of hash space.
+
+    THE sampling primitive for training pipelines: re-runnable (same rows
+    every run — `df.sample` reseeds per partition layout), join-stable
+    (two tables sampled on the same key keep matching rows, so a sampled
+    fact still joins its sampled dimension), and shard-independent
+    (membership depends only on the key, not partition order, unlike
+    TABLESAMPLE). Stratification is free: the hash is uniform within
+    every o_orderpriority stratum, so each stratum is sampled at ~10%
+    without a per-stratum pass.
+
+    Scale: a map-only filter fused into the scan — no shuffle, no state,
+    pushes down past column pruning. Changing the rate is a literal edit;
+    consistent up/down-sampling (keep ⊂ keep') holds because the kept set
+    is a hash-space prefix.
+    """
+    orders = table(spark, sf_dir, "orders")
+    h = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) + F.lit(4294967296)) % F.lit(4294967296)
+    return (
+        orders.filter(h < F.lit(4294967296) * _SAMPLE_PCT / 100)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join with a join-side predicate, then a
+    distribution-of-counts — "how many customers placed N orders",
+    including the zero-order customers an inner join would drop.
+
+    The predicate lives in the JOIN CONDITION, not a WHERE (a WHERE would
+    turn the outer join back into an inner one) — the classic outer-join
+    filter-placement trap, locked by the oracle.
+
+    Scale: fact shuffles on o_custkey into the join; first agg reuses that
+    partitioning (groupBy the join key — no second exchange); the final
+    histogram agg is |distinct counts| rows. Customer-side skew (one mega
+    customer) is AQE skew-join territory.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT AVG({_C.format(col='c_acctbal')}) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM({_C.format(col='c.c_acctbal')}) AS DOUBLE)/100.0 AS total_bal
+    FROM customer c, avg_bal
+    WHERE {_C.format(col='c.c_acctbal')} > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-aggregate subquery (global average balance)
+    + anti join (customers with no orders) + group-sum — "rich customers
+    we never hear from".
+
+    The scalar subquery is decorrelated by hand into a 1-row DataFrame
+    cross-joined in (broadcast by construction) — the same plan Catalyst
+    derives for an uncorrelated scalar subquery, stated explicitly.
+    Average compares in exact cents; only the reported sum becomes a
+    double.
+
+    Scale: the 1-row average broadcasts; the anti join shuffles customer
+    against orders' custkey projection (or broadcasts, AQE's call); the
+    final agg is |segments| rows. Exactly two fact-sized exchanges.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(cents("c_acctbal")).alias("a"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(cents("c_acctbal") > F.col("a"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_bal"),
+        )
+    )
