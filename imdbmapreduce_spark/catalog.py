@@ -48,17 +48,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. session.get_spark sets
-        # spark.sql.legacy.parquet.nanosAsLong globally so nanos read as raw
-        # INT64; truncate to micros here — bit-identical to DuckDB's
-        # nanos→micros read of the same file. The conf.set below is a
+        # events.parquet has shipped with either TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects without nanosAsLong) or naive
+        # TIMESTAMP(MICROS) (which Spark 4 infers as TIMESTAMP_NTZ by
+        # default). session.get_spark sets nanosAsLong=true and
+        # inferTimestampNTZ=false globally so both layouts surface as
+        # TIMESTAMP_LTZ micros — value-identical to DuckDB's naive read
+        # under the UTC session timezone. The conf.set / cast below are
         # belt-and-braces for externally-built sessions.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

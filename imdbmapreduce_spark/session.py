@@ -61,6 +61,12 @@ def get_spark(
         # harmless for non-nanos files — so schema never depends on which
         # table was read first (catalog.table relies on it).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive (isAdjustedToUTC=false) parquet timestamps read as
+        # TIMESTAMP_LTZ, not TIMESTAMP_NTZ. With the UTC session timezone
+        # above this is value-identical to DuckDB's naive read of the same
+        # file, and keeps unix_micros()/window() plans type-stable whether
+        # the generator wrote micros timestamps or INT64 nanos.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # documents/embeddings rows are fat (long text, 64-float vectors);
         # keep scan partitions bounded so a 100 TB table still splits sanely.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
