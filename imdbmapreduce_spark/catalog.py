@@ -24,7 +24,14 @@ TABLES = (
     "embeddings",
 )
 
-__all__ = ["TABLES", "table", "load_tables", "register_views", "parallelize_scan"]
+__all__ = [
+    "TABLES",
+    "table",
+    "load_tables",
+    "register_views",
+    "parallelize_scan",
+    "normalize_events_ts",
+]
 
 
 def parallelize_scan(df: DataFrame) -> DataFrame:
@@ -44,27 +51,46 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP_LTZ micros.
+
+    events.parquet has shipped with either TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects without nanosAsLong, surfacing as bigint) or
+    naive TIMESTAMP(MICROS) (which Spark 4 infers as TIMESTAMP_NTZ by
+    default). session.get_spark sets nanosAsLong=true and
+    inferTimestampNTZ=false globally so both layouts surface as
+    TIMESTAMP_LTZ micros — value-identical to DuckDB's naive read under the
+    UTC session timezone. This helper is the single belt-and-braces path
+    for externally-built sessions, shared by the batch loader AND the
+    streaming reader so the two schemas can never drift again (the r2
+    streaming watermark regression was exactly that drift).
+
+    The NTZ→LTZ cast is session-timezone-dependent, so the session
+    timezone is pinned to UTC here before the cast — otherwise an
+    externally-built session in another zone would shift epoch values away
+    from the DuckDB oracle.
+    """
+    spark = df.sparkSession
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # conf.get validates defaults for this key, so read without one.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00"):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet has shipped with either TIMESTAMP(NANOS) (which
-        # Spark's vectorized reader rejects without nanosAsLong) or naive
-        # TIMESTAMP(MICROS) (which Spark 4 infers as TIMESTAMP_NTZ by
-        # default). session.get_spark sets nanosAsLong=true and
-        # inferTimestampNTZ=false globally so both layouts surface as
-        # TIMESTAMP_LTZ micros — value-identical to DuckDB's naive read
-        # under the UTC session timezone. The conf.set / cast below are
-        # belt-and-braces for externally-built sessions.
+        # See normalize_events_ts for the layout variants this absorbs.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -32,7 +32,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.catalog import normalize_events_ts, table
 from imdbmapreduce_spark.functions import cents
 from imdbmapreduce_spark.registry import query
 
@@ -51,22 +51,45 @@ _run_counter = itertools.count()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over events.parquet with the nanos→micros normalization.
+    """readStream over events.parquet with the shared ts normalization.
 
     Streaming sources need an explicit schema; we take it from the batch
     loader (which also sets the nanosAsLong conf the vectorized reader
-    needs for TIMESTAMP(NANOS) files — see catalog.table).
+    needs for TIMESTAMP(NANOS) files — see catalog.table). The ts column is
+    then normalized by the SAME catalog.normalize_events_ts helper the
+    batch path uses, so batch and stream schemas cannot drift (the r2
+    regression was this function handling only the bigint-nanos layout and
+    missing TIMESTAMP_NTZ on externally-built sessions).
     """
     batch = table(spark, sf_dir, "events")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # post-conf raw schema
     stream = spark.readStream.schema(raw.schema).parquet(f"{sf_dir}/*events.parquet")
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream.select(*[F.col(c) for c in batch.columns])
+    stream = normalize_events_ts(stream)
+    out = stream.select(*[F.col(c) for c in batch.columns])
+    ts_type = dict(out.dtypes).get("ts")
+    if ts_type != "timestamp":
+        # Fail fast with a one-line diagnosis instead of a py4j stack trace
+        # from withWatermark deep inside a query plan.
+        raise TypeError(
+            f"events stream ts normalized to {ts_type!r}, expected 'timestamp' — "
+            "normalize_events_ts is missing a parquet timestamp layout"
+        )
+    return out
+
+
+# Hard cap on one streaming query's drain; a wedged micro-batch costs the
+# driver sweep this many seconds, not its whole budget.
+_STREAM_TIMEOUT_S = 120
 
 
 def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Execute a streaming aggregation to completion; return the sink table."""
+    """Execute a streaming aggregation to completion; return the sink table.
+
+    Wall-clock-capped: AvailableNow on these finite sources drains in a few
+    seconds; if awaitTermination hasn't returned within _STREAM_TIMEOUT_S
+    the query is stopped and a TimeoutError raised so one broken streaming
+    query can't starve every vertical registered after it.
+    """
     spark = stream_df.sparkSession
     name = f"stream_sink_{next(_run_counter)}"
     with tempfile.TemporaryDirectory(prefix="imr_ckpt_") as ckpt:
@@ -78,7 +101,16 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            if not q.awaitTermination(_STREAM_TIMEOUT_S):
+                q.stop()
+                raise TimeoutError(
+                    f"streaming query {name} exceeded {_STREAM_TIMEOUT_S}s drain cap"
+                )
+        except Exception:
+            if q.isActive:
+                q.stop()
+            raise
     return spark.table(name)
 
 
