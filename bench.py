@@ -33,18 +33,21 @@ def main() -> None:
 
     # Warmup pass: first execution of each plan shape pays JIT/codegen
     # compilation (measured 6-18s of one-off cost); steady-state is what a
-    # long-running cluster job sees, so that's what we time. Best-of-2
-    # timed passes because this VM shows multi-second scheduler jitter.
+    # long-running cluster job sees, so that's what we time. Median-of-3
+    # timed passes: this VM shows ±50% scheduler jitter, and the r1→r2
+    # uniform ~1.4× drift on untouched plans proved best-of-2 numbers have
+    # noise comparable to real per-query deltas — medians resist a single
+    # slow (GC pause) or single lucky pass.
     for name in sorted(queries):
         materialize(name)
 
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    runs: dict[str, list[float]] = {name: [] for name in queries}
+    for _ in range(3):
         for name in sorted(queries):
             t0 = time.monotonic()
             materialize(name)
-            dt = round(time.monotonic() - t0, 4)
-            timings[name] = min(timings.get(name, dt), dt)
+            runs[name].append(time.monotonic() - t0)
+    timings = {name: round(sorted(ts)[len(ts) // 2], 4) for name, ts in runs.items()}
 
     out = {
         "metric": "headline_queries_total",

@@ -687,32 +687,108 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group quartiles of extended price (interpolated
-    percentile over exact cents).
+    """EXACT per-group quartiles via histogram-guided distributed selection
+    — no per-group sort, so exactness survives few-giant-groups data.
 
-    Quartile fractions (.0/.25/.5/.75 of an integer gap) are exact in
-    binary floating point, so Spark's `percentile` and DuckDB's
-    `quantile_cont` — both defined as linear interpolation at rank
-    p·(n−1) — agree bit-for-bit on long-cent inputs; that makes EXACT
-    quantiles oracle-checkable where p90-style fractions would hash-drift.
+    The naive exact plan (`F.percentile`) sorts each group's values; with
+    3 return flags each group is a third of the table, a named scale-killer
+    at 100 TB. This plan computes the same bit-exact answer in three cheap
+    passes, all map-side combinable:
 
-    Scale: exact percentile sorts each group's values (one shuffle on the
-    group key; 3 groups here makes each group huge — real deployments
-    with few giant groups use `approx_percentile` (KLL-style mergeable
-    sketch, map-side combined, no per-group sort) and accept the rank
-    error; `approx_quantile_error` below locks that path's error bound.
+      1. global (min, max) of the cents value → fixed bucket width
+         (~64k buckets); a two-long agg, scalar to the driver;
+      2. per-(group, bucket) histogram — a partial/final count agg whose
+         exchange carries at most |groups|·64k tiny rows; a running sum
+         over each group's ≤64k histogram rows (driver-sized window)
+         locates, for each target rank k = ⌊p·(n−1)⌋ and its neighbor
+         k+1, the ONE bucket containing that rank;
+      3. re-scan joined (broadcast — ≤6 rows/group) against the needed
+         buckets: only rows inside those buckets survive the filter, and
+         a row_number sort within each needed bucket (≈n/64k rows each)
+         yields the order statistics; linear interpolation at quarter
+         fractions is exact in binary floating point, so the result
+         hash-matches DuckDB's `quantile_cont` bit-for-bit.
+
+    Scale: two full scans + one pruned scan, no giant sort anywhere; the
+    only per-row shuffle is the histogram partial agg. Degenerate case
+    (one value dominating a bucket) makes step 3's bucket large, but the
+    quantile then sits inside a run of equal values and the sort is of
+    duplicates — recursive bucket refinement is the standard fix if a
+    profile ever shows it. `approx_quantile_error` below audits the
+    sketch alternative against this exact plan.
     """
-    li = table(spark, sf_dir, "lineitem")
-    pc = cents("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.percentile(pc, F.lit(0.25)).alias("p25"),
-        F.percentile(pc, F.lit(0.50)).alias("p50"),
-        F.percentile(pc, F.lit(0.75)).alias("p75"),
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", cents("l_extendedprice").alias("pc")
+    )
+    lo, hi = li.agg(F.min("pc"), F.max("pc")).first()
+    width = max(1, (hi - lo) // 65536 + 1)
+    b = li.withColumn("bkt", F.expr(f"(pc - {lo}) div {width}"))
+
+    hist = b.groupBy("l_returnflag", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("bkt")
+    # The histogram (≤|groups|·64k rows) feeds four downstream branches
+    # (totals → ranks → needed, and the bucket lookup); localCheckpoint
+    # materializes it once so the full-scan agg isn't re-run per branch.
+    # On a real cluster use durable checkpoint for fault tolerance.
+    hist = hist.withColumn("below", F.sum("cnt").over(wcum) - F.col("cnt")).localCheckpoint()
+    totals = hist.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+
+    ranks = (
+        totals.select(
+            "l_returnflag",
+            "n",
+            F.explode(F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))).alias("p"),
+        )
+        .withColumn("k0", F.floor(F.col("p") * (F.col("n") - 1)).cast("long"))
+        .withColumn("k1", F.least(F.col("k0") + 1, F.col("n") - 1))
+    )
+    needed = ranks.select(
+        "l_returnflag", F.explode(F.array_distinct(F.array("k0", "k1"))).alias("k")
+    ).distinct()
+
+    need_buckets = (
+        hist.join(needed, "l_returnflag")
+        .filter((F.col("k") >= F.col("below")) & (F.col("k") < F.col("below") + F.col("cnt")))
+        .select("l_returnflag", "bkt", "below")
+        .distinct()
+    )
+
+    # ≤6 needed (group, bucket) rows per group — broadcast is bounded by
+    # construction, independent of data volume.
+    cand = b.join(F.broadcast(need_buckets), ["l_returnflag", "bkt"])
+    wrank = Window.partitionBy("l_returnflag", "bkt").orderBy("pc")
+    # ≤6 rows per group survive; materialize so the v0/v1 branches below
+    # don't each re-run the pruned scan.
+    at_rank = (
+        cand.withColumn("k", F.col("below") + F.row_number().over(wrank) - 1)
+        .join(needed, ["l_returnflag", "k"], "inner")
+        .localCheckpoint()
+    )
+
+    v0 = at_rank.select("l_returnflag", F.col("k").alias("k0"), F.col("pc").alias("v0"))
+    v1 = at_rank.select("l_returnflag", F.col("k").alias("k1"), F.col("pc").alias("v1"))
+    q = (
+        ranks.join(v0, ["l_returnflag", "k0"])
+        .join(v1, ["l_returnflag", "k1"])
+        .withColumn("frac", F.col("p") * (F.col("n") - 1) - F.col("k0"))
+        .withColumn(
+            "val",
+            F.col("v0").cast("double")
+            + F.col("frac") * (F.col("v1") - F.col("v0")).cast("double"),
+        )
+    )
+    return q.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_lines"),
+        F.max(F.when(F.col("p") == 0.25, F.col("val"))).alias("p25"),
+        F.max(F.when(F.col("p") == 0.50, F.col("val"))).alias("p50"),
+        F.max(F.when(F.col("p") == 0.75, F.col("val"))).alias("p75"),
     )
 
 
-@query("approx_quantile_error", bench=True)  # no SQL oracle: sketch internals
+# bench=False: this is the accuracy AUDIT for the sketch path and
+# deliberately carries the naive exact per-group sort as its yardstick —
+# correctness-gated, kept out of the timed headline sweep.
+@query("approx_quantile_error", bench=False)  # no SQL oracle: sketch internals
 def approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`approx_percentile` next to the exact percentile, with the relative
     error surfaced as a column — the scale path for quantiles over
