@@ -1,0 +1,339 @@
+"""Training-data pipeline operators over ``documents`` — the corpus-prep
+stages an LLM pretraining pipeline runs between raw crawl and tokenized
+shards (additive vertical beyond the reference surface, like
+operators/text.py; the reference's closest analog is its ingest/tokenize
+stage, /root/reference/Code/mapReduce.erl:140-148).
+
+Five first-class stages, each a declarative DataFrame plan with a DuckDB
+oracle:
+
+- decontamination: drop/flag training docs that share long n-grams with an
+  eval/benchmark set (the GPT-3/C4-style 13-gram collision rule, here
+  5-grams scaled to the synthetic corpus' ~40-token docs);
+- repetition filtering: Gopher-style duplicate-n-gram ratio per doc;
+- mixture resampling: deterministic per-stratum (language) hash sampling
+  to hit a target corpus mix;
+- token-length histogram: power-of-2 length buckets — the planning input
+  for sequence packing and curriculum batching;
+- sequence packing: concat-and-chunk assignment of every doc to
+  fixed-token-budget bins (offset arithmetic over per-shard cumulative
+  sums) — the standard pretraining packing layout.
+
+All hot paths are built-in expressions (codegen); the only shuffles are
+keyed on doc_id / shingle / shard — uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.functions import tokens
+from imdbmapreduce_spark.operators.dedup import _shingle_rows
+from imdbmapreduce_spark.registry import query
+
+_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+# Knuth multiplicative hash over doc_id — deterministic, partition-layout-
+# independent membership (same contract as relational.stratified_sample).
+_HASH_MOD = 4294967296
+_DOC_HASH = f"(((doc_id * 2654435761) % {_HASH_MOD}) + {_HASH_MOD}) % {_HASH_MOD}"
+
+
+def _doc_hash() -> F.Column:
+    return (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(_HASH_MOD) + F.lit(_HASH_MOD)
+    ) % F.lit(_HASH_MOD)
+
+
+# --- decontamination ------------------------------------------------------
+
+# Synthetic eval set: every 97th doc stands in for the benchmark corpus.
+# In production the eval side is its own (small) table; the plan is
+# identical — only the scan changes.
+_EVAL_MOD = 97
+_DECON_K = 5  # n-gram length; production uses 8-13 on web-scale docs
+
+
+@query(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)-{_DECON_K - 2}),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS s
+      FROM toks WHERE len(t) >= {_DECON_K}
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM ex WHERE doc_id % {_EVAL_MOD} = 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY 1
+    ), hits AS (
+      SELECT e.doc_id, COUNT(*) AS n_hit_shingles
+      FROM ex e JOIN eval_sh v ON e.shingle = v.shingle
+      WHERE e.doc_id % {_EVAL_MOD} <> 0
+      GROUP BY 1
+    )
+    SELECT h.doc_id, h.n_hit_shingles, s.n_shingles,
+           CAST(h.n_hit_shingles AS DOUBLE) / s.n_shingles AS hit_ratio
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with the eval set (doc_id % 97 == 0 stands in for the benchmark).
+
+    Plan: distinct (doc, shingle) rows → eval-side distinct shingle set →
+    equi-join on shingle → per-doc hit count + ratio. The join is the
+    containment check; the clean corpus is the anti-join complement of
+    this report (same exchange, flipped join type).
+
+    Scale: shuffles on shingle — high-cardinality and unskewed at k=5
+    (long n-grams are near-unique; that's why decontamination uses them).
+    Output is bounded by the train-side shingle rows that actually
+    collide, not by any pair product: each train shingle matches at most
+    the one distinct eval shingle equal to it. At 100 TB hash shingles to
+    int64 first (as minhash_lsh_pairs does) and let AQE broadcast the
+    eval side — benchmark suites are MBs, not TBs.
+    """
+    ex = _shingle_rows(spark, sf_dir, k=_DECON_K)
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_sh = ex.filter(is_eval).select("shingle").distinct()
+    train = ex.filter(~is_eval)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hit_shingles",
+        "n_shingles",
+        (F.col("n_hit_shingles").cast("double") / F.col("n_shingles")).alias("hit_ratio"),
+    )
+
+
+# --- repetition filtering -------------------------------------------------
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             len(t) - 2 AS n_grams,
+             len(list_distinct(list_transform(range(1, len(t)-1),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS n_distinct
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_ratio,
+           (n_distinct * 5 < n_grams * 4) AS is_repetitive
+    FROM grams
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition score: fraction of duplicate 3-grams per
+    doc; docs where >20% of 3-grams are repeats are flagged.
+
+    The flag compares integers (n_distinct·5 < n_grams·4 ⇔ dup_ratio >
+    0.2) so the boolean is exact cross-engine; the ratio column is one
+    exact-int division.
+
+    Scale: map-only over the scan — the n-gram array never leaves its
+    row, no shuffle at all; pipelines into the same codegen stage as any
+    other per-doc filter.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    k = 3
+    idx = F.sequence(F.lit(1), F.size("t") - (k - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(k)])  # noqa: E731
+    base = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            (F.size("t") - (k - 1)).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(F.transform(idx, gram))).cast("long").alias("n_distinct"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")).alias("dup_ratio"),
+        (F.col("n_distinct") * 5 < F.col("n_grams") * 4).alias("is_repetitive"),
+    )
+
+
+# --- mixture resampling ---------------------------------------------------
+
+# Target mix: downsample the dominant language, keep the tail. Percent of
+# hash space kept per lang (deterministic, re-runnable, shard-independent).
+_MIX_PCT = {"en": 25, "zh": 50}
+_MIX_DEFAULT_PCT = 100
+
+
+def _mix_pct_sql() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(_MIX_PCT.items())
+    )
+    return f"CASE {branches} ELSE {_MIX_DEFAULT_PCT} END"
+
+
+@query(
+    "corpus_mix_resample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_DOC_HASH} < {_HASH_MOD} * ({_mix_pct_sql()}) / 100
+    """,
+)
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: keep a per-language fraction of
+    docs (en 25%, zh 50%, rest 100%) by hash-space prefix — how a
+    pretraining pipeline hits a target domain/language mix without a
+    global shuffle or a count pass.
+
+    Same sampling contract as relational.stratified_sample: membership is
+    a pure function of doc_id, so re-runs, re-shards and joins against
+    other tables sampled on the same key all agree; raising a rate keeps
+    a superset (hash-space prefixes nest).
+
+    Scale: map-only filter fused into the scan; changing the mix is a
+    literal edit, no data movement.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pct = F.lit(_MIX_DEFAULT_PCT)
+    for lang, p in sorted(_MIX_PCT.items()):
+        pct = F.when(F.col("lang") == lang, F.lit(p)).otherwise(pct)
+    return docs.filter(_doc_hash() < F.lit(_HASH_MOD) * pct / 100).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# --- token-length histogram ----------------------------------------------
+
+
+@query(
+    "token_length_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT len({_DUCK_TOKS}) AS n FROM documents
+    )
+    SELECT length(bin(n)) AS bucket,
+           POWER(2, length(bin(n)) - 1) AS bucket_min_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM t WHERE n > 0
+    GROUP BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 token-length histogram: docs and token mass per
+    ⌊log2⌋-bucket — the planning input for packing budgets, curriculum
+    stages and truncation policy.
+
+    The bucket is the bit-length of the token count (length of its binary
+    representation) — exact integer semantics in both engines, immune to
+    the float `log2` boundary drift at exact powers of two.
+
+    Scale: map + one partial/final agg on ≤64 buckets; the exchange
+    carries a handful of rows per map task at any input size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n = F.size(tokens("text"))
+    return (
+        docs.select(n.alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.length(F.conv(F.col("n").cast("string"), 10, 2)).cast("long").alias("bucket"),
+            "n",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2), F.col("bucket") - 1).alias("bucket_min_len"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+        )
+        .select("bucket", "bucket_min_len", "n_docs", "total_tokens")
+    )
+
+
+# --- sequence packing -----------------------------------------------------
+
+_PACK_SHARDS = 16  # parallel packing lanes; thousands at 100 TB
+_PACK_BUDGET = 512  # tokens per training sequence (bin)
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DOC_HASH} AS h, len({_DUCK_TOKS}) AS n
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, h % {_PACK_SHARDS} AS shard, h, n FROM t WHERE n > 0
+    ), placed AS (
+      SELECT doc_id, shard, n,
+             CAST(SUM(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n AS BIGINT) AS off
+      FROM sized
+    )
+    SELECT doc_id, shard, n AS n_tokens, off,
+           off // {_PACK_BUDGET} AS bin_start,
+           (off + n - 1) // {_PACK_BUDGET} AS bin_end,
+           (off + n - 1) // {_PACK_BUDGET} - off // {_PACK_BUDGET} + 1 AS n_bins
+    FROM placed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every doc gets a deterministic
+    (shard, offset) in a token stream that is then cut into fixed
+    {budget}-token bins — the standard pretraining layout (documents
+    concatenated, then split at the context length; a doc may straddle
+    bins, recorded as [bin_start, bin_end]).
+
+    Doc order inside a shard is by doc-id hash — a deterministic global
+    shuffle, so adjacent docs are unrelated (the reason pipelines hash-
+    order before packing) and every re-run yields identical bins.
+
+    Scale: one shuffle on shard (uniform — it's a hash residue), then a
+    per-shard running sum; shard count is the parallelism knob (16 here,
+    thousands on a cluster, each shard's window independent). No global
+    sort, no driver state.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sized = (
+        docs.select("doc_id", _doc_hash().alias("h"), F.size(tokens("text")).alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn("shard", F.col("h") % _PACK_SHARDS)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn("off", (F.sum("n").over(w) - F.col("n")).cast("long"))
+    b = F.lit(_PACK_BUDGET)
+    return placed.select(
+        "doc_id",
+        "shard",
+        F.col("n").cast("long").alias("n_tokens"),
+        "off",
+        F.floor(F.col("off") / b).alias("bin_start"),
+        F.floor((F.col("off") + F.col("n") - 1) / b).alias("bin_end"),
+        (
+            F.floor((F.col("off") + F.col("n") - 1) / b) - F.floor(F.col("off") / b) + 1
+        ).alias("n_bins"),
+    )

@@ -94,6 +94,7 @@ def _load_plans() -> None:
     from imdbmapreduce_spark.plans import relational  # noqa: F401
     from imdbmapreduce_spark.operators import cooccurrence  # noqa: F401
     from imdbmapreduce_spark.operators import text  # noqa: F401
+    from imdbmapreduce_spark.operators import pipeline  # noqa: F401
     from imdbmapreduce_spark.operators import dedup  # noqa: F401
     from imdbmapreduce_spark.operators import multimodal  # noqa: F401
     from imdbmapreduce_spark.operators import similarity  # noqa: F401

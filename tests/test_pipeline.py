@@ -1,0 +1,87 @@
+"""Invariant tests for the training-data pipeline operators
+(imdbmapreduce_spark/operators/pipeline.py). Oracle parity for the same
+queries is covered by test_oracle_parity.py; these lock the semantic
+claims the oracles can't express (determinism, disjointness, bin
+geometry)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from imdbmapreduce_spark.operators import pipeline as P
+
+
+def test_decontamination_disjoint_from_eval(spark, sf_dir):
+    """Flagged docs are train-side only, and ratios are well-formed."""
+    pdf = P.decontaminate_eval_overlap(spark, sf_dir).toPandas()
+    assert (pdf["doc_id"] % P._EVAL_MOD != 0).all()
+    assert (pdf["n_hit_shingles"] <= pdf["n_shingles"]).all()
+    assert ((pdf["hit_ratio"] > 0) & (pdf["hit_ratio"] <= 1)).all()
+
+
+def test_repetition_flag_matches_ratio(spark, sf_dir):
+    pdf = P.doc_repetition(spark, sf_dir).toPandas()
+    assert ((pdf["dup_ratio"] >= 0) & (pdf["dup_ratio"] < 1)).all()
+    # integer flag rule ⇔ ratio rule
+    assert (pdf["is_repetitive"] == (pdf["dup_ratio"] > 0.2)).all()
+
+
+def test_mix_resample_is_deterministic_and_nested(spark, sf_dir):
+    """Same rows every run; sampled set is a subset of the full corpus
+    with the configured per-language rate roughly honored."""
+    a = P.corpus_mix_resample(spark, sf_dir).toPandas().sort_values("doc_id")
+    b = P.corpus_mix_resample(spark, sf_dir).toPandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    from imdbmapreduce_spark.catalog import table
+
+    full = table(spark, sf_dir, "documents").groupBy("lang").count().toPandas()
+    kept = a.groupby("lang").size()
+    for _, row in full.iterrows():
+        lang, n = row["lang"], row["count"]
+        pct = P._MIX_PCT.get(lang, P._MIX_DEFAULT_PCT)
+        k = kept.get(lang, 0)
+        assert k <= n
+        if pct == 100:
+            assert k == n  # rate 100% keeps everything
+        elif n >= 50:  # binomial tolerance only meaningful with some mass
+            assert abs(k / n - pct / 100) < 0.15, (lang, k, n, pct)
+
+
+def test_token_histogram_partitions_corpus(spark, sf_dir):
+    """Every tokenized doc lands in exactly one bucket; token mass adds up."""
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.functions import tokens
+
+    hist = P.token_length_histogram(spark, sf_dir).toPandas()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(tokens("text")).alias("n"))
+        .filter(F.col("n") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("total"))
+        .first()
+    )
+    assert hist["n_docs"].sum() == docs["n_docs"]
+    assert hist["total_tokens"].sum() == docs["total"]
+    # bucket b holds lengths in [2^(b-1), 2^b)
+    assert (hist["bucket_min_len"] == 2.0 ** (hist["bucket"] - 1)).all()
+
+
+def test_sequence_packing_geometry(spark, sf_dir):
+    """Offsets tile each shard exactly (no gaps/overlaps), bins are
+    consistent with offsets, and a re-run is bit-identical."""
+    pdf = P.sequence_packing(spark, sf_dir).toPandas()
+    again = P.sequence_packing(spark, sf_dir).toPandas()
+    key = ["shard", "off", "doc_id"]
+    assert pdf.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+    B = P._PACK_BUDGET
+    for shard, grp in pdf.groupby("shard"):
+        g = grp.sort_values("off")
+        # contiguous concat stream: each doc starts where the previous ended
+        assert g["off"].iloc[0] == 0
+        assert (g["off"] + g["n_tokens"]).iloc[:-1].tolist() == g["off"].iloc[1:].tolist()
+    assert (pdf["bin_start"] == pdf["off"] // B).all()
+    assert (pdf["bin_end"] == (pdf["off"] + pdf["n_tokens"] - 1) // B).all()
+    assert (pdf["n_bins"] == pdf["bin_end"] - pdf["bin_start"] + 1).all()
+    assert (pdf["n_bins"] >= 1).all()
