@@ -940,3 +940,335 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_bal"),
         )
     )
+
+
+# --- round-3 TPC-H shapes: volume join, top-k revenue, conditional ratio,
+# --- NOT IN + distinct agg, disjunctive pushdown, sole-late-supplier ------
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM({_C.format(col='l.l_extendedprice')}
+                    * (100 - {_C.format(col='l.l_discount')})) AS DOUBLE)/10000.0
+             AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year — the
+    dual-dimension star (one fact, TWO independent nation lookups through
+    different foreign-key paths) with a cross-branch disjunction.
+
+    Scale: nation is bounded (broadcast both aliases); the nation-pair
+    filter can't push below the joins that bind n1/n2, but Catalyst pushes
+    each side's IsNotNull and prunes columns; supplier/customer/orders
+    grow with data so they carry no hint — AQE picks broadcast locally and
+    degrades to shuffle joins at 100×.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            (
+                F.sum(cents("l_extendedprice") * one_minus_cents("l_discount")).cast("double")
+                / F.lit(10000.0)
+            ).alias("volume")
+        )
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_C.format(col='l.l_extendedprice')}
+                    * (100 - {_C.format(col='l.l_discount')})) AS DOUBLE)/10000.0
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items, top 20 customers
+    in a quarter — selective fact filters + star join + global top-k.
+
+    Scale: both date and returnflag predicates push to the scans (orders
+    and lineitem respectively) BEFORE the join, so the join input is one
+    quarter x one flag; the top-k is orderBy+limit, which Spark executes
+    as TakeOrderedAndProject (per-partition heaps, never a global sort).
+    The (revenue, custkey) tiebreak makes the selected 20 deterministic.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (
+                F.sum(cents("l_extendedprice") * one_minus_cents("l_discount")).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN {_C.format(col='l.l_extendedprice')}
+                                 * (100 - {_C.format(col='l.l_discount')})
+                            ELSE 0 END)
+                 / SUM({_C.format(col='l.l_extendedprice')}
+                       * (100 - {_C.format(col='l.l_discount')}))
+             AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in a month — conditional
+    aggregation (ratio of a CASE-gated sum to the total) over a
+    fact-to-dim join.
+
+    Both sums are exact integers (cents x discount-complement); only the
+    final ratio is floating point, so the single output row hash-matches.
+
+    Scale: the month filter pushes to the lineitem scan; part joins on
+    its key (AQE broadcasts while it fits). The aggregation is a
+    partial/final pair carrying two longs per map task.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = table(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * one_minus_cents("l_discount")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, type, size) — negated dim predicates + a NOT IN exclusion
+    subquery + COUNT(DISTINCT) per group. lineitem stands in for partsupp
+    as the part-supplier relation (the synthetic schema has no partsupp).
+
+    The NOT IN is a left-anti join against the (small, filtered)
+    bad-supplier set — keys are non-null by construction so anti-join and
+    NOT IN coincide (the classic NOT IN null trap doesn't apply, and the
+    oracle exercises the real NOT IN path).
+
+    Scale: dim predicates prune part before the join; the anti join's
+    right side is the filtered supplier subset (AQE broadcasts it); the
+    distinct agg is Spark's two-phase partial-distinct — no row explosion.
+    """
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_C.format(col='l.l_extendedprice')}
+                    * (100 - {_C.format(col='l.l_discount')})) AS DOUBLE)/10000.0
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 1 AND l.l_quantity <= 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a three-branch disjunction mixing
+    predicates from BOTH join sides — the test for OR-handling in the
+    optimizer.
+
+    Scale: Catalyst extracts the common single-side implications of the
+    OR (l_quantity <= 40 on lineitem; p_size >= 1 and the brand IN-list
+    on part) and pushes them to the scans as partial filters, so neither
+    side is scanned unfiltered even though the full disjunction can only
+    evaluate after the join. Verified in the formatted plan: both scans
+    carry PushedFilters derived from the OR branches.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(part, part.p_partkey == li.l_partkey)
+    br = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 40)
+        )
+    )
+    return j.filter(br).agg(
+        (
+            F.sum(cents("l_extendedprice") * one_minus_cents("l_discount")).cast("double")
+            / F.lit(10000.0)
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q21_sole_late_suppliers",
+    oracle="""
+    WITH fact AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             SUM(is_late) AS n_late
+      FROM fact GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM fact f
+    JOIN per_order po ON f.l_orderkey = po.l_orderkey
+    JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    WHERE f.is_late = 1 AND po.n_late = 1 AND po.n_supp >= 2
+    GROUP BY 1
+    """,
+)
+def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order. The textbook form is a correlated
+    EXISTS + NOT EXISTS pair; this plan is the decorrelated equivalent
+    Catalyst itself would target — per-(order, supplier) lateness, then
+    per-order supplier/late counts, then the sole-late filter — expressed
+    directly so the two-level aggregation shape is explicit (same
+    rewrite DuckDB runs via the oracle, so results hash-match).
+
+    Scale: two aggregations and one join, all keyed on l_orderkey — AQE
+    reuses the same exchange for the fact agg, the per-order rollup and
+    the join, so the order key is shuffled once; supplier joins on its
+    key at the (small) end.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = table(spark, sf_dir, "supplier")
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("is_late")
+        )
+    )
+    per_order = fact.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        fact.join(per_order, "l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_late") == 1) & (F.col("n_supp") >= 2))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
