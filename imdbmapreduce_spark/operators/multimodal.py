@@ -92,6 +92,41 @@ def decode_image(payload: bytes) -> "object":
     return Image.open(io.BytesIO(payload))  # pragma: no cover
 
 
+def decode_image_features(payload: bytes) -> dict:
+    """Real-codec twin of :func:`fake_decode`: same output schema, true
+    width/height from the decoded image. Raises NotImplementedError when
+    PIL is absent (the container default) — see :func:`decode_image`.
+    """
+    img = decode_image(payload)
+    return {
+        "n_bytes": len(payload),
+        "checksum": sum(payload) % (1 << 31),
+        "width": int(img.size[0]),
+        "height": int(img.size[1]),
+    }
+
+
+def image_features_real(mm: DataFrame) -> DataFrame:
+    """The real-codec feature lane: identical mapInPandas plumbing to
+    :func:`multimodal_features` but decoding with PIL. NOT a registered
+    query — the synthetic corpus payloads are UTF-8 text, not valid image
+    bytes, so this lane only runs where real images exist. When the
+    environment gains PIL, tests/test_multimodal.py's skipif-gated test
+    builds real PNGs and drives this lane end-to-end (the auto-upgrade
+    path the stub policy promises).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_features(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out[[f.name for f in _FEATURES_SCHEMA.fields]]
+
+    return mm.mapInPandas(extract, _FEATURES_SCHEMA)
+
+
 def fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in decoder: byte stats any codec-backed decoder
     would be replaced by. Pure function of the payload bytes."""

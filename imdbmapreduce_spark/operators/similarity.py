@@ -429,3 +429,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _exact_rescore_topk(ex, cand)
+
+
+@query(
+    "embedding_centroids",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, label, CAST(t.i - 1 AS INTEGER) AS pos,
+             CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)*{_SCALE}) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN range(1, 4097) t(i)
+      WHERE CAST(t.i AS INTEGER) <= len(embedding)
+    )
+    SELECT label, pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) / {_SCALE} AS centroid_mean
+    FROM ex
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per (label,
+    dimension) — the vector-space reduce behind k-means steps, class
+    prototypes and IVF codebook refreshes.
+
+    Component sums run in the exact 1e-6-unit integer space (same
+    contract as knn_bruteforce), so the sum is order-independent and the
+    mean is a fixed division sequence (int sum → double ÷ count ÷ scale)
+    that DuckDB replays bit-for-bit. Flat (label, pos) rows rather than a
+    re-assembled array keep the cross-engine compare representation-free.
+
+    Scale: one explode (narrow) and one partial/final agg on
+    (label, pos) — |labels|·|dims| groups, KBs per map task regardless of
+    corpus size. This is the mergeable-aggregation shape: per-partition
+    partial (sum, count) pairs combine associatively, so the same plan
+    is the combiner for a distributed Lloyd iteration.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val")).select(
+        "label",
+        "pos",
+        F.round(F.col("val").cast("double") * _SCALE).cast("long").alias("v"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum("v").cast("double") / F.count(F.lit(1)) / F.lit(_SCALE)).alias(
+            "centroid_mean"
+        ),
+    )

@@ -114,3 +114,28 @@ def test_frame_bytes_reassemble(spark, sf_dir):
         assert fr.frame_idx % _FRAME_STEP == 0
         assert bytes(fr.frame_bytes) == data[lo : lo + _FRAME_BYTES]
         assert fr.frame_len == len(fr.frame_bytes)
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="real-codec lane needs PIL; container ships without it")
+def test_real_codec_lane_decodes_true_geometry(spark):
+    """When the environment gains PIL, the real decode lane auto-upgrades:
+    build genuine PNGs, push them through the same mapInPandas plumbing as
+    multimodal_features, and check the decoded geometry is the truth, not
+    the fake-decode heuristic."""
+    import io
+
+    from PIL import Image
+
+    from imdbmapreduce_spark.operators.multimodal import image_features_real
+
+    sizes = [(32, 8), (17, 23), (64, 1)]
+    rows = []
+    for i, (w, h) in enumerate(sizes):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color=(i, i, i)).save(buf, format="PNG")
+        rows.append((i, "image", bytearray(buf.getvalue())))
+    mm = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r.doc_id: r for r in image_features_real(mm).collect()}
+    for i, (w, h) in enumerate(sizes):
+        assert (out[i].width, out[i].height) == (w, h)
+        assert out[i].n_bytes == len(bytes(rows[i][2]))
