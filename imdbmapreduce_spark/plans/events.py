@@ -387,3 +387,178 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_ROLL_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "events_rolling_7d",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value*100) AS BIGINT) AS vc
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(vc) OVER w AS BIGINT) AS sum_cents_7d
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_ROLL_7D_US} PRECEDING AND CURRENT ROW)
+    QUALIFY event_type = 'purchase'
+    """,
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-user activity at every purchase — a RANGE-frame
+    window (frame bounded by event-time distance, not row count), the
+    rolling-feature shape behind fraud scores and engagement features.
+
+    The frame is defined over exact microsecond epochs, so peer-row
+    handling (equal timestamps share a frame) is identical cross-engine;
+    sums are long cents. The purchase filter applies AFTER the window
+    (QUALIFY / post-window filter) so the trailing stats still see every
+    event type.
+
+    Scale: one shuffle on user_id, then a per-user time-ordered scan with
+    a sliding two-pointer frame — state is the in-frame aggregate, not
+    the partition. user_id is high-cardinality and unskewed; at 100 TB
+    this is the canonical windowed-feature backfill plan.
+    """
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ROLL_7D_US, Window.currentRow)
+    )
+    return (
+        t.withColumn("n_7d", F.count(F.lit(1)).over(w))
+        .withColumn("sum_cents_7d", F.sum("vc").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_us", "n_7d", "sum_cents_7d")
+    )
+
+
+@query(
+    "events_value_anomalies",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS vc
+      FROM events
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS BIGINT) AS s,
+             CAST(SUM(vc*vc) AS BIGINT) AS ss
+      FROM t GROUP BY 1
+    )
+    SELECT t.event_id, t.event_type, t.vc,
+           CAST(t.n * t.vc - t.s AS DOUBLE)
+             / sqrt(CAST(t.n AS DOUBLE) * CAST(t.n * t.ss - t.s * t.s AS DOUBLE)) AS z
+    FROM (SELECT t.*, st.n, st.s, st.ss FROM t JOIN stats st USING (event_type)) t
+    WHERE CAST(t.n * t.vc - t.s AS DOUBLE) * CAST(t.n * t.vc - t.s AS DOUBLE)
+          > 9 * CAST(t.n * t.ss - t.s * t.s AS DOUBLE)
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3) — the standardization /
+    outlier-gate stage of a feature pipeline, with a gate that is
+    deterministic cross-engine.
+
+    The gate is ((v − mean)/σ)² > 9 cleared of divisions:
+    (n·v − s)² > 9·(n·ss − s²). Both bracketed terms are EXACT int64
+    (order-independent integer sums; n·v ≤ ~2e9, n·ss − s² ≤ ~1e18 at
+    sf0.1); the square and the ×9 then run in double — identical IEEE
+    operations on identical integers in both engines, so the kept row SET
+    is bit-deterministic even where a float-summed variance would drift.
+    (An earlier all-integer form multiplied both sides by another n and
+    overflowed int64 — the comparison needs double headroom, not more
+    integer factors.)
+
+    Scale: one partial/final agg to |event_type| stat rows, broadcast
+    back across the fact — the two-pass normalize-join shape; nothing
+    driver-side, nothing sorted. Integer headroom: ss ≤ n·1e10 caps the
+    exact path near n ≈ 1e8 rows per group; past that promote s/ss to
+    DECIMAL(38) or center values per group first — same plan shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    stats = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("ss"),
+    )
+    j = t.join(stats, "event_type")
+    dev_d = (F.col("n") * F.col("vc") - F.col("s")).cast("double")
+    var_d = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    return (
+        j.filter(dev_d * dev_d > F.lit(9.0) * var_d)
+        .select(
+            "event_id",
+            "event_type",
+            "vc",
+            (dev_d / F.sqrt(F.col("n").cast("double") * var_d)).alias("z"),
+        )
+    )
+
+
+_SALT_BUCKETS = 16
+
+
+@query(
+    "events_salted_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MAX(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a pathologically low-cardinality key (5 event
+    types), written as an EXPLICIT two-stage salted aggregate: stage 1
+    groups on (event_type, salt) with a 16-way deterministic salt, stage
+    2 merges the partials per type.
+
+    Catalyst's partial/final agg already defuses this particular skew
+    (map-side combine leaves ≤|types| rows per task); the salted form is
+    the pattern for aggregates where partials DON'T stay tiny —
+    collect_set / count-distinct / percentile sketches on a hot key —
+    and this query locks its exactness: every stat here is decomposable
+    (count/sum/max merge associatively), so the salted result
+    hash-matches the plain GROUP BY oracle bit-for-bit.
+
+    Scale: stage 1's exchange spreads each hot key over 16 reducers;
+    stage 2 shuffles 16·|types| partial rows. Salt count scales with
+    executor count, not data volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    salted = ev.select(
+        "event_type",
+        vc.alias("vc"),
+        F.pmod(F.hash("event_id"), F.lit(_SALT_BUCKETS)).alias("salt"),
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("vc").alias("ps"),
+        F.max("vc").alias("pm"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("ps").alias("sum_cents"),
+        F.max("pm").alias("max_cents"),
+    )

@@ -114,3 +114,16 @@ def test_concurrent_queries_share_one_session(spark, sf_dir):
     with ThreadPoolExecutor(max_workers=4) as pool:
         parallel = dict(zip(names, pool.map(run, names)))
     assert parallel == serial
+
+
+def test_q19_disjunction_pushes_partial_filters_to_both_scans(spark, sf_dir):
+    """The OR across join sides must still yield per-scan partial filters
+    (the 'neither side scanned unfiltered' claim in the q19 docstring)."""
+    df = registry.get("q19_disjunctive_revenue").fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # lineitem scan: OR of quantity ranges; part scan: OR of brand/size
+    # terms (plan toString truncates long filter lists, so match the
+    # stable prefix of each pushed disjunction)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan
