@@ -85,3 +85,26 @@ def test_sequence_packing_geometry(spark, sf_dir):
     assert (pdf["bin_end"] == (pdf["off"] + pdf["n_tokens"] - 1) // B).all()
     assert (pdf["n_bins"] == pdf["bin_end"] - pdf["bin_start"] + 1).all()
     assert (pdf["n_bins"] >= 1).all()
+
+
+def _executed_plan(df):
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_map_only_claims_have_zero_exchanges(spark, sf_dir):
+    """doc_repetition and corpus_mix_resample claim to fuse into the scan's
+    codegen stage — no shuffle may appear in their executed plans."""
+    for fn in (P.doc_repetition, P.corpus_mix_resample):
+        plan = _executed_plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_sequence_packing_single_shuffle_on_shard(spark, sf_dir):
+    """The packing claim: ONE exchange, keyed on the shard residue, then
+    per-shard windows — no global sort."""
+    plan = _executed_plan(P.sequence_packing(spark, sf_dir))
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan  # = no global sort
+    assert "hashpartitioning(shard" in plan
