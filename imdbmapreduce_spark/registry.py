@@ -98,4 +98,5 @@ def _load_plans() -> None:
     from imdbmapreduce_spark.operators import dedup  # noqa: F401
     from imdbmapreduce_spark.operators import multimodal  # noqa: F401
     from imdbmapreduce_spark.operators import similarity  # noqa: F401
+    from imdbmapreduce_spark.operators import graph  # noqa: F401
     from imdbmapreduce_spark.streaming import windowed  # noqa: F401

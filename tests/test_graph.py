@@ -1,0 +1,90 @@
+"""PageRank (operators/graph.py): the exact-fixed-point determinism claim
+is locked by replaying the identical integer recurrence in pure Python on
+the same edge set and requiring bit equality."""
+
+from __future__ import annotations
+
+import duckdb
+
+from imdbmapreduce_spark.operators.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_ITERS,
+    PR_SCALE,
+    cosupplier_edges,
+    pagerank,
+)
+from imdbmapreduce_spark.registry import get
+
+
+def _python_pagerank(nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    from collections import defaultdict
+
+    n = len(nodes)
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN // n
+    out_deg: dict[int, int] = defaultdict(int)
+    for s, _ in edges:
+        out_deg[s] += 1
+    ranks = {v: PR_SCALE // n for v in nodes}
+    for _ in range(PR_ITERS):
+        inbound: dict[int, int] = defaultdict(int)
+        for s, d in edges:
+            # int(...) floors toward -inf for negatives; ranks are
+            # non-negative so // matches Spark's `div` exactly
+            inbound[d] += ranks[s] // out_deg[s]
+        ranks = {v: base + PR_DAMP_NUM * inbound.get(v, 0) // PR_DAMP_DEN for v in nodes}
+    return ranks
+
+
+def test_pagerank_matches_python_reference(spark, sf_dir):
+    got = {r.node: r.rank_fp for r in get("pagerank_cosuppliers").fn(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    nodes = [
+        r[0]
+        for r in con.execute(
+            f"SELECT s_suppkey FROM read_parquet('{sf_dir}/supplier.parquet')"
+        ).fetchall()
+    ]
+    edges = con.execute(
+        f"""WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey
+                       FROM read_parquet('{sf_dir}/lineitem.parquet'))
+            SELECT DISTINCT a.l_suppkey, b.l_suppkey
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey"""
+    ).fetchall()
+    want = _python_pagerank(nodes, [tuple(e) for e in edges])
+    assert got == want  # bit equality, every vertex
+
+
+def test_pagerank_is_partition_invariant(spark, sf_dir):
+    """Same ranks regardless of how nodes/edges are partitioned — the
+    order-independence claim of the integer recurrence."""
+    nodes = spark.range(6).selectExpr("id AS node")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 2)], ["src", "dst"]
+    )
+    a = {r.node: r.rank_fp for r in pagerank(nodes, edges).collect()}
+    b = {
+        r.node: r.rank_fp
+        for r in pagerank(nodes.repartition(7), edges.repartition(5)).collect()
+    }
+    assert a == b
+    # sink-heavy vertex 2 must outrank the isolated-ish source 5
+    assert a[2] > a[5]
+
+
+def test_pagerank_empty_and_isolated(spark):
+    nodes = spark.range(3).selectExpr("id AS node")
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    ranks = {r.node: r.rank_fp for r in pagerank(nodes, edges).collect()}
+    # isolated vertex 2 holds exactly the teleport mass
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN // 3
+    assert ranks[2] == base
+    assert ranks[1] > ranks[2]  # receiver of 0's mass beats teleport-only
+
+
+def test_cosupplier_edges_symmetric(spark, sf_dir):
+    e = cosupplier_edges(spark, sf_dir)
+    fwd = {(r.src, r.dst) for r in e.collect()}
+    assert fwd  # non-empty at every sf
+    assert all((d, s) in fwd for s, d in fwd)  # both directions present
