@@ -1272,3 +1272,60 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "customer_upsert_merge",
+    oracle=f"""
+    WITH updates AS (
+      SELECT c_custkey, {_C.format(col='c_acctbal')} + 10000 AS bal_cents
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 0
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.bal_cents, {_C.format(col='b.c_acctbal')}) AS bal_cents,
+           CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+                WHEN u.c_custkey IS NULL THEN 'kept'
+                ELSE 'updated' END AS merge_action
+    FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+)
+def customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert (MERGE INTO / SCD-1) as a FULL OUTER join: an updates
+    batch (here derived deterministically — every 5th customer gets a
+    +100.00 balance adjustment, every 7th spawns a new key) merged into
+    the base snapshot, each output row tagged with its merge action.
+
+    This is the batch-merge primitive behind incremental table
+    maintenance; the same plan under a Delta/Iceberg table becomes MERGE
+    INTO with file-level pruning.
+
+    Scale: one shuffle of each side on the merge key (or zero with both
+    sides bucketed on it — the layout test_bucketing.py proves); the
+    updates batch is usually the small side, and AQE broadcast-joins it,
+    degrading to shuffle as it grows. Balance math in exact cents.
+    """
+    base = table(spark, sf_dir, "customer")
+    cust = base.select("c_custkey", cents("c_acctbal").alias("old_cents"))
+    updates = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", (F.col("old_cents") + 10000).alias("bal_cents"))
+        .unionAll(
+            cust.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit(0).cast("long").alias("bal_cents"),
+            )
+        )
+    )
+    b = cust.alias("b")
+    u = updates.alias("u")
+    return b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full_outer").select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.bal_cents"), F.col("b.old_cents")).alias("bal_cents"),
+        F.when(F.col("b.c_custkey").isNull(), F.lit("inserted"))
+        .when(F.col("u.c_custkey").isNull(), F.lit("kept"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+    )
