@@ -1242,10 +1242,15 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly so the two-level aggregation shape is explicit (same
     rewrite DuckDB runs via the oracle, so results hash-match).
 
-    Scale: two aggregations and one join, all keyed on l_orderkey — AQE
-    reuses the same exchange for the fact agg, the per-order rollup and
-    the join, so the order key is shuffled once; supplier joins on its
-    key at the (small) end.
+    Scale: the (order, supplier, late) fact is consumed twice (the
+    per-order rollup and the sole-late filter join); Spark does not
+    common-subexpression a DataFrame referenced twice across a self-join,
+    so without materialization the lineitem⋈orders agg runs twice —
+    verified in the executed plan. localCheckpoint materializes the fact
+    once (it is the aggregated per-(order,supplier) set, a fraction of
+    lineitem); both consumers then shuffle that small set on l_orderkey.
+    On a real cluster use persist()/durable checkpoint for the same
+    effect with fault tolerance.
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -1261,6 +1266,7 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit(0))
             ).alias("is_late")
         )
+        .localCheckpoint()
     )
     per_order = fact.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")

@@ -108,3 +108,42 @@ def test_streaming_stateful_totals_equal_batch(spark, sf_dir):
     )
     cols = ["user_id", "n_events", "sum_cents"]
     assert _as_sorted_tuples(stream, cols) == _as_sorted_tuples(batch, cols)
+
+
+def test_streaming_parquet_file_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Production-sink path: the ingest-dedup stream drained into a
+    PARQUET directory (not the oracle-gate memory sink), then resumed
+    against the same checkpoint — the second drain must add NOTHING (file
+    sink + checkpoint = exactly-once), and the files must equal the batch
+    distinct key set."""
+    from imdbmapreduce_spark.functions import tokens
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        docs = spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        ).parquet(f"{sf_dir}/*documents.parquet")
+        keyed = docs.select(
+            F.md5(
+                F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+            ).alias("content_key")
+        ).dropDuplicates(["content_key"])
+        q = (
+            keyed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out_dir).count()
+    drain()  # resume on same checkpoint: source exhausted, no new rows
+    again = spark.read.parquet(out_dir)
+    assert again.count() == first
+    batch_keys = registry.get("dedup_exact").fn(spark, sf_dir).count()
+    assert first == batch_keys
+    assert again.select("content_key").distinct().count() == first
