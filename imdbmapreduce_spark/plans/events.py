@@ -285,6 +285,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     The step timestamps are exact integer micros — min() is
     order-independent, so the result is partition-invariant.
 
+    Each step's survivor table feeds BOTH its count row and the next
+    step's join; Spark doesn't common-subexpression a twice-referenced
+    DataFrame (the q21 finding), so unmaterialized the step chain
+    re-derives every prefix — measured 6 fact scans for 3 steps.
+    localCheckpoint pins each survivor set (per-user rows, shrinking per
+    step) so the fact is scanned once per step.
+
     Scale: |steps| joins on a uniform key with monotonically shrinking
     build sides — the later steps broadcast for free once conversion
     decimates the audience.
@@ -298,7 +305,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = ev.filter(F.col("event_type") == step)
         if prev is not None:
             cur = cur.join(prev, "user_id").filter(F.col("ts_us") > F.col("t_prev"))
-        reached = cur.groupBy("user_id").agg(F.min("ts_us").alias("t_prev"))
+        reached = cur.groupBy("user_id").agg(F.min("ts_us").alias("t_prev")).localCheckpoint()
         counts.append(
             reached.agg(
                 F.lit(idx).alias("step_idx"),
