@@ -127,3 +127,17 @@ def test_q19_disjunction_pushes_partial_filters_to_both_scans(spark, sf_dir):
     # stable prefix of each pushed disjunction)
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "Or(Or(And(EqualTo(p_brand" in plan
+
+
+def test_streaming_queries_register_last():
+    """Driver-sweep ordering guard (round-2 regression): the wall-clock-
+    bound streaming vertical must register after every batch vertical so
+    a slow or broken streaming query can never starve a cheap one of its
+    correctness row."""
+    names = list(registry.all_queries())
+    first_streaming = min(
+        i for i, n in enumerate(names) if n.startswith("streaming_")
+    )
+    assert all(n.startswith("streaming_") for n in names[first_streaming:]), (
+        names[first_streaming:]
+    )
