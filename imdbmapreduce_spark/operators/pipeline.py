@@ -4,7 +4,7 @@ shards (additive vertical beyond the reference surface, like
 operators/text.py; the reference's closest analog is its ingest/tokenize
 stage, /root/reference/Code/mapReduce.erl:140-148).
 
-Five first-class stages, each a declarative DataFrame plan with a DuckDB
+Six first-class stages, each a declarative DataFrame plan with a DuckDB
 oracle:
 
 - decontamination: drop/flag training docs that share long n-grams with an
@@ -17,7 +17,9 @@ oracle:
   for sequence packing and curriculum batching;
 - sequence packing: concat-and-chunk assignment of every doc to
   fixed-token-budget bins (offset arithmetic over per-shard cumulative
-  sums) — the standard pretraining packing layout.
+  sums) — the standard pretraining packing layout;
+- document chunking: sliding token windows with overlap — the
+  retrieval/embedding prep stage (RAG indexing, long-doc embedding).
 
 All hot paths are built-in expressions (codegen); the only shuffles are
 keyed on doc_id / shingle / shard — uniform by construction.
@@ -336,4 +338,78 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor((F.col("off") + F.col("n") - 1) / b) - F.floor(F.col("off") / b) + 1
         ).alias("n_bins"),
+    )
+
+
+# --- document chunking ----------------------------------------------------
+
+_CHUNK_SIZE = 64  # tokens per chunk (a context-window slice)
+_CHUNK_STRIDE = 48  # overlap = size - stride = 16 tokens
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), idx AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, CAST(ceil(CASE WHEN n <= {_CHUNK_SIZE} THEN 1
+                    ELSE (n - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0 + 1 END) AS BIGINT)))
+               AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {_CHUNK_STRIDE} AS start_tok,
+           LEAST(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n) - chunk_idx * {_CHUNK_STRIDE}
+             AS n_tokens,
+           array_to_string(list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                      LEAST(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)),
+                           ' ') AS chunk_text
+    FROM idx
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each doc split into {size}-token windows
+    with {size − stride}-token overlap — the retrieval/embedding prep
+    stage (RAG indexing, long-doc embedding) between curation and the
+    similarity operators.
+
+    Chunk count per doc is ⌈(n − size)/stride⌉ + 1 (one chunk when the
+    doc fits), so the final window is the only short one and every token
+    lands in ≥1 chunk; overlap gives boundary-crossing phrases a home in
+    both neighbors. The count arithmetic is float-exact (integer ratio
+    ceil), start/length pure ints — both engines emit identical rows.
+
+    Scale: map-only explode — tokenize once, generate window indices with
+    a size-bounded sequence, slice per index; fan-out is n/stride rows
+    per doc, the same order as the shingle explode the dedup family
+    already carries. No shuffle; pipelines into the scan's codegen stage.
+    """
+    docs = table(spark, sf_dir, "documents")
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    n = F.size("toks")
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - size) / F.lit(float(stride)) + 1).cast("long")
+    )
+    start = F.col("chunk_idx") * stride  # 0-based token offset
+    length = F.least(start + size, F.col("n")) - start
+    return (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .filter(n > 0)
+        .select(
+            "doc_id",
+            "toks",
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.alias("start_tok"),
+            length.alias("n_tokens"),
+            F.array_join(F.slice("toks", start + 1, length), " ").alias("chunk_text"),
+        )
     )

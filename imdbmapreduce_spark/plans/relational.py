@@ -1170,12 +1170,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates from BOTH join sides — the test for OR-handling in the
     optimizer.
 
-    Scale: Catalyst extracts the common single-side implications of the
-    OR (l_quantity <= 40 on lineitem; p_size >= 1 and the brand IN-list
-    on part) and pushes them to the scans as partial filters, so neither
-    side is scanned unfiltered even though the full disjunction can only
-    evaluate after the join. Verified in the formatted plan: both scans
-    carry PushedFilters derived from the OR branches.
+    Scale: Catalyst projects each side's slice of every OR branch and
+    pushes the resulting per-side disjunction to that scan (lineitem gets
+    the OR of the quantity ranges; part gets p_size >= 1 plus the OR of
+    the brand/size conjunctions), so neither side is scanned unfiltered
+    even though the full cross-side disjunction can only evaluate after
+    the join. Locked by
+    test_scale_claims.test_q19_disjunction_pushes_partial_filters_to_both_scans.
     """
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
