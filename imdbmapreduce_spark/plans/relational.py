@@ -1336,3 +1336,128 @@ def customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("merge_action"),
     )
+
+
+@query(
+    "lineitem_profile",
+    oracle=f"""
+    SELECT 'l_quantity' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           COUNT(DISTINCT {_C.format(col='l_quantity')}) AS n_distinct,
+           CAST(MIN({_C.format(col='l_quantity')}) AS DOUBLE)/100.0 AS min_val,
+           CAST(MAX({_C.format(col='l_quantity')}) AS DOUBLE)/100.0 AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT {_C.format(col='l_extendedprice')}),
+           CAST(MIN({_C.format(col='l_extendedprice')}) AS DOUBLE)/100.0,
+           CAST(MAX({_C.format(col='l_extendedprice')}) AS DOUBLE)/100.0
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT {_C.format(col='l_discount')}),
+           CAST(MIN({_C.format(col='l_discount')}) AS DOUBLE)/100.0,
+           CAST(MAX({_C.format(col='l_discount')}) AS DOUBLE)/100.0
+    FROM lineitem
+    """,
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the describe/data-quality pass a pipeline runs
+    before trusting a new drop): rows, nulls, exact distincts, min/max
+    per numeric column, one output row per column.
+
+    Scale: all three column profiles compute in ONE scan — the per-column
+    aggregates are independent aggregate expressions over the same pass,
+    then a tiny unpivot reshapes (column, stat) rows; only the exact
+    distinct counts expand (Spark rewrites multi-distinct into an
+    expand + two-phase agg: one shuffle per distinct column's key space).
+    At 100 TB swap exact distincts for approx_count_distinct and the
+    expand disappears; min/max/counts stay map-side.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        cc = cents(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(cc).alias(f"{c}__dist"),
+            (F.min(cc).cast("double") / 100.0).alias(f"{c}__min"),
+            (F.max(cc).cast("double") / 100.0).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = [
+        wide.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# Price bands: a tiny derived dimension with [lo, hi) ranges — the
+# non-equi (range) join's lookup side.
+_BANDS = [  # cents; covers the full synthetic price range (~90k..1.05e7)
+    ("budget", 0, 2_000_000),
+    ("mid", 2_000_000, 5_000_000),
+    ("premium", 5_000_000, 8_000_000),
+    ("luxury", 8_000_000, 20_000_000),
+]
+
+
+@query(
+    "price_band_assignment",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)}
+    )
+    SELECT b.band,
+           COUNT(*) AS n_lines,
+           CAST(SUM({_C.format(col='l.l_extendedprice')}) AS DOUBLE)/100.0 AS total_price
+    FROM lineitem l
+    JOIN bands b
+      ON {_C.format(col='l.l_extendedprice')} >= b.lo
+     AND {_C.format(col='l.l_extendedprice')} < b.hi
+    GROUP BY 1
+    """,
+)
+def price_band_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: every lineitem priced into a half-open
+    [lo, hi) band from a tiny banding dimension — the lookup-table shape
+    behind rate cards, tax brackets and SLA tiers.
+
+    Scale: a non-equi join has no hash key, so the ONLY scale-safe
+    physical plan is broadcast-nested-loop with a bounded build side —
+    the bands table is constant-sized by construction, each fact row
+    tests ≤|bands| ranges, and the fact never shuffles (the groupBy after
+    it exchanges |bands| partial rows). A growing right side would force
+    a cartesian product: that variant needs interval bucketing (map the
+    fact to band candidates by value div step, then equi-join) — same
+    trick the as-of join family uses.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bands = li.sparkSession.createDataFrame(_BANDS, "band string, lo long, hi long")
+    pc = cents("l_extendedprice")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (pc >= F.col("lo")) & (pc < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            cents_sum("l_extendedprice", "total_price"),
+        )
+    )
