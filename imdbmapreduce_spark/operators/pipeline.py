@@ -315,11 +315,19 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands on a cluster, each shard's window independent). No global
     sort, no driver state.
     """
-    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(table(spark, sf_dir, "documents"))
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = _PACK_BUDGET, shards: int = _PACK_SHARDS
+) -> DataFrame:
+    """The packing plan over any (doc_id, text) DataFrame — factored out
+    so tests can drive the straddle path with docs longer than the
+    budget (the fixture corpus never exceeds it)."""
     sized = (
         docs.select("doc_id", _doc_hash().alias("h"), F.size(tokens("text")).alias("n"))
         .filter(F.col("n") > 0)
-        .withColumn("shard", F.col("h") % _PACK_SHARDS)
+        .withColumn("shard", F.col("h") % shards)
     )
     w = (
         Window.partitionBy("shard")
@@ -327,7 +335,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     placed = sized.withColumn("off", (F.sum("n").over(w) - F.col("n")).cast("long"))
-    b = F.lit(_PACK_BUDGET)
+    b = F.lit(budget)
     return placed.select(
         "doc_id",
         "shard",

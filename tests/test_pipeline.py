@@ -108,3 +108,23 @@ def test_sequence_packing_single_shuffle_on_shard(spark, sf_dir):
     assert n_shuffles == 1, plan[:2000]
     assert "Exchange rangepartitioning" not in plan  # = no global sort
     assert "hashpartitioning(shard" in plan
+
+
+def test_sequence_packing_straddle_path(spark):
+    """Docs longer than the bin budget must straddle: synthetic corpus
+    with known token counts drives the multi-bin arithmetic the fixture
+    corpus (all docs < budget) never exercises."""
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate([700, 40, 1200, 512, 1])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = P.pack_sequences(docs, budget=512, shards=2).toPandas()
+    by_id = pdf.set_index("doc_id")
+    assert by_id.loc[0, "n_bins"] == (by_id.loc[0, "off"] + 700 - 1) // 512 - by_id.loc[0, "off"] // 512 + 1
+    assert by_id.loc[0, "n_bins"] >= 2  # 700 tokens can never fit one 512 bin
+    assert by_id.loc[2, "n_bins"] >= 3  # 1200 tokens span >= 3 bins
+    # offsets still tile each shard with no gaps
+    for _, grp in pdf.groupby("shard"):
+        g = grp.sort_values("off")
+        assert g["off"].iloc[0] == 0
+        assert (g["off"] + g["n_tokens"]).iloc[:-1].tolist() == g["off"].iloc[1:].tolist()
+    # exactly-one-token doc occupies exactly one bin
+    assert by_id.loc[4, "n_bins"] == 1
