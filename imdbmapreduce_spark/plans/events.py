@@ -569,3 +569,52 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ps").alias("sum_cents"),
         F.max("pm").alias("max_cents"),
     )
+
+
+@query(
+    "events_first_touch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+    ), m AS (
+      SELECT user_id,
+             min(struct_pack(ts_us := ts_us, event_id := event_id,
+                             event_type := event_type)) AS f
+      FROM t GROUP BY 1
+    )
+    SELECT user_id, f.ts_us AS first_ts_us, f.event_id AS first_event_id,
+           f.event_type AS first_type
+    FROM m
+    """,
+)
+def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's earliest event, resolved as a
+    single MIN over a (ts, event_id, type) struct — the arg-min shape.
+
+    Struct comparison is lexicographic in both engines, and event_id is a
+    unique tiebreaker, so the selected row is total-order deterministic
+    even with equal timestamps — without the window-sort the row_number
+    formulation pays.
+
+    Scale: one partial/final agg holding a single struct per user —
+    map-side combine reduces each partition to one candidate per user
+    before the exchange, where a row_number window must shuffle and sort
+    EVERY row per user. This is THE pattern for latest/earliest-record
+    queries (dedup to newest version, session origin, first touch).
+    """
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    first = t.groupBy("user_id").agg(
+        F.min(F.struct("ts_us", "event_id", "event_type")).alias("f")
+    )
+    return first.select(
+        "user_id",
+        F.col("f.ts_us").alias("first_ts_us"),
+        F.col("f.event_id").alias("first_event_id"),
+        F.col("f.event_type").alias("first_type"),
+    )
