@@ -421,3 +421,71 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice("toks", start + 1, length), " ").alias("chunk_text"),
         )
     )
+
+
+# --- cross-vertical composition: curation verdict × embeddings ------------
+
+# Embedding component quantization, shared contract with
+# operators.similarity (1e-6 integer units).
+_EMB_SCALE = 1_000_000
+
+from imdbmapreduce_spark.operators.text import CURATION_ORACLE  # noqa: E402
+
+
+@query(
+    "curated_embedding_stats",
+    oracle=f"""
+    WITH cur AS (
+      {CURATION_ORACLE}
+    ), ex AS (
+      SELECT vec_id, label,
+             CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)*{_EMB_SCALE}) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN range(1, 4097) t(i)
+      WHERE CAST(t.i AS INTEGER) <= len(embedding)
+    ), norms AS (
+      SELECT vec_id, label, SUM(v*v) AS n2 FROM ex GROUP BY 1, 2
+    )
+    SELECT n.label,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n.n2) AS BIGINT) AS sum_norm2
+    FROM cur JOIN norms n ON cur.doc_id = n.vec_id
+    WHERE cur.keep
+    GROUP BY 1
+    """,
+)
+def curated_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-vertical composition: the curation verdict (quality gate +
+    exact-dedup canonicality, operators.text) joined onto the embeddings
+    table (doc_id = vec_id), reduced to kept-vector counts and exact
+    integer norm mass per label — the handoff where a curated corpus
+    meets its vector index.
+
+    The point is compositionality: the verdict is the REGISTERED
+    corpus_curation plan reused as a subplan (and its oracle SQL embedded
+    as a CTE), so the two verticals stay in lockstep by construction —
+    a change to the keep rule propagates to this query and its oracle
+    identically.
+
+    Scale: curation's one content-hash shuffle + the norm agg's one
+    vec_id-keyed partial/final agg, joined on the shared id — the join
+    sides are |kept docs| and |vectors| rows of a few longs each; no new
+    shuffle shape beyond its parents.
+    """
+    from imdbmapreduce_spark.operators.text import corpus_curation
+
+    kept = corpus_curation(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id",
+        "label",
+        F.round(F.col("val").cast("double") * _EMB_SCALE).cast("long").alias("v"),
+    )
+    norms = ex.groupBy("vec_id", "label").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    return (
+        kept.join(norms, kept.doc_id == norms.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n2").alias("sum_norm2"),
+        )
+    )

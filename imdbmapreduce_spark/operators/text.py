@@ -259,9 +259,9 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-@query(
-    "corpus_curation",
-    oracle=f"""
+# Shared with the composed curated-embeddings query in operators.pipeline
+# (its oracle embeds this verdict as a CTE).
+CURATION_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
     ), scored AS (
@@ -277,8 +277,10 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            (s.doc_id = k.keep_id) AS is_canonical,
            (s.is_quality AND s.doc_id = k.keep_id) AS keep
     FROM scored s JOIN keepers k USING (content_key)
-    """,
-)
+    """
+
+
+@query("corpus_curation", oracle=CURATION_ORACLE)
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation decision the verticals exist for: per doc,
     the quality gate (doc_quality's rule), exact-dedup canonicality
