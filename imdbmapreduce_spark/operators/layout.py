@@ -1,0 +1,81 @@
+"""Physical-layout optimization: Z-order (Morton-curve) clustering.
+
+Partition pruning and parquet row-group skipping work off per-file
+min/max statistics; they only bite when the writer CLUSTERS the data so
+each file covers a narrow slice of the filter columns. Sorting clusters
+one column perfectly and leaves the second uncorrelated; interleaving
+the bits of both columns (the Morton / Z-order curve) makes every file a
+small rectangle in (c1, c2) space, so selective filters on EITHER column
+skip most files — the OPTIMIZE ZORDER primitive of lakehouse engines,
+here as a plain DataFrame transform + range-partitioned write.
+
+Everything is built-in integer expressions (shifts, masks, unrolled
+interleave) — JVM-side, codegen-friendly, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["morton_interleave", "zorder_key", "zorder_layout"]
+
+_BITS = 16  # per-dimension resolution; 2 dims × 16 bits = 32-bit key
+
+
+def morton_interleave(u1: Column, u2: Column, bits: int = _BITS) -> Column:
+    """Interleave the low ``bits`` of two non-negative ints: u1's bit i
+    lands at 2i+1, u2's at 2i — the Morton code. Unrolled shifts/masks,
+    whole-stage-codegen friendly."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftleft(F.shiftrightunsigned(u1, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            + (F.shiftleft(F.shiftrightunsigned(u2, i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    return z
+
+
+def zorder_key(df: DataFrame, c1: str, c2: str, bits: int = _BITS) -> DataFrame:
+    """Append a ``_z`` Morton key over two numeric columns.
+
+    Each column is linearly scaled to [0, 2^bits) using its global
+    min/max (two scalars to the driver — one cheap agg, the same pattern
+    the exact-quantile plan uses). Linear scaling keeps the transform
+    order-preserving per dimension, which is all the curve needs.
+    """
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+    ).first()
+    span1 = max(int(hi1) - int(lo1), 1)
+    span2 = max(int(hi2) - int(lo2), 1)
+    m = (1 << bits) - 1
+    u1 = ((F.col(c1).cast("long") - int(lo1)) * m / span1).cast("long")
+    u2 = ((F.col(c2).cast("long") - int(lo2)) * m / span2).cast("long")
+    return df.withColumn("_z", morton_interleave(u1, u2, bits))
+
+
+def zorder_layout(
+    df: DataFrame, c1: str, c2: str, path: str, n_files: int = 8, bits: int = _BITS
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files clustered along the
+    Z-curve of (c1, c2): range-partition on the Morton key (a sampled
+    range exchange — no global sort barrier), sort within each partition,
+    drop the key, write.
+
+    Scale: one range exchange + per-partition sort, the same cost as any
+    ordered write; n_files tracks the table's size/file-size target. The
+    payoff is at read time: per-file min/max on BOTH columns become
+    tight, so predicate-driven file skipping works for either column —
+    verified quantitatively in tests/test_layout.py (bounding-box area
+    vs an unclustered write).
+    """
+    (
+        zorder_key(df, c1, c2, bits)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,68 @@
+"""Z-order layout (operators/layout.py): the clustering must measurably
+shrink per-file bounding boxes — the statistic file skipping runs on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.operators.layout import morton_interleave, zorder_layout
+
+
+def test_morton_interleave_known_values(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 3), (65535, 0)], ["a", "b"])
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", morton_interleave(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 2  # a's bit 0 lands at position 1
+    assert got[(0, 1)] == 1  # b's bit 0 lands at position 0
+    assert got[(3, 3)] == 15  # 0b1111: both low bit-pairs interleaved
+    assert got[(65535, 0)] == sum(1 << (2 * i + 1) for i in range(16))
+
+
+def _file_boxes(spark, path, c1, c2):
+    """Per-file (min, max) spans of both columns."""
+    df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    return (
+        df.groupBy("_f")
+        .agg(
+            F.min(c1).alias("lo1"),
+            F.max(c1).alias("hi1"),
+            F.min(c2).alias("lo2"),
+            F.max(c2).alias("hi2"),
+        )
+        .collect()
+    )
+
+
+def test_zorder_shrinks_file_bounding_boxes(spark, sf_dir, tmp_path):
+    """The point of the curve: every output file covers a small rectangle
+    of (partkey, suppkey) space, so min/max skipping bites on either
+    column. Quantified as mean normalized bounding-box area vs a plain
+    round-robin write of the same data into the same file count."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    span1 = li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0] or 1
+    span2 = li.agg(F.max("l_suppkey") - F.min("l_suppkey")).first()[0] or 1
+
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    li.repartition(8).write.mode("overwrite").parquet(plain)
+    zorder_layout(li, "l_partkey", "l_suppkey", zpath, n_files=8)
+
+    def mean_area(path):
+        boxes = _file_boxes(spark, path, "l_partkey", "l_suppkey")
+        areas = [
+            ((r.hi1 - r.lo1) / span1) * ((r.hi2 - r.lo2) / span2) for r in boxes
+        ]
+        return sum(areas) / len(areas)
+
+    a_plain, a_z = mean_area(plain), mean_area(zpath)
+    # round-robin files each cover ~the whole space (area ~1); z-ordered
+    # files must be dramatically tighter on the two columns JOINTLY
+    assert a_plain > 0.5, a_plain
+    assert a_z < a_plain / 3, (a_z, a_plain)
+    # and the rewrite loses no rows
+    assert spark.read.parquet(zpath).count() == li.count()
