@@ -65,10 +65,18 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     streaming reader so the two schemas can never drift again (the r2
     streaming watermark regression was exactly that drift).
 
-    The NTZ→LTZ cast is session-timezone-dependent, so the session
-    timezone is pinned to UTC here before the cast — otherwise an
-    externally-built session in another zone would shift epoch values away
-    from the DuckDB oracle.
+    The naive NTZ wall-clock must be interpreted as UTC (that is what the
+    writer meant and what DuckDB's naive read sees). A bare NTZ→LTZ cast
+    interprets it in the SESSION timezone instead, and mutating the
+    session timezone to compensate would silently change every subsequent
+    timestamp operation in an externally-built non-UTC session. So the
+    plan shifts the wall-clock from UTC to the current session zone FIRST
+    (``convert_timezone('UTC', <session tz>, ts)``) and then lets the
+    ordinary cast interpret it there — epoch-identical to a UTC cast,
+    with zero global state touched. The session tz is captured at plan
+    build; sessions that flip their timezone between building and running
+    a plan are out of contract (as they are for every tz-dependent
+    expression Spark itself evaluates).
     """
     spark = df.sparkSession
     ts_type = dict(df.dtypes).get("ts")
@@ -77,9 +85,12 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     if ts_type == "timestamp_ntz":
         # conf.get validates defaults for this key, so read without one.
         tz = spark.conf.get("spark.sql.session.timeZone")
-        if tz not in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00"):
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.withColumn(
+            "ts",
+            F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col("ts")).cast(
+                "timestamp"
+            ),
+        )
     return df
 
 

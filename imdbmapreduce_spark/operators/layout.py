@@ -42,17 +42,26 @@ def zorder_key(df: DataFrame, c1: str, c2: str, bits: int = _BITS) -> DataFrame:
 
     Each column is linearly scaled to [0, 2^bits) using its global
     min/max (two scalars to the driver — one cheap agg, the same pattern
-    the exact-quantile plan uses). Linear scaling keeps the transform
-    order-preserving per dimension, which is all the curve needs.
+    the exact-quantile plan uses). The scaling runs in DOUBLE and
+    quantizes to an integer grid only at the end, so fractional columns
+    (prices, ratios) keep their resolution instead of collapsing to a
+    degenerate coordinate under an early integer cast. Linear scaling
+    keeps the transform order-preserving per dimension, which is all the
+    curve needs.
+
+    An empty (or all-NULL) input has no min/max; the key degenerates to a
+    constant 0 — the write is a no-op layout anyway.
     """
     lo1, hi1, lo2, hi2 = df.agg(
         F.min(c1), F.max(c1), F.min(c2), F.max(c2)
     ).first()
-    span1 = max(int(hi1) - int(lo1), 1)
-    span2 = max(int(hi2) - int(lo2), 1)
-    m = (1 << bits) - 1
-    u1 = ((F.col(c1).cast("long") - int(lo1)) * m / span1).cast("long")
-    u2 = ((F.col(c2).cast("long") - int(lo2)) * m / span2).cast("long")
+    if lo1 is None or lo2 is None:
+        return df.withColumn("_z", F.lit(0).cast("long"))
+    span1 = max(float(hi1) - float(lo1), 1e-12)
+    span2 = max(float(hi2) - float(lo2), 1e-12)
+    m = float((1 << bits) - 1)
+    u1 = ((F.col(c1).cast("double") - float(lo1)) / span1 * m).cast("long")
+    u2 = ((F.col(c2).cast("double") - float(lo2)) / span2 * m).cast("long")
     return df.withColumn("_z", morton_interleave(u1, u2, bits))
 
 

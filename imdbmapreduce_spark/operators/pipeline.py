@@ -40,14 +40,22 @@ _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
 # Knuth multiplicative hash over doc_id — deterministic, partition-layout-
 # independent membership (same contract as relational.stratified_sample).
+# doc_id is folded to 31 bits BEFORE the multiply: (2^31-1) * 2654435761
+# ≈ 5.7e18 stays inside int64, so the expression never overflows (ANSI
+# ArithmeticException in Spark 4, BIGINT overflow in DuckDB) no matter how
+# large doc_id grows at corpus scale. The fold is the identity for every
+# doc_id < 2^31, so small-corpus results are unchanged.
 _HASH_MOD = 4294967296
-_DOC_HASH = f"(((doc_id * 2654435761) % {_HASH_MOD}) + {_HASH_MOD}) % {_HASH_MOD}"
+_FOLD_MOD = 2147483648  # 2^31
+_DOC_LOW = f"(((doc_id % {_FOLD_MOD}) + {_FOLD_MOD}) % {_FOLD_MOD})"
+_DOC_HASH = f"(({_DOC_LOW} * 2654435761) % {_HASH_MOD})"
 
 
 def _doc_hash() -> F.Column:
-    return (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(_HASH_MOD) + F.lit(_HASH_MOD)
-    ) % F.lit(_HASH_MOD)
+    low = (
+        (F.col("doc_id") % F.lit(_FOLD_MOD)) + F.lit(_FOLD_MOD)
+    ) % F.lit(_FOLD_MOD)
+    return (low * F.lit(2654435761)) % F.lit(_HASH_MOD)
 
 
 # --- decontamination ------------------------------------------------------

@@ -468,7 +468,7 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.event_id, t.event_type, t.vc,
            CAST(t.n * t.vc - t.s AS DOUBLE)
-             / sqrt(CAST(t.n AS DOUBLE) * CAST(t.n * t.ss - t.s * t.s AS DOUBLE)) AS z
+             / sqrt(CAST(t.n * t.ss - t.s * t.s AS DOUBLE)) AS z
     FROM (SELECT t.*, st.n, st.s, st.ss FROM t JOIN stats st USING (event_type)) t
     WHERE CAST(t.n * t.vc - t.s AS DOUBLE) * CAST(t.n * t.vc - t.s AS DOUBLE)
           > 9 * CAST(t.n * t.ss - t.s * t.s AS DOUBLE)
@@ -480,7 +480,10 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine.
 
     The gate is ((v − mean)/σ)² > 9 cleared of divisions:
-    (n·v − s)² > 9·(n·ss − s²). Both bracketed terms are EXACT int64
+    (n·v − s)² > 9·(n·ss − s²), and the reported z is the matching
+    dev/√var = (n·v − s)/√(n·ss − s²) = (v − mean)/σ exactly (the n in
+    the numerator cancels the n² inside the variance term), so every
+    flagged row shows |z| > 3. Both bracketed terms are EXACT int64
     (order-independent integer sums; n·v ≤ ~2e9, n·ss − s² ≤ ~1e18 at
     sf0.1); the square and the ×9 then run in double — identical IEEE
     operations on identical integers in both engines, so the kept row SET
@@ -515,7 +518,7 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "vc",
-            (dev_d / F.sqrt(F.col("n").cast("double") * var_d)).alias("z"),
+            (dev_d / F.sqrt(var_d)).alias("z"),
         )
     )
 

@@ -810,10 +810,16 @@ def approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Knuth multiplicative hash — shared verbatim with the oracle SQL so the
 # sampled row SET is engine-independent (md5/xxhash availability and hex
-# casting differ across engines; integer arithmetic doesn't). Production
-# note: for string keys use xxhash64/md5 — any uniform keyed hash works,
-# the contract is only "deterministic function of the key".
-_SAMPLE_HASH = "((({key} * 2654435761) % 4294967296) + 4294967296) % 4294967296"
+# casting differ across engines; integer arithmetic doesn't). The key is
+# folded to 31 bits BEFORE the multiply so (2^31-1)*2654435761 ≈ 5.7e18
+# stays inside int64 for ANY key — no ANSI/BIGINT overflow at scale; the
+# fold is the identity for keys < 2^31. Production note: for string keys
+# use xxhash64/md5 — any uniform keyed hash works, the contract is only
+# "deterministic function of the key".
+_SAMPLE_HASH = (
+    "((((({key} % 2147483648) + 2147483648) % 2147483648)"
+    " * 2654435761) % 4294967296)"
+)
 _SAMPLE_PCT = 10  # keep ~10%
 
 
@@ -844,7 +850,10 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a hash-space prefix.
     """
     orders = table(spark, sf_dir, "orders")
-    h = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) + F.lit(4294967296)) % F.lit(4294967296)
+    low = (
+        (F.col("o_orderkey") % F.lit(2147483648)) + F.lit(2147483648)
+    ) % F.lit(2147483648)
+    h = (low * F.lit(2654435761)) % F.lit(4294967296)
     return (
         orders.filter(h < F.lit(4294967296) * _SAMPLE_PCT / 100)
         .select(

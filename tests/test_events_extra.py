@@ -1,9 +1,13 @@
 """Events-family tests beyond the oracle gate: the HLL sketch's error
-bound vs the exact distinct count."""
+bound vs the exact distinct count, the anomaly z-score's internal
+consistency, and the NTZ-normalization's no-global-mutation contract."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from imdbmapreduce_spark import registry
+from imdbmapreduce_spark.catalog import normalize_events_ts
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):
@@ -12,3 +16,34 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_anomaly_z_consistent_with_gate(spark, sf_dir):
+    """Every row the |z|>3 gate keeps must REPORT |z| > 3 — the round-3
+    advisory bug was a stray n factor inside the sqrt that understated
+    the reported z by sqrt(n) while the gate stayed correct."""
+    rows = registry.get("events_value_anomalies").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.z) > 3.0, (r.event_id, r.z)
+
+
+def test_ntz_normalize_does_not_mutate_session_timezone(spark):
+    """normalize_events_ts on an NTZ column must (a) interpret the naive
+    wall-clock as UTC and (b) leave spark.sql.session.timeZone untouched
+    — the round-3 advisory flagged the old path for permanently flipping
+    an externally-built non-UTC session to UTC as a read side effect."""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [("2024-06-01 12:00:00",)], "s string"
+        ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+        out = normalize_events_ts(df)
+        epoch = out.select(F.unix_micros("ts").alias("e")).first().e
+        assert epoch == 1717243200 * 1_000_000  # 2024-06-01T12:00:00Z
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)

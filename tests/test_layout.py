@@ -6,7 +6,28 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from imdbmapreduce_spark.catalog import table
-from imdbmapreduce_spark.operators.layout import morton_interleave, zorder_layout
+from imdbmapreduce_spark.operators.layout import (
+    morton_interleave,
+    zorder_key,
+    zorder_layout,
+)
+
+
+def test_zorder_key_empty_input(spark):
+    """Empty input has no min/max — the key must degenerate to 0, not
+    raise (round-3 advisory: int(None) TypeError)."""
+    df = spark.createDataFrame([], "a double, b double")
+    assert zorder_key(df, "a", "b").collect() == []
+
+
+def test_zorder_key_fractional_columns_keep_resolution(spark):
+    """Sub-integer ranges (prices in dollars, ratios) must spread across
+    the grid — the round-3 advisory flagged an early cast('long') that
+    collapsed any dimension with span < 1 to a single Morton coordinate."""
+    rows = [(i / 100.0, (99 - i) / 100.0) for i in range(100)]  # both in [0,1)
+    df = spark.createDataFrame(rows, "a double, b double")
+    keys = [r._z for r in zorder_key(df, "a", "b").collect()]
+    assert len(set(keys)) == len(rows), "fractional dims collapsed"
 
 
 def test_morton_interleave_known_values(spark):

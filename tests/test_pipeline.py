@@ -11,6 +11,24 @@ import pyspark.sql.functions as F
 from imdbmapreduce_spark.operators import pipeline as P
 
 
+def test_doc_hash_no_overflow_at_corpus_scale_ids(spark):
+    """The membership hash must evaluate for doc_ids past 2^31/2^32 —
+    the round-3 advisory showed doc_id * 2654435761 overflowing int64
+    (ANSI ArithmeticException) near doc_id ≈ 3.5e9, far below 100 TB
+    corpus document counts. The 31-bit fold keeps the product < 2^63
+    for ANY int64 doc_id and is the identity below 2^31."""
+    from imdbmapreduce_spark.operators.pipeline import _doc_hash
+
+    big = [(2**31 - 1,), (2**31,), (2**40,), (2**62,), (9223372036854775807,)]
+    df = spark.createDataFrame(big, "doc_id long")
+    got = [r.h for r in df.select(_doc_hash().alias("h")).collect()]
+    assert all(0 <= h < 2**32 for h in got), got
+    # identity-fold check: small ids hash exactly as the unfolded form
+    small = spark.createDataFrame([(12345,)], "doc_id long")
+    (h,) = [r.h for r in small.select(_doc_hash().alias("h")).collect()]
+    assert h == (12345 * 2654435761) % 2**32
+
+
 def test_decontamination_disjoint_from_eval(spark, sf_dir):
     """Flagged docs are train-side only, and ratios are well-formed."""
     pdf = P.decontaminate_eval_overlap(spark, sf_dir).toPandas()
