@@ -85,18 +85,26 @@ def _load_plans() -> None:
         return
     _LOADED = True
     # Imported for their registration side effects. ORDER MATTERS for the
-    # driver's correctness sweep, which checks queries in registration
-    # order under a fixed budget: cheap map-only verticals first, the
-    # wall-clock-bound streaming vertical LAST so a slow or broken
-    # streaming query can never starve a cheap vertical of its gate
-    # (the r2 text-vertical starvation).
-    from imdbmapreduce_spark.plans import events  # noqa: F401
-    from imdbmapreduce_spark.plans import relational  # noqa: F401
+    # driver's correctness sweep, which checks queries in REGISTRATION
+    # ORDER under a fixed ~50-query budget. Priority rule: the flagship
+    # cooccurrence vertical first, then every vertical whose queries have
+    # the fewest external driver rows (pipeline/graph/text-tail/
+    # similarity-tail were never swept; dedup/multimodal have one row;
+    # streaming's post-fix rows are owed), and the triple-verified batch
+    # families (events, relational) LAST — they have green rows from
+    # multiple prior sweeps, so spending budget on them starves queries
+    # that have none. Streaming sits after every batch vertical that
+    # still needs a row (so its wall-clock-bound micro-batch drains can
+    # never starve one — the r2 regression) but INSIDE the ~50 budget;
+    # tests/test_scale_claims.py pins both properties.
     from imdbmapreduce_spark.operators import cooccurrence  # noqa: F401
     from imdbmapreduce_spark.operators import text  # noqa: F401
     from imdbmapreduce_spark.operators import pipeline  # noqa: F401
-    from imdbmapreduce_spark.operators import dedup  # noqa: F401
-    from imdbmapreduce_spark.operators import multimodal  # noqa: F401
     from imdbmapreduce_spark.operators import similarity  # noqa: F401
     from imdbmapreduce_spark.operators import graph  # noqa: F401
+    from imdbmapreduce_spark.sources import movies_csv  # noqa: F401
+    from imdbmapreduce_spark.operators import dedup  # noqa: F401
+    from imdbmapreduce_spark.operators import multimodal  # noqa: F401
     from imdbmapreduce_spark.streaming import windowed  # noqa: F401
+    from imdbmapreduce_spark.plans import events  # noqa: F401
+    from imdbmapreduce_spark.plans import relational  # noqa: F401

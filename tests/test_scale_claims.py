@@ -129,15 +129,37 @@ def test_q19_disjunction_pushes_partial_filters_to_both_scans(spark, sf_dir):
     assert "Or(Or(And(EqualTo(p_brand" in plan
 
 
-def test_streaming_queries_register_last():
-    """Driver-sweep ordering guard (round-2 regression): the wall-clock-
-    bound streaming vertical must register after every batch vertical so
-    a slow or broken streaming query can never starve a cheap one of its
-    correctness row."""
+def test_streaming_registers_after_unverified_batch_but_inside_budget():
+    """Driver-sweep ordering guard. The driver checks queries in
+    registration order under a ~50-query budget, so ordering IS the
+    verification policy. Two invariants:
+
+    (a) round-2 regression: the wall-clock-bound streaming vertical
+        registers after every batch vertical that still needs a driver
+        row (everything except the triple-verified events/relational
+        families), so a slow or broken streaming query can never starve
+        one of its correctness row;
+    (b) round-3 gap: the streaming block must still land INSIDE the
+        ~50-query budget — round 3 pushed it past the cutoff and the
+        post-fix streaming queries went unverified for two rounds. Only
+        the events/relational families (green driver rows in r1+r2+r3)
+        may sit behind streaming.
+    """
     names = list(registry.all_queries())
-    first_streaming = min(
-        i for i, n in enumerate(names) if n.startswith("streaming_")
-    )
-    assert all(n.startswith("streaming_") for n in names[first_streaming:]), (
-        names[first_streaming:]
-    )
+    stream_idx = [i for i, n in enumerate(names) if n.startswith("streaming_")]
+    first_s, last_s = min(stream_idx), max(stream_idx)
+    # contiguous block
+    assert stream_idx == list(range(first_s, last_s + 1)), stream_idx
+    # (a) only the multiply-verified families register after streaming
+    late_modules = {
+        "imdbmapreduce_spark.plans.events",
+        "imdbmapreduce_spark.plans.relational",
+    }
+    offenders = [
+        n
+        for n in names[last_s + 1 :]
+        if registry.get(n).fn.__module__ not in late_modules
+    ]
+    assert not offenders, offenders
+    # (b) streaming fits the driver budget
+    assert last_s < 50, (last_s, names[: last_s + 1])
