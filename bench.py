@@ -57,6 +57,12 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(out))
+    # Sweep over: release the shared corpus artifacts (shingle sets,
+    # quantized components) so a host embedding this harness reclaims
+    # storage memory — the bounded-cache contract in cache.py.
+    from imdbmapreduce_spark.cache import release_shared_caches
+
+    release_shared_caches()
     spark.stop()
 
 

@@ -1,0 +1,62 @@
+"""Session-scoped shared cache for corpus-derived intermediates.
+
+Several query families derive the same expensive intermediate from the
+same table — the capped shingle set (exact Jaccard + clustering), the
+hashed shingle rows (MinHash), the quantized embedding components
+(brute-force kNN + both ANN plans). Re-materializing it per query wastes
+a full scan+shuffle each time, and the round-3 audit flagged the other
+failure mode too: per-query ``.cache()`` calls with no release slowly
+accumulate storage memory across a long-lived session.
+
+This registry fixes both at once:
+
+- ``shared_cache`` memoizes ONE cached DataFrame per (application, key),
+  so every query in a sweep reuses the same materialization — the
+  "shingle once, consume many" shape a real pipeline has. Storage is
+  bounded by the handful of distinct artifacts, not by query count, and
+  DataFrame caches are MEMORY_AND_DISK — they spill, never OOM.
+- ``release_shared_caches`` unpersists everything — sweep owners
+  (bench.py's sweep, a long-lived service between corpora) call it when
+  a corpus goes cold. Keys carry the applicationId so a restarted
+  session can never resurrect another session's plans.
+
+At 100 TB the same contract holds: the cached artifact is o(corpus)
+per executor (its partitions spill to local disk), and releasing between
+corpora is exactly the eviction policy a production index build uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["shared_cache", "release_shared_caches"]
+
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def shared_cache(
+    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the cached DataFrame for ``key``, building it on first use.
+
+    ``key`` must determine the result fully (include the sf_dir and any
+    parameters of the derivation).
+    """
+    full_key = (spark.sparkContext.applicationId, *key)
+    df = _CACHE.get(full_key)
+    if df is None:
+        df = build().cache()
+        _CACHE[full_key] = df
+    return df
+
+
+def release_shared_caches() -> None:
+    """Unpersist every shared artifact and forget it (idempotent)."""
+    for df in _CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHE.clear()

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imdbmapreduce_spark.cache import shared_cache
 from imdbmapreduce_spark.catalog import parallelize_scan, table
 from imdbmapreduce_spark.functions import tokens
 from imdbmapreduce_spark.registry import query
@@ -170,12 +171,15 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_pairs below — this same pipeline with the shingle axis
     compressed to O(bands).
     """
-    ex = (
-        _shingle_rows(spark, sf_dir)
+    # Shared artifact: dedup_clusters re-derives its edges from this same
+    # capped set in the same sweep — one materialization serves both.
+    ex = shared_cache(
+        spark,
+        ("shingles_capped", sf_dir, 3, _SHINGLE_DF_CAP),
+        lambda: _shingle_rows(spark, sf_dir)
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= _SHINGLE_DF_CAP)
-        .drop("df")
-        .cache()
+        .drop("df"),
     )
     a = ex.alias("a")
     b = ex.alias("b")
@@ -255,10 +259,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verify sets carry longs (collision prob ~2^-64·|pairs| — nil,
     # and deterministic). cache: feeds the signature build AND the verify
     # sets.
-    ex = (
-        _shingle_rows(spark, sf_dir)
-        .select("doc_id", F.xxhash64("shingle").alias("hx"))
-        .cache()
+    ex = shared_cache(
+        spark,
+        ("shingle_hx", sf_dir, 3),
+        lambda: _shingle_rows(spark, sf_dir).select(
+            "doc_id", F.xxhash64("shingle").alias("hx")
+        ),
     )
     sh = ex.groupBy("doc_id").agg(F.collect_list("hx").alias("sh"))
     rows_per_band = _N_PERM // _N_BANDS
@@ -422,7 +428,11 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters never enter it at all. bit_count is a single codegen'd
     instruction.
     """
-    members = simhash_fingerprints(table(spark, sf_dir, "documents")).cache()
+    members = shared_cache(
+        spark,
+        ("simhash_fp", sf_dir),
+        lambda: simhash_fingerprints(table(spark, sf_dir, "documents")),
+    )
 
     # Identical-fingerprint clusters (the dominant mass in a duplicate-
     # heavy corpus — one 249-doc cluster at sf0.1 alone is 31k pairs)

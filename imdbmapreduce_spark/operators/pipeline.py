@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imdbmapreduce_spark.cache import shared_cache
 from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.functions import tokens
 from imdbmapreduce_spark.operators.dedup import _shingle_rows
@@ -111,7 +112,11 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 first (as minhash_lsh_pairs does) and let AQE broadcast the
     eval side — benchmark suites are MBs, not TBs.
     """
-    ex = _shingle_rows(spark, sf_dir, k=_DECON_K)
+    ex = shared_cache(
+        spark,
+        ("shingles_raw", sf_dir, _DECON_K),
+        lambda: _shingle_rows(spark, sf_dir, k=_DECON_K),
+    )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_sh = ex.filter(is_eval).select("shingle").distinct()
     train = ex.filter(~is_eval)

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imdbmapreduce_spark.cache import shared_cache
 from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.registry import query
 
@@ -69,6 +70,18 @@ def quantized_components(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
 def _norms(ex: DataFrame) -> DataFrame:
     return ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+
+
+def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized component table, materialized once per session and
+    shared by every vector query (brute-force, both ANN plans) — the
+    index-build artifact a vector store would persist, as a bounded,
+    releasable cache (see imdbmapreduce_spark.cache)."""
+    return shared_cache(
+        spark,
+        ("quantized_components", sf_dir),
+        lambda: quantized_components(table(spark, sf_dir, "embeddings")),
+    )
 
 
 _KNN_ORACLE = f"""
@@ -116,7 +129,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by-heap agg. Ranking compares doubles built from identical
     integers, so result order is engine-stable.
     """
-    ex = quantized_components(table(spark, sf_dir, "embeddings"))
+    ex = _shared_components(spark, sf_dir)
     probes = ex.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv")
     )
@@ -357,7 +370,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits. Rescoring joins components back per candidate, so exactness
     of the final cosine is preserved; only recall is approximate.
     """
-    ex = quantized_components(table(spark, sf_dir, "embeddings")).cache()
+    ex = _shared_components(spark, sf_dir)
     probe_ids = F.col("vec_id") < _N_PROBES
     codes = _bucket_codes(ex)
     pc = codes.filter(probe_ids).select(F.col("vec_id").alias("q_id"), "tbl", "code")
@@ -394,7 +407,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production layout would *bucket the corpus by cell* so queries prune
     whole files). Rescoring touches ~NPROBE/C of the corpus per probe.
     """
-    ex = quantized_components(table(spark, sf_dir, "embeddings")).cache()
+    ex = _shared_components(spark, sf_dir)
     probe_ids = F.col("vec_id") < _N_PROBES
     cent_ids = (
         ex.filter(~probe_ids)

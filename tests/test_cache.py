@@ -1,0 +1,66 @@
+"""Shared-cache registry (imdbmapreduce_spark/cache.py): one
+materialization per key, explicit release, no storage accumulation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark.cache import release_shared_caches, shared_cache
+
+
+def _storage_rdd_count(spark) -> int:
+    jsc = spark.sparkContext._jsc.sc()
+    return jsc.getRDDStorageInfo().__len__()
+
+
+def test_shared_cache_memoizes_and_releases(spark):
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(100).withColumn("x", F.col("id") * 2)
+
+    a = shared_cache(spark, ("t", "k1"), build)
+    b = shared_cache(spark, ("t", "k1"), build)
+    assert a is b, "same key must return the same DataFrame object"
+    assert len(builds) == 1, "build() must run once per key"
+    assert a.count() == 100
+
+    before = _storage_rdd_count(spark)
+    assert before >= 1  # our cached artifact is registered
+    release_shared_caches()
+    assert _storage_rdd_count(spark) < before, "release must unpersist"
+
+    c = shared_cache(spark, ("t", "k1"), build)
+    assert len(builds) == 2, "released key rebuilds on next use"
+    assert c.count() == 100
+    release_shared_caches()
+
+
+def test_sweep_does_not_accumulate_storage(spark, sf_dir):
+    """Running the near-dup family twice must not double cached storage:
+    the round-3 audit flagged per-query .cache() calls with no release;
+    the shared registry bounds storage by distinct artifacts, not query
+    count."""
+    from imdbmapreduce_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_ngram_jaccard,
+    )
+
+    release_shared_caches()
+    neardup_ngram_jaccard(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    minhash_lsh_pairs(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    first = _storage_rdd_count(spark)
+    neardup_ngram_jaccard(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    minhash_lsh_pairs(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert _storage_rdd_count(spark) == first, "re-runs must reuse artifacts"
+    release_shared_caches()
+    assert _storage_rdd_count(spark) < first
