@@ -7,9 +7,9 @@ from __future__ import annotations
 import duckdb
 
 from imdbmapreduce_spark.operators.graph import (
+    COSUPPLIER_ITERS,
     PR_DAMP_DEN,
     PR_DAMP_NUM,
-    PR_ITERS,
     PR_SCALE,
     cosupplier_edges,
     pagerank,
@@ -26,7 +26,7 @@ def _python_pagerank(nodes: list[int], edges: list[tuple[int, int]]) -> dict[int
     for s, _ in edges:
         out_deg[s] += 1
     ranks = {v: PR_SCALE // n for v in nodes}
-    for _ in range(PR_ITERS):
+    for _ in range(COSUPPLIER_ITERS):
         inbound: dict[int, int] = defaultdict(int)
         for s, d in edges:
             # int(...) floors toward -inf for negatives; ranks are
@@ -81,6 +81,25 @@ def test_pagerank_empty_and_isolated(spark):
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN // 3
     assert ranks[2] == base
     assert ranks[1] > ranks[2]  # receiver of 0's mass beats teleport-only
+
+
+def test_pagerank_adjacency_matches_flat_form(spark):
+    """The adjacency-list formulation must be bit-identical to the flat
+    edge formulation — same integer recurrence, different shuffle shape."""
+    import pyspark.sql.functions as F
+
+    from imdbmapreduce_spark.operators.graph import pagerank_adjacency
+
+    nodes = spark.range(6).selectExpr("id AS node")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 2)], ["src", "dst"]
+    )
+    adj = edges.groupBy("src").agg(
+        F.collect_list("dst").alias("dsts"), F.count(F.lit(1)).alias("out_deg")
+    )
+    flat = {r.node: r.rank_fp for r in pagerank(nodes, edges).collect()}
+    via_adj = {r.node: r.rank_fp for r in pagerank_adjacency(nodes, adj).collect()}
+    assert flat == via_adj
 
 
 def test_cosupplier_edges_symmetric(spark, sf_dir):
