@@ -102,15 +102,16 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
-    """IVF candidate generation must retrieve real neighbors too; same
-    hard-regime caveat (and deterministic hash-sampled centroids) as the
-    LSH test, so the bound is modest but the outcome is fixed."""
+    """IVF candidate generation must retrieve real neighbors; the Lloyd
+    refinement round lifts measured recall 0.34 -> 0.48 at sf0.001, so
+    the locked bound is 0.45 (deterministic hash-sampled init + exact
+    integer assignment => the outcome is fixed, not flaky)."""
     exact = _topk_sets(registry.get("knn_bruteforce").fn(spark, sf_dir).collect())
     ivf = _topk_sets(registry.get("ann_ivf_topk").fn(spark, sf_dir).collect())
     hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     recall = hits / total
-    assert recall >= 0.25, f"IVF recall@{_TOP_K} collapsed: {recall:.2f} ({hits}/{total})"
+    assert recall >= 0.45, f"IVF recall@{_TOP_K} collapsed: {recall:.2f} ({hits}/{total})"
 
     rows = registry.get("ann_ivf_topk").fn(spark, sf_dir).collect()
     for r in rows:
