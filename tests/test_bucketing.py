@@ -43,6 +43,51 @@ def test_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
     assert rd.count() == expected > 0
 
 
+def test_bucketed_movies_prunes_probe_lookup(spark, tmp_path):
+    """The title query's driver-side probe lookup (cooccurrence.py
+    title_query, reference master.erl:148-154) is a full scan over a
+    plain file; at 100x the movies table is bucketed on title and the
+    SAME equality filter prunes to one bucket at planning time
+    (SelectedBucketsCount in the scan), making the point lookup O(1/N)
+    of the table instead of O(N)."""
+    from imdbmapreduce_spark.operators.cooccurrence import title_query
+    from imdbmapreduce_spark.sources.movies_csv import _FIXTURE, read_movies_csv
+
+    movies = read_movies_csv(spark, _FIXTURE)
+    spark.sql("DROP TABLE IF EXISTS b_movies")
+    (
+        movies.write.mode("overwrite")
+        .option("path", f"{tmp_path}/b_movies")
+        .bucketBy(8, "title")
+        .saveAsTable("b_movies")
+    )
+    # autoBucketedScan drops the bucketed layout when no exchange is
+    # saved; bucket PRUNING is exactly the filter-only case, so pin the
+    # bucketed scan on for the assertion.
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        bm = spark.table("b_movies")
+        probe = bm.filter(F.col("title") == "Movie 10")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        # the full title query runs unchanged over the bucketed table,
+        # with identical results to the plain-file scan
+        got = sorted(
+            (r.title, r.n_shared) for r in title_query(bm, "Movie 10").collect()
+        )
+        want = sorted(
+            (r.title, r.n_shared)
+            for r in title_query(movies, "Movie 10").collect()
+        )
+        assert got == want and got
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
+        )
+        spark.sql("DROP TABLE IF EXISTS b_movies")
+
+
 def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path, no_broadcast):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
