@@ -49,14 +49,26 @@ def main() -> None:
             runs[name].append(time.monotonic() - t0)
     timings = {name: round(sorted(ts)[len(ts) // 2], 4) for name, ts in runs.items()}
 
+    # Key order matters: the driver's capture keeps only the TAIL of long
+    # lines, and with 80+ queries the line exceeds that window. Putting
+    # "queries" first and the summary scalars last guarantees the totals
+    # survive truncation; the full record is also written to BENCH_LOCAL.json
+    # (committed per round) so no per-query number is ever lost.
     out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
         "queries": timings,
+        "metric": "headline_queries_total",
+        "unit": "sec",
         "sf": sf,
+        "value": round(sum(timings.values()), 4),
     }
     print(json.dumps(out))
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(local, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=False)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still authoritative
     # Sweep over: release the shared corpus artifacts (shingle sets,
     # quantized components) so a host embedding this harness reclaims
     # storage memory — the bounded-cache contract in cache.py.

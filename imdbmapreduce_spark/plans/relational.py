@@ -1470,3 +1470,148 @@ def price_band_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_sum("l_extendedprice", "total_price"),
         )
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_C.format(col='l_extendedprice')}
+                    * {_C.format(col='l_discount')}) AS DOUBLE)/10000.0
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND round(l_discount*100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown showcase.
+
+    Scale: every predicate (shipdate range, quantity) reaches the parquet
+    scan as a PushedFilter, so row groups outside the year are skipped at
+    the footer; only 3 columns are read (ReadSchema pruning). The single
+    global sum exchanges exactly one partial row per map task — the plan
+    is scan-bound at any scale, which is the point of Q6. The discount
+    band compares in cents (integers) to avoid double-literal ambiguity.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    dc = cents("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+        )
+        .filter(dc.between(5, 7))
+        .agg(
+            (
+                F.sum(cents("l_extendedprice") * dc).cast("double") / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join-then-conditional-count — how many
+    urgent/high-priority orders sit behind late shipments, by line status.
+
+    Adaptation: no l_shipmode/commitdate/receiptdate in the schema, so
+    "late" := shipped more than 90 days after the order date and the
+    grouping key is l_linestatus.
+
+    Scale: the shipdate year-range prunes the fact at the scan; the
+    cross-table predicate (shipdate vs orderdate+90d) evaluates after the
+    orderkey equi-join — Catalyst keeps the hash join and applies it as a
+    post-join filter, never a theta join. Priority classification is a
+    codegen CASE, aggregated map-side to |linestatus| groups.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM({_C.format(col='l_extendedprice')}
+                 * (100 - {_C.format(col='l_discount')})) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(rev_cents AS DOUBLE)/10000.0 AS total_revenue
+    FROM revenue
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_cents = (SELECT MAX(rev_cents) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + scalar-MAX subquery selecting the
+    top revenue supplier(s) for a quarter.
+
+    Scale: the revenue view is one fact aggregation (|suppliers| rows
+    after map-side combine); its max is a second-level 1-row agg
+    broadcast back (scalar-subquery shape, single-row build side —
+    bounded). Equality on exact long cents means ties surface as
+    multiple rows deterministically, not float-fuzzily.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(cents("l_extendedprice") * one_minus_cents("l_discount")).alias(
+            "rev_cents"
+        )
+    )
+    top = revenue.agg(F.max("rev_cents").alias("max_cents"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

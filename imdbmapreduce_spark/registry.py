@@ -105,6 +105,7 @@ def _load_plans() -> None:
     from imdbmapreduce_spark.sources import movies_csv  # noqa: F401
     from imdbmapreduce_spark.operators import dedup  # noqa: F401
     from imdbmapreduce_spark.operators import multimodal  # noqa: F401
+    from imdbmapreduce_spark.plans import tpch2  # noqa: F401
     from imdbmapreduce_spark.streaming import windowed  # noqa: F401
     from imdbmapreduce_spark.plans import events  # noqa: F401
     from imdbmapreduce_spark.plans import relational  # noqa: F401
