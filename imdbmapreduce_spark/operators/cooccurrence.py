@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from imdbmapreduce_spark.cache import shared_cache
 from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.registry import query
 
@@ -330,18 +331,28 @@ def _orders_as_movies(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-factor size, not just on the 10-row fixture.
 
     Scale: one shuffle (groupBy orderkey, collect_set) builds the array
-    table; both array plans are then map-only scans over it.
+    table; both array plans are then map-only scans over it. The table
+    lives in the session's shared cache — the reference builds its movie
+    table ONCE into ETS and serves every query from it
+    (/root/reference/Code/csv_to_ets.erl:19-60), and the title query's
+    driver-side probe lookup plus the main scan would otherwise each
+    re-run the collect_set aggregation (measured 3 executions/query).
+    Spillable, released by sweep owners via release_shared_caches.
     """
-    return (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("actors"))
-        .select(
-            F.col("l_orderkey").alias("movie_id"),
-            F.col("l_orderkey").cast("string").alias("title"),
-            "actors",
-        )
+    return shared_cache(
+        spark,
+        ("orders_as_movies", sf_dir),
+        lambda: (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("actors"))
+            .select(
+                F.col("l_orderkey").alias("movie_id"),
+                F.col("l_orderkey").cast("string").alias("title"),
+                "actors",
+            )
+        ),
     )
 
 

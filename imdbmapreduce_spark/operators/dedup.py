@@ -171,31 +171,39 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_pairs below — this same pipeline with the shingle axis
     compressed to O(bands).
     """
-    # Shared artifact: dedup_clusters re-derives its edges from this same
-    # capped set in the same sweep — one materialization serves both.
-    ex = shared_cache(
-        spark,
-        ("shingles_capped", sf_dir, 3, _SHINGLE_DF_CAP),
-        lambda: _shingle_rows(spark, sf_dir)
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= _SHINGLE_DF_CAP)
-        .drop("df"),
-    )
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
-    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    # Shared artifacts, two levels: the capped shingle set (reused by the
+    # size agg below) and the final PAIR SET — dedup_clusters closes these
+    # same pairs into components in the same sweep, and the pair relation
+    # is o(corpus) rows (near-dup rate bounds it), so caching the output
+    # beats re-running the self-join per consumer.
+    def build_pairs() -> DataFrame:
+        ex = shared_cache(
+            spark,
+            ("shingles_capped", sf_dir, 3, _SHINGLE_DF_CAP),
+            lambda: _shingle_rows(spark, sf_dir)
+            .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+            .filter(F.col("df") <= _SHINGLE_DF_CAP)
+            .drop("df"),
+        )
+        a = ex.alias("a")
+        b = ex.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
+        jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        return (
+            pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.6)
+            .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+        )
+
+    return shared_cache(
+        spark, ("jaccard_pairs", sf_dir, 3, _SHINGLE_DF_CAP, 0.6), build_pairs
     )
 
 
@@ -536,7 +544,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
         .distinct()
         .localCheckpoint()
     )
-    comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    # Only edge-incident nodes can ever change label — every other node is
+    # a singleton, decided before the loop starts. In a deduplicated
+    # corpus near-dup pairs are o(corpus), so this shrinks every
+    # per-round shuffle from |nodes| to |edge endpoints|; the singleton
+    # majority rejoins via one anti-join at the end, outside the loop.
+    active = sym.select("node").distinct()
+    comp = active.select("node", F.col("node").alias("comp")).localCheckpoint()
+    result = None
     for _ in range(max_iters):
         nbr_min = (
             sym.join(comp.withColumnRenamed("node", "nbr"), "nbr")
@@ -563,8 +578,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
         )
         comp = jumped
         if changed == 0:
-            return comp.select("node", F.col("comp").alias("cluster_id"))
-    raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+            result = comp.select("node", F.col("comp").alias("cluster_id"))
+            break
+    if result is None:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+    singletons = nodes.join(sym.select("node").distinct(), "node", "left_anti").select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    return result.unionByName(singletons)
 
 
 @query(

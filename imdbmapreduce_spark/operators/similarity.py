@@ -444,33 +444,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ex = _shared_components(spark, sf_dir)
     probe_ids = F.col("vec_id") < _N_PROBES
-    corpus = ex.filter(~probe_ids)
-    cent_ids = (
-        corpus.select("vec_id")
-        .distinct()
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(_IVF_CELLS)
-        .select("vec_id", F.row_number().over(Window.orderBy(F.xxhash64("vec_id"), "vec_id")).alias("cell"))
-    )
-    cents = (
-        ex.join(F.broadcast(cent_ids), "vec_id")
-        .select("cell", "pos", F.col("v").alias("cv"))
-    )
-    for _ in range(_IVF_LLOYD_ROUNDS):
-        assigned = _cell_assignment(corpus, cents).filter(F.col("cr") == 1)
-        cents = (
-            corpus.join(assigned.select("vec_id", "cell"), "vec_id")
-            .groupBy("cell", "pos")
-            .agg(
-                F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
-                .cast("long")
-                .alias("cv")
-            )
+
+    def build_codebook() -> DataFrame:
+        corpus = ex.filter(~probe_ids)
+        cent_ids = (
+            corpus.select("vec_id")
+            .distinct()
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(_IVF_CELLS)
+            .select("vec_id", F.row_number().over(Window.orderBy(F.xxhash64("vec_id"), "vec_id")).alias("cell"))
         )
-    ranked = _cell_assignment(ex, cents)
-    corpus_cells = ranked.filter(~probe_ids & (F.col("cr") == 1)).select("vec_id", "cell")
-    probe_cells = ranked.filter(probe_ids & (F.col("cr") <= _IVF_NPROBE)).select(
-        F.col("vec_id").alias("q_id"), "cell"
+        cents = (
+            ex.join(F.broadcast(cent_ids), "vec_id")
+            .select("cell", "pos", F.col("v").alias("cv"))
+        )
+        for _ in range(_IVF_LLOYD_ROUNDS):
+            assigned = _cell_assignment(corpus, cents).filter(F.col("cr") == 1)
+            cents = (
+                corpus.join(assigned.select("vec_id", "cell"), "vec_id")
+                .groupBy("cell", "pos")
+                .agg(
+                    F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
+                    .cast("long")
+                    .alias("cv")
+                )
+            )
+        return cents
+
+    # The refined codebook and the corpus's cell assignment ARE the IVF
+    # index — per-corpus build artifacts, not per-query work. Left lazy,
+    # the Lloyd refinement subtree re-executes once per consuming plan
+    # subtree (the cnorm agg, the broadcast affinity join, both sides of
+    # the candidate join — measured ~4x => +1.0 s at sf0.1), so both
+    # live in the session's bounded releasable cache next to the
+    # quantized components: build once, serve every probe batch.
+    # Codebook = cells x dims rows (constants); inverted lists = one
+    # (vec_id, cell) row per corpus vector — o(corpus), spillable.
+    cents = shared_cache(spark, ("ivf_codebook", sf_dir), build_codebook)
+    corpus_cells = shared_cache(
+        spark,
+        ("ivf_lists", sf_dir),
+        lambda: _cell_assignment(ex.filter(~probe_ids), cents)
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "cell"),
+    )
+    probe_cells = (
+        _cell_assignment(ex.filter(probe_ids), cents)
+        .filter(F.col("cr") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), "cell")
     )
     cand = (
         corpus_cells.join(F.broadcast(probe_cells), "cell")
