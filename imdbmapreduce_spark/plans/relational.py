@@ -1588,10 +1588,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top revenue supplier(s) for a quarter.
 
     Scale: the revenue view is one fact aggregation (|suppliers| rows
-    after map-side combine); its max is a second-level 1-row agg
-    broadcast back (scalar-subquery shape, single-row build side —
-    bounded). Equality on exact long cents means ties surface as
-    multiple rows deterministically, not float-fuzzily.
+    after map-side combine); its max folds in as an empty-partition
+    window over the AGGREGATED view — one extra exchange of
+    |suppliers| (dimension-bounded) slim rows, and the fact is scanned
+    exactly ONCE. The separate-scalar-subquery form (agg + broadcast
+    join back) re-scans the fact: Spark's exchange reuse does not
+    canonicalize across the two aggregation subtrees
+    (tests/test_tpch2.py pins the single-scan property). Equality on
+    exact long cents means ties surface as multiple rows
+    deterministically, not float-fuzzily.
     """
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -1603,9 +1608,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    top = revenue.agg(F.max("rev_cents").alias("max_cents"))
     return (
-        revenue.join(F.broadcast(top))
+        revenue.withColumn("max_cents", F.max("rev_cents").over(Window.partitionBy()))
         .filter(F.col("rev_cents") == F.col("max_cents"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(
