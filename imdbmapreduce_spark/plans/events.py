@@ -621,3 +621,46 @@ def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.event_id").alias("first_event_id"),
         F.col("f.event_type").alias("first_type"),
     )
+
+
+@query("events_heavy_hitters_sketch")  # no SQL oracle: sketch internals; self-audited
+def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent users next to their exact counts, with the
+    deterministic error bound surfaced and checked as a column — the
+    frequent-items member of the sketch family (HLL distinct counts and
+    KLL quantiles being the other two), audited the same way
+    approx_quantile_error audits KLL.
+
+    Columns: (user_id, est, exact_cnt, err, bound, within_bound). The
+    sketch guarantees est <= exact <= est + bound, so within_bound is
+    all-true by construction — surfacing it makes the driver's rows-only
+    check a real audit, and tests/test_sketches.py locks the guarantee
+    on an adversarially skewed corpus.
+
+    Scale: the exact side is a groupBy on user_id (fine HERE — the user
+    domain is small; the sketch exists for domains where it isn't). The
+    sketch side moves only summary rows (partitions x k), never the
+    fact. See operators/sketches.py for the merge math.
+    """
+    from imdbmapreduce_spark.operators.sketches import misra_gries
+
+    ev = table(spark, sf_dir, "events")
+    sk = misra_gries(ev, "user_id", k=64)
+    exact = ev.groupBy(F.col("user_id").cast("long").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return (
+        sk.join(exact, "item")
+        .select(
+            F.col("item").alias("user_id"),
+            "est",
+            "exact_cnt",
+            (F.col("exact_cnt") - F.col("est")).alias("err"),
+            "bound",
+            (
+                (F.col("est") <= F.col("exact_cnt"))
+                & (F.col("exact_cnt") <= F.col("est") + F.col("bound"))
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("est"), "user_id")
+    )
