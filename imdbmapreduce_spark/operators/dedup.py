@@ -123,10 +123,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_DF_CAP = 100
 
 
-@query(
-    "neardup_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (
+# The full Jaccard-pair derivation as a reusable DuckDB CTE chain —
+# consumed by this query's oracle, dedup_clusters' closure oracle, and the
+# near-dup graph analytics in plans/relational.py.
+_DUCK_JAC_CTES = f"""toks AS (
       SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -144,14 +144,21 @@ _SHINGLE_DF_CAP = 100
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT p.doc_a, p.doc_b, p.n_common,
-           sa.n_sh AS n_a, sb.n_sh AS n_b,
-           CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
-    FROM pairs p
-    JOIN sizes sa ON p.doc_a = sa.doc_id
-    JOIN sizes sb ON p.doc_b = sb.doc_id
-    WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.6
+    ), jac_edges AS (
+      SELECT p.doc_a, p.doc_b, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+             CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.6
+    )"""
+
+
+@query(
+    "neardup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_JAC_CTES}
+    SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard FROM jac_edges
     """,
 )
 def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

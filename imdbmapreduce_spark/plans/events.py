@@ -664,3 +664,161 @@ def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("est"), "user_id")
     )
+
+
+@query(
+    "user_state_history_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS ts_us,
+             event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_us, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts_us AS valid_from_us,
+           LEAD(ts_us) OVER w2 AS valid_to_us,
+           CAST(LEAD(ts_us) OVER w2 IS NULL AS BOOLEAN) AS is_current,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ORDER BY user_id, version
+    """,
+)
+def user_state_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: each user's event_type stream becomes
+    versioned validity intervals — (state, valid_from, valid_to,
+    is_current, version), half-open, gap-free, exactly one open row per
+    user. The dimension-history shape every warehouse needs next to the
+    SCD-1 upsert (customer_upsert_merge); the reference only ever keeps
+    last-write-wins state (csv_to_ets.erl:27-53) — this is the general
+    form that remembers.
+
+    Plan: one window pass ordered by (ts, event_id) per user detects
+    state changes (lag), a second numbers the surviving change rows and
+    closes each interval with lead. Run-length compression first means
+    the second window sorts only change rows, not the full stream.
+
+    Scale: both windows partition by user_id — the same single shuffle
+    key; Spark evaluates them in one Exchange + sort since the
+    partitioning matches. Skewed users are bounded by their own event
+    counts (no cross-user data movement); the deterministic (ts,
+    event_id) tiebreak makes versions stable under any partitioning.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        changes.withColumn("valid_to_us", F.lead("ts_us").over(w2))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .withColumn("version", F.row_number().over(w2).cast("long"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_us").alias("valid_from_us"),
+            "valid_to_us",
+            "is_current",
+            "version",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# OLS x-origin: fixed epoch (2024-01-01 UTC) — slope is invariant to x
+# translation, the intercept is reported AT this origin, and a constant
+# origin keeps the plan single-pass (a data-derived min would cost a scan).
+_OLS_ORIGIN_US = 1_704_067_200_000_000
+
+
+@query(
+    "events_value_trend_ols",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM((epoch_us(ts) - {_OLS_ORIGIN_US}) // 1000000) AS sx,
+             SUM(CAST(round(value*100) AS BIGINT)) AS sy,
+             SUM(((epoch_us(ts) - {_OLS_ORIGIN_US}) // 1000000)
+                 * ((epoch_us(ts) - {_OLS_ORIGIN_US}) // 1000000)) AS sxx,
+             SUM(((epoch_us(ts) - {_OLS_ORIGIN_US}) // 1000000)
+                 * CAST(round(value*100) AS BIGINT)) AS sxy
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope_cents_per_sec,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept_cents
+    FROM stats
+    ORDER BY event_type
+    """,
+)
+def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend of event value over time, computed
+    from SUFFICIENT STATISTICS — the pattern for fitting millions of
+    per-group models without per-group iteration: one partial/final agg
+    accumulates (n, Σx, Σy, Σxx, Σxy) as exact int64 sums
+    (order-independent under any partitioning), then slope/intercept are
+    closed-form double expressions over those integers, bit-identical in
+    DuckDB because both engines combine the SAME integers with the SAME
+    IEEE operations.
+
+    x = whole seconds since a fixed origin (slope is
+    translation-invariant; the intercept is reported at the origin);
+    y = exact value cents. Int64 bounds: |x| < 2^31 for a ±68-year span,
+    y ≤ 2^31 cents, so Σxy < 2^62 up to ~1 rows-per-group — headroom
+    documented rather than discovered.
+
+    Scale: the exchange carries 5 longs per (task, group) — map-side
+    combine makes the model fit as cheap as a COUNT(*). This is how
+    regression/covariance/variance families distribute; iterative
+    optimizers only appear when the model stops being closed-form
+    (and then they look like pagerank_cosuppliers' loop).
+    """
+    ev = table(spark, sf_dir, "events")
+    # floor (not truncate-toward-zero) matches DuckDB's // for pre-origin
+    # timestamps too — negative x is valid, only the division must agree
+    x = F.floor((F.unix_micros("ts") - F.lit(_OLS_ORIGIN_US)) / 1_000_000).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        slope.alias("slope_cents_per_sec"),
+        ((syd - slope * sxd) / nd).alias("intercept_cents"),
+    ).orderBy("event_type")

@@ -24,6 +24,7 @@ from imdbmapreduce_spark.functions import (
     one_minus_cents,
     one_plus_cents,
 )
+from imdbmapreduce_spark.operators.dedup import _DUCK_JAC_CTES as _NEARDUP_JAC_CTES
 from imdbmapreduce_spark.registry import query
 
 # DuckDB spelling of the cents helpers (see imdbmapreduce_spark.functions:
@@ -1618,4 +1619,124 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_cents").cast("double") / 10000.0).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "neardup_graph_triangles",
+    oracle="""
+    WITH {JAC},
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM jac_edges),
+    deg AS (
+      SELECT s, COUNT(*) AS d
+      FROM (SELECT u AS s FROM edges UNION ALL SELECT v AS s FROM edges)
+      GROUP BY s
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e JOIN deg du ON e.u = du.s JOIN deg dv ON e.v = dv.s
+    ),
+    wedges AS (
+      SELECT LEAST(o1.dst, o2.dst) AS x, GREATEST(o1.dst, o2.dst) AS y
+      FROM oriented o1 JOIN oriented o2
+        ON o1.src = o2.src AND o1.dst < o2.dst
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM wedges w JOIN edges e ON w.x = e.u AND w.y = e.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COALESCE(SUM(d*(d-1)//2), 0) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(n_tri AS BIGINT) FROM tri) AS n_triangles,
+           CASE WHEN (SELECT SUM(d*(d-1)//2) FROM deg) > 0
+                THEN 3.0 * (SELECT n_tri FROM tri)
+                     / (SELECT SUM(d*(d-1)//2) FROM deg)
+           END AS global_clustering
+    """.replace("{JAC}", _NEARDUP_JAC_CTES),
+)
+def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    near-duplicate graph (3-gram Jaccard >= 0.6 pairs), via DEGREE-ORDERED
+    orientation — the technique that makes triangle enumeration survive
+    skew at scale.
+
+    Near-dup EDGES say pairs; triangles say how clique-like the dup
+    groups are — a high clustering coefficient validates treating
+    components (dedup_clusters) as interchangeable-duplicate sets, a low
+    one flags chained false positives (A~B~C with A!~C). The naive wedge
+    join keys on the shared vertex, so a degree-d hub generates d^2 wedge
+    rows; orienting every edge from its lower-(degree, id) endpoint caps
+    every vertex's OUT-degree at O(sqrt E), bounding wedges at
+    sum(outdeg^2) however skewed raw degrees are, and each triangle is
+    generated exactly once (it has exactly one vertex with two out-edges
+    in this orientation — no post-dedup pass).
+
+    Plan: edge list = the cached Jaccard pair artifact (zero extra scans
+    in a sweep) -> degree agg -> orientation (two joins on vertex id) ->
+    wedge self-join on src -> closing-edge join -> scalar aggregates
+    assembled by single-row cross joins. Nothing collects; every join
+    keys on vertex ids. The co-supplier graph was rejected as substrate:
+    the synthetic fact tables make it complete (clustering 1.0) at small
+    SFs and O(n^3)-wedge-dense at sf0.1 — triangle analytics belong on
+    naturally sparse similarity graphs.
+    """
+    from imdbmapreduce_spark.operators.dedup import neardup_ngram_jaccard
+
+    edges = neardup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("s"))
+        .unionAll(edges.select(F.col("v").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("s").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("s").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst"))
+    ).select(
+        F.least("o1.dst", "o2.dst").alias("u"), F.greatest("o1.dst", "o2.dst").alias("v")
+    )
+    n_tri = wedges.join(edges, ["u", "v"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    n_vertices = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return (
+        n_vertices.join(n_edges)
+        .join(n_wedges)
+        .join(n_tri)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("global_clustering"),
+        )
     )
