@@ -163,3 +163,57 @@ def test_streaming_registers_after_unverified_batch_but_inside_budget():
     assert not offenders, offenders
     # (b) streaming fits the driver budget
     assert last_s < 50, (last_s, names[: last_s + 1])
+
+
+def test_aqe_skew_join_splits_and_its_blind_spot(spark):
+    """SCALE.md defers skewed-key joins to 'AQE skew-join territory';
+    this pins (a) that AQE actually splits a skewed partition here, and
+    (b) the blind spot that keeps manual salting in the toolbox: a
+    downstream aggregation on the SAME key forbids the split (splitting
+    duplicates the key across tasks, breaking the agg's required
+    distribution), so AQE silently leaves the hot partition whole —
+    exactly the case events_salted_type_stats handles by salting.
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(1_000_000).select(
+            F.when(F.col("id") < 900_000, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+
+        def final_plan(df):
+            df.collect()
+            return (
+                df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+
+        # (a) terminal join: the 90%-hot key gets split
+        j = left.join(right, "k").agg(
+            F.sum(F.col("payload") + F.col("attr")).alias("total")
+        )
+        assert "skew=true" in final_plan(j)
+
+        # (b) same-key downstream agg: split forbidden, join stays whole
+        g = left.join(right, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        plan = final_plan(g)
+        assert "SortMergeJoin" in plan and "skew=true" not in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
