@@ -1,0 +1,94 @@
+"""Streaming keyed upsert sink — ``foreachBatch`` maintaining a
+last-write-wins table with versioned, atomically-swapped parquet state.
+
+The batch MERGE shape exists as ``customer_upsert_merge``
+(plans/relational.py); this is its streaming twin: every micro-batch
+merges into persistent keyed state, the pattern behind CDC apply,
+feature-store freshening, and the reference's own last-write-wins ETS
+replace (/root/reference/Code/csv_to_ets.erl:27-53) — made durable and
+restart-safe.
+
+Why versions + a pointer instead of overwriting in place: a parquet
+directory being overwritten while a reader lists it serves partial
+state. Writing version N+1 beside N and then flipping a tiny pointer
+file is the commit protocol every table format (Delta/Iceberg/Hudi)
+builds on; readers resolve the pointer first and only ever see a fully
+committed version. Old versions stay until a retention sweep — which
+also gives time travel for free.
+
+Exactly-once: state updates are idempotent per micro-batch — Spark may
+re-run a batch after a crash, and re-merging the same rows into
+last-write-wins state is a no-op — so checkpoint + idempotent merge =
+exactly-once table maintenance without sink transactions.
+
+Scale: each merge is one shuffle on the key (state ⋈ batch, both keyed);
+state reads are parquet scans with full pushdown. At 100 TB the state
+table is partitioned/bucketed by key so the merge co-locates, and the
+version sweep is a metadata delete.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["KeyedStateSink", "read_state"]
+
+_POINTER = "_CURRENT"
+
+
+def _current_version(state_path: str) -> int | None:
+    try:
+        with open(os.path.join(state_path, _POINTER)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Resolve the pointer, read that version — never a partial write."""
+    ver = _current_version(state_path)
+    if ver is None:
+        return None
+    return spark.read.parquet(os.path.join(state_path, f"v{ver:09d}"))
+
+
+class KeyedStateSink:
+    """``foreachBatch`` target: last-write-wins keyed state at ``state_path``.
+
+    ``keys`` identify a row; among rows sharing a key the one with the
+    greatest ``(order_cols)`` tuple wins — make the tuple total (include
+    a unique id) so the winner is deterministic under any partitioning.
+    """
+
+    def __init__(self, state_path: str, keys: list[str], order_cols: list[str]):
+        self.state_path = state_path
+        self.keys = keys
+        self.order_cols = order_cols
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = read_state(spark, self.state_path)
+        merged = batch_df if state is None else state.unionByName(batch_df)
+        w = Window.partitionBy(*self.keys).orderBy(
+            *[F.desc(c) for c in self.order_cols]
+        )
+        winner = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        prev = _current_version(self.state_path)
+        nxt = 0 if prev is None else prev + 1
+        winner.write.mode("overwrite").parquet(
+            os.path.join(self.state_path, f"v{nxt:09d}")
+        )
+        # commit: atomic pointer swap (write-temp + rename on one filesystem)
+        fd, tmp = tempfile.mkstemp(dir=self.state_path, prefix=".ptr_")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, os.path.join(self.state_path, _POINTER))

@@ -5,6 +5,7 @@ also proves micro-batch boundaries don't leak into results)."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from imdbmapreduce_spark import registry
 
@@ -147,3 +148,63 @@ def test_streaming_parquet_file_sink_exactly_once(spark, sf_dir, tmp_path):
     batch_keys = registry.get("dedup_exact").fn(spark, sf_dir).count()
     assert first == batch_keys
     assert again.select("content_key").distinct().count() == first
+
+
+def test_streaming_keyed_upsert_state_sink(spark, sf_dir, tmp_path):
+    """foreachBatch keyed-upsert: incremental micro-batches maintain a
+    last-write-wins table that (a) equals the batch recompute after every
+    drain, (b) survives a restart from the same checkpoint without
+    re-applying old data wrongly, and (c) never exposes partial state
+    (versioned dirs + pointer commit)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.streaming.upsert import KeyedStateSink, read_state
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    src, state, ckpt = f"{tmp_path}/src", f"{tmp_path}/state", f"{tmp_path}/ckpt"
+    os.makedirs(state)
+    sink = KeyedStateSink(state, keys=["user_id"], order_cols=["ts_us", "event_id"])
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*.parquet")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def expected(df):
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+        return {
+            (r.user_id, r.event_id)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .collect()
+        }
+
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half1.write.parquet(f"{src}/b1.parquet")
+    drain()
+    got1 = {(r.user_id, r.event_id) for r in read_state(spark, state).collect()}
+    assert got1 == expected(half1)
+
+    # restart with new data: checkpoint resumes, merge stays correct
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/b2.parquet")
+    drain()
+    final = read_state(spark, state)
+    assert {(r.user_id, r.event_id) for r in final.collect()} == expected(ev)
+    # one row per key, versions + pointer on disk
+    assert final.groupBy("user_id").count().filter("count > 1").count() == 0
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) >= 2 and os.path.exists(f"{state}/_CURRENT")
