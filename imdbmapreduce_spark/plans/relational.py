@@ -1740,3 +1740,76 @@ def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# Interval-bucket width for the scalable non-equi join below: ~the typical
+# band width, so a band expands into a handful of buckets and a fact row
+# joins at most a couple of candidate bands.
+_BAND_BUCKET_W = 1_000_000
+
+
+@query(
+    "price_band_bucketed",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)}
+    )
+    SELECT b.band,
+           COUNT(*) AS n_lines,
+           CAST(SUM({_C.format(col='l.l_extendedprice')}) AS DOUBLE)/100.0 AS total_price
+    FROM lineitem l
+    JOIN bands b
+      ON {_C.format(col='l.l_extendedprice')} >= b.lo
+     AND {_C.format(col='l.l_extendedprice')} < b.hi
+    GROUP BY 1
+    """,
+)
+def price_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for the non-equi range join — same answer as
+    ``price_band_assignment``, same oracle, different physical plan:
+    interval bucketing turns the theta join into a hash EQUI-join.
+
+    ``price_band_assignment`` is broadcast-nested-loop, correct only
+    while the band table is bounded; a growing right side (per-customer
+    rate cards, per-day tariffs) would force a cartesian product. Here
+    each band explodes into the fixed-width buckets it covers
+    (``sequence(lo div W, (hi-1) div W)``) and each fact row computes its
+    bucket (``pc div W``); the join is then a plain equi-join on the
+    bucket id with the exact range predicate re-applied as a residual
+    filter. Rows per fact = bands covering its bucket (~1-2 with W near
+    the band width) — this is the MapReduce theta-join recipe
+    (1-Bucket-Theta specialization for interval containment) and what
+    engines' range-join optimizations do under the hood.
+
+    Scale: both sides shuffle (or broadcast, AQE's call) on a UNIFORM
+    integer key whose cardinality is domain/W — no nested loop anywhere.
+    W is the one knob: too small explodes wide bands into many buckets,
+    too large makes each bucket carry many candidate bands; set it near
+    the median band width. Residual filtering is codegen.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bands = li.sparkSession.createDataFrame(_BANDS, "band string, lo long, hi long")
+    w = F.lit(_BAND_BUCKET_W)
+    expanded = bands.select(
+        "band",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / w).cast("long"),
+                ((F.col("hi") - 1) / w).cast("long"),
+            )
+        ).alias("bkt"),
+    )
+    fact = li.select(cents("l_extendedprice").alias("pc")).withColumn(
+        "bkt", (F.col("pc") / w).cast("long")
+    )
+    return (
+        fact.join(expanded, "bkt")
+        .filter((F.col("pc") >= F.col("lo")) & (F.col("pc") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("pc").cast("double") / 100.0).alias("total_price"),
+        )
+    )

@@ -105,3 +105,17 @@ def test_q20_threshold_compares_in_integers(spark, sf_dir):
     part_scan = next(s for s in _scans(plan) if "part.parquet" in s)
     pushed = part_scan.split("PushedFilters")[1][:300]
     assert "StringStartsWith" in pushed or "p_name" in pushed
+
+
+def test_price_band_bucketed_is_equi_join(spark, sf_dir):
+    """The interval-bucketed variant must plan as a hash/broadcast
+    EQUI-join on the bucket id — zero nested-loop operators — and agree
+    exactly with the broadcast-nested-loop original."""
+    bnl = registry.get("price_band_assignment").fn(spark, sf_dir)
+    eq = registry.get("price_band_bucketed").fn(spark, sf_dir)
+    a = {(r.band, r.n_lines, r.total_price) for r in bnl.collect()}
+    b = {(r.band, r.n_lines, r.total_price) for r in eq.collect()}
+    assert a == b
+    plan = eq._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS still a join, keyed on bkt
