@@ -1813,3 +1813,93 @@ def price_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("pc").cast("double") / 100.0).alias("total_price"),
         )
     )
+
+
+@query(
+    "neardup_cluster_keepers",
+    oracle="""
+    WITH RECURSIVE {JAC},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_edges
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jac_edges
+    ), walk(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.r
+    ), assign AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY node
+    ), qual AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             (len(toks) >= 20 AND len(list_distinct(toks)) * 4 >= len(toks))
+               AS is_quality
+      FROM (SELECT doc_id, t AS toks FROM toks) q
+      WHERE len(toks) > 0
+    ), scored AS (
+      SELECT a.cluster_id, a.doc_id,
+             COALESCE(q.n_tokens, 0) AS n_tokens,
+             COALESCE(q.is_quality, FALSE) AS is_quality
+      FROM assign a LEFT JOIN qual q ON a.doc_id = q.doc_id
+    )
+    SELECT g.cluster_id, g.n_members, g.n_quality_members, k.keep_id
+    FROM (
+      SELECT cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(CASE WHEN is_quality THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_members
+      FROM scored GROUP BY cluster_id
+    ) g
+    JOIN (
+      SELECT cluster_id, doc_id AS keep_id
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY cluster_id
+              ORDER BY is_quality DESC, n_tokens DESC, doc_id ASC) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ) k ON g.cluster_id = k.cluster_id
+    """.replace("{JAC}", _NEARDUP_JAC_CTES),
+)
+def neardup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation keeper selection: for every near-dup cluster, keep the
+    BEST member — quality gate first, then token count, then lowest id —
+    not merely the lowest id. The near-dup analog of dedup_exact's
+    min-id policy, composing three registered artifacts (Jaccard pairs →
+    components → quality scores) into the row a curation pipeline
+    actually writes out.
+
+    Plan: cluster assignment (cached pair artifact + component loop) left-
+    joins quality scores, then ONE struct arg-max per cluster — the same
+    single-agg latest/best-record pattern as events_first_touch, no
+    ranking window, no per-cluster sort. Docs whose token stream is empty
+    (unscorable) stay eligible as keepers of their singleton clusters via
+    the left join + coalesce, so every document is accounted for.
+
+    Scale: one shuffle keyed on cluster_id (cardinality ~ n_docs); the
+    argmax struct is map-side combinable. Giant clusters are the skew
+    case — bounded here by near-dup semantics (a cluster is a dup
+    group), and AQE's skew split applies since nothing downstream needs
+    the cluster key's distribution.
+    """
+    from imdbmapreduce_spark.operators.dedup import dedup_clusters
+    from imdbmapreduce_spark.operators.text import doc_quality
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    qual = doc_quality(spark, sf_dir).select("doc_id", "n_tokens", "is_quality")
+    scored = clusters.join(qual, "doc_id", "left").select(
+        "cluster_id",
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("is_quality", F.lit(False)).alias("is_quality"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("is_quality").cast("int").alias("q"),
+            F.col("n_tokens").alias("t"),
+            (-F.col("doc_id")).alias("negid"),
+        )
+    )
+    return scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("is_quality").cast("int")).cast("long").alias("n_quality_members"),
+        (-best.getField("negid")).alias("keep_id"),
+    )
