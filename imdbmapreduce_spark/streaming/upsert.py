@@ -49,12 +49,21 @@ def _current_version(state_path: str) -> int | None:
         return None
 
 
-def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
-    """Resolve the pointer, read that version — never a partial write."""
-    ver = _current_version(state_path)
+def read_state(
+    spark: SparkSession, state_path: str, version: int | None = None
+) -> DataFrame | None:
+    """Resolve the pointer (or an explicit ``version``) and read that
+    snapshot — never a partial write. Passing an old version is time
+    travel: every committed version remains readable until a retention
+    sweep removes it, exactly the contract table formats expose.
+    """
+    ver = _current_version(state_path) if version is None else version
     if ver is None:
         return None
-    return spark.read.parquet(os.path.join(state_path, f"v{ver:09d}"))
+    path = os.path.join(state_path, f"v{ver:09d}")
+    if version is not None and not os.path.isdir(path):
+        raise ValueError(f"version {version} not present at {state_path!r}")
+    return spark.read.parquet(path)
 
 
 class KeyedStateSink:

@@ -198,6 +198,9 @@ def test_streaming_keyed_upsert_state_sink(spark, sf_dir, tmp_path):
     drain()
     got1 = {(r.user_id, r.event_id) for r in read_state(spark, state).collect()}
     assert got1 == expected(half1)
+    from imdbmapreduce_spark.streaming.upsert import _current_version
+
+    ver_after_first_drain = _current_version(state)
 
     # restart with new data: checkpoint resumes, merge stays correct
     ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/b2.parquet")
@@ -208,3 +211,14 @@ def test_streaming_keyed_upsert_state_sink(spark, sf_dir, tmp_path):
     assert final.groupBy("user_id").count().filter("count > 1").count() == 0
     versions = [d for d in os.listdir(state) if d.startswith("v")]
     assert len(versions) >= 2 and os.path.exists(f"{state}/_CURRENT")
+    # time travel: the version committed by the first drain still reads
+    # as exactly the first-drain state
+    v0 = {
+        (r.user_id, r.event_id)
+        for r in read_state(spark, state, version=ver_after_first_drain).collect()
+    }
+    assert v0 == expected(half1)
+    import pytest
+
+    with pytest.raises(ValueError, match="not present"):
+        read_state(spark, state, version=99)
