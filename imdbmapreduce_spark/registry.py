@@ -55,6 +55,60 @@ def query(
     return wrap
 
 
+def driver_verified_names() -> frozenset[str]:
+    """Names with a green driver CORRECTNESS row in any prior round.
+
+    Reads the committed ``CORRECTNESS_r*.json`` files at the repo root
+    (the driver's own output). A row counts as green when the value hash
+    matched, or when the check was ``no_oracle`` by design (the weak
+    rows-only audit — re-sweeping it cannot strengthen the signal).
+    Missing/unreadable files degrade to "nothing verified", which only
+    makes the sweep order more conservative.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path, encoding="utf-8") as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                green.add(name)
+    return frozenset(green)
+
+
+def sweep_order() -> list[str]:
+    """Driver sweep order: never-verified queries first.
+
+    The driver checks queries in the order ``queries()`` yields them,
+    under a fixed ~50-query budget — so ordering IS the verification
+    policy. Three tiers, each in registration order:
+
+    1. batch queries with NO green driver row in any prior round —
+       these need the external signal most;
+    2. the streaming vertical, as one contiguous block — after every
+       batch query that still needs a row (its micro-batch wall-clock
+       must never starve one: the round-2 regression), but still inside
+       the budget so post-fix streaming rows actually land (the round-3
+       gap);
+    3. batch queries already green in a prior round — re-verification
+       is a bonus, not a need.
+    """
+    _load_plans()
+    names = list(_REGISTRY)
+    green = driver_verified_names()
+    tier1 = [n for n in names if n not in green and not n.startswith("streaming_")]
+    tier2 = [n for n in names if n.startswith("streaming_")]
+    tier3 = [n for n in names if n in green and not n.startswith("streaming_")]
+    return tier1 + tier2 + tier3
+
+
 def bench_queries() -> dict[str, QueryFn]:
     _load_plans()
     return {name: rq.fn for name, rq in _REGISTRY.items() if rq.bench}
@@ -62,12 +116,16 @@ def bench_queries() -> dict[str, QueryFn]:
 
 def all_queries() -> dict[str, QueryFn]:
     _load_plans()
-    return {name: rq.fn for name, rq in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in sweep_order()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_plans()
-    return {name: rq.oracle for name, rq in _REGISTRY.items() if rq.oracle is not None}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in sweep_order()
+        if _REGISTRY[name].oracle is not None
+    }
 
 
 def get(name: str) -> RegisteredQuery:

@@ -129,40 +129,37 @@ def test_q19_disjunction_pushes_partial_filters_to_both_scans(spark, sf_dir):
     assert "Or(Or(And(EqualTo(p_brand" in plan
 
 
-def test_streaming_registers_after_unverified_batch_but_inside_budget():
-    """Driver-sweep ordering guard. The driver checks queries in
-    registration order under a ~50-query budget, so ordering IS the
-    verification policy. Two invariants:
+def test_sweep_order_prioritizes_never_verified_queries():
+    """Driver-sweep ordering guard. The driver checks queries in the
+    order ``queries()`` yields them under a ~50-query budget, so
+    ordering IS the verification policy. The registry derives the order
+    from the committed CORRECTNESS_r*.json files (tier 1: batch queries
+    with no green driver row; tier 2: the streaming block; tier 3:
+    already-verified batch). Invariants:
 
-    (a) round-2 regression: the wall-clock-bound streaming vertical
-        registers after every batch vertical that still needs a driver
-        row (everything except the triple-verified events/relational
-        families), so a slow or broken streaming query can never starve
-        one of its correctness row;
-    (b) round-3 gap: the streaming block must still land INSIDE the
-        ~50-query budget — round 3 pushed it past the cutoff and the
-        post-fix streaming queries went unverified for two rounds. Only
-        the events/relational families (green driver rows in r1+r2+r3)
-        may sit behind streaming.
+    (a) every query with no green driver row in any prior round sorts
+        before every already-verified batch query — the budget reaches
+        the queries that need the external signal most;
+    (b) round-2 regression: streaming (wall-clock-bound micro-batch
+        drains) sits after every batch query that still needs a row, so
+        a slow or broken streaming query can never starve one;
+    (c) round-3 gap: the streaming block still lands INSIDE the ~50
+        budget, as one contiguous block.
     """
     names = list(registry.all_queries())
+    green = registry.driver_verified_names()
+    assert green, "committed CORRECTNESS files must yield verified names"
     stream_idx = [i for i, n in enumerate(names) if n.startswith("streaming_")]
     first_s, last_s = min(stream_idx), max(stream_idx)
-    # contiguous block
+    # (c) contiguous block inside the budget
     assert stream_idx == list(range(first_s, last_s + 1)), stream_idx
-    # (a) only the multiply-verified families register after streaming
-    late_modules = {
-        "imdbmapreduce_spark.plans.events",
-        "imdbmapreduce_spark.plans.relational",
-    }
-    offenders = [
-        n
-        for n in names[last_s + 1 :]
-        if registry.get(n).fn.__module__ not in late_modules
-    ]
-    assert not offenders, offenders
-    # (b) streaming fits the driver budget
     assert last_s < 50, (last_s, names[: last_s + 1])
+    # (a)+(b) tier structure: unverified batch < streaming < verified batch
+    for i, n in enumerate(names):
+        if i < first_s:
+            assert n not in green and not n.startswith("streaming_"), (i, n)
+        elif i > last_s:
+            assert n in green and not n.startswith("streaming_"), (i, n)
 
 
 def test_aqe_skew_join_splits_and_its_blind_spot(spark):
