@@ -49,26 +49,41 @@ def main() -> None:
             runs[name].append(time.monotonic() - t0)
     timings = {name: round(sorted(ts)[len(ts) // 2], 4) for name, ts in runs.items()}
 
-    # Key order matters: the driver's capture keeps only the TAIL of long
-    # lines, and with 80+ queries the line exceeds that window. Putting
-    # "queries" first and the summary scalars last guarantees the totals
-    # survive truncation; the full record is also written to BENCH_LOCAL.json
-    # (committed per round) so no per-query number is ever lost.
-    out = {
-        "queries": timings,
+    # The driver's capture keeps only the LAST 2000 chars of stdout and
+    # parses the JSON line out of that window (measured: BENCH_r01-03 all
+    # have tail_len=2000; r03's 75-query line overflowed it and the driver
+    # recorded parsed=null). So the stdout line must stay under the window:
+    # inline the slowest queries first (the informative ones) up to a char
+    # budget, fold the rest into an "..." remainder entry, and commit the
+    # complete per-query map to BENCH_LOCAL.json so no number is lost.
+    full = {
         "metric": "headline_queries_total",
-        "unit": "sec",
-        "sf": sf,
         "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
     }
-    print(json.dumps(out))
     try:
         local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
         with open(local, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=False)
+            json.dump(full, f, indent=1, sort_keys=False)
             f.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout line is still authoritative
+
+    _LINE_BUDGET = 1800  # driver window is 2000; leave headroom
+    inline: dict[str, float] = {}
+    omitted = dict(timings)
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        candidate = {**inline, name: round(timings[name], 3)}
+        probe = dict(full, queries={**candidate, "...": 0.0})
+        if len(json.dumps(probe)) > _LINE_BUDGET:
+            break
+        inline = candidate
+        del omitted[name]
+    if omitted:
+        inline["..."] = round(sum(omitted.values()), 3)  # remainder, see BENCH_LOCAL.json
+    print(json.dumps(dict(full, queries=inline)))
     # Sweep over: release the shared corpus artifacts (shingle sets,
     # quantized components) so a host embedding this harness reclaims
     # storage memory — the bounded-cache contract in cache.py.
