@@ -502,3 +502,129 @@ def curated_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n2").alias("sum_norm2"),
         )
     )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h, length(text) AS chars
+      FROM documents WHERE doc_id % 10 <> 7
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 5 THEN text || ' [rev2]' ELSE text END) AS h,
+             length(CASE WHEN doc_id % 10 = 5 THEN text || ' [rev2]' ELSE text END) AS chars
+      FROM documents WHERE doc_id % 10 <> 3
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h = v2.h       THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(v2.chars, v1.chars)) AS BIGINT) AS total_chars
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: classify every document across two corpus
+    snapshots as added / removed / changed / unchanged by content hash —
+    the audit step between two releases of a training set (what changed
+    since the last crawl refresh, and how much text moved).
+
+    The two versions are derived deterministically from the one
+    ``documents`` table (v1 drops ids ≡7 (mod 10), v2 drops ≡3 and
+    revises ≡5); in production each side is its own snapshot directory
+    and the plan is identical from the join down.
+
+    Scale: each side reduces to (doc_id, md5, chars) — 40 bytes/doc —
+    before the full-outer join, so the shuffle carries digests, never
+    text. The join keys on unique doc_id (uniform, no skew); the status
+    CASE and the final agg are codegen expressions over ~4 groups. md5
+    rather than xxhash64 so DuckDB reproduces the digest bit-for-bit;
+    at 100 TB you'd still hash-then-join exactly this way (hash each
+    snapshot once, shuffle 40-byte rows, never ship document bodies).
+    """
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        F.md5("text").alias("h1"),
+        F.length("text").cast("long").alias("chars1"),
+    )
+    rev = F.when(
+        F.col("doc_id") % 10 == 5, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    v2 = docs.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.md5(rev).alias("h2"),
+        F.length(rev).cast("long").alias("chars2"),
+    )
+    joined = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") == F.col("h2"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            F.coalesce("chars2", "chars1").alias("chars"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "corpus_manifest",
+    oracle=f"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+           COUNT(DISTINCT md5(text)) AS distinct_texts,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_docs
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition manifest: the per-(source, language) release
+    report a training-data pipeline publishes with every dataset drop —
+    document and token counts, mean length, and exact-duplicate mass.
+
+    Scale: one scan of ``documents``; counts/sums partial-aggregate
+    map-side; the distinct-digest count rewrites to a two-phase agg
+    keyed on (source, lang, md5) — digests (16 B) shuffle, not text,
+    and the key space is uniform because the digest dominates it. The
+    average divides an exact integer sum once (order-independent).
+    Everything is whole-stage codegen; adding per-group token quantiles
+    would be the only reason to touch a sketch here.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(tokens("text")).cast("long").alias("n_toks"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.countDistinct("h").alias("distinct_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("dup_docs"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -146,3 +146,31 @@ def test_sequence_packing_straddle_path(spark):
         assert (g["off"] + g["n_tokens"]).iloc[:-1].tolist() == g["off"].iloc[1:].tolist()
     # exactly-one-token doc occupies exactly one bin
     assert by_id.loc[4, "n_bins"] == 1
+
+
+def test_snapshot_diff_partitions_account_for_both_versions(spark, sf_dir):
+    """The four statuses must exactly tile v1 ∪ v2: |v1| = unchanged +
+    changed + removed and |v2| = unchanged + changed + added — the
+    bookkeeping identity an auditor checks a release diff against."""
+    from imdbmapreduce_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    n_v1 = docs.filter(F.col("doc_id") % 10 != 7).count()
+    n_v2 = docs.filter(F.col("doc_id") % 10 != 3).count()
+    got = {
+        r["status"]: r["n_docs"]
+        for r in P.corpus_snapshot_diff(spark, sf_dir).collect()
+    }
+    assert n_v1 == got.get("unchanged", 0) + got.get("changed", 0) + got.get("removed", 0)
+    assert n_v2 == got.get("unchanged", 0) + got.get("changed", 0) + got.get("added", 0)
+    # every revised-and-surviving doc (≡5 mod 10, not dropped) is 'changed'
+    n_revised = docs.filter((F.col("doc_id") % 10 == 5)).count()
+    assert got.get("changed", 0) == n_revised
+
+
+def test_snapshot_diff_shuffles_digests_not_text(spark, sf_dir):
+    """Scale claim: the full-outer join exchanges (doc_id, md5, chars)
+    rows — the document body never enters a shuffle."""
+    plan = _executed_plan(P.corpus_snapshot_diff(spark, sf_dir))
+    for seg in plan.split("Exchange")[1:]:
+        assert "text#" not in seg.split("\n")[0], seg[:200]

@@ -44,6 +44,13 @@ def value_hash(pdf):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 qs, oracles = mod.queries(), mod.oracle_sql()
+# Optional argv filter: `python tools/driver_sim.py name1 name2` checks
+# only those queries — the incremental loop when adding an operator.
+# No args = the full sweep (the pass condition for a round).
+if len(sys.argv) > 1:
+    unknown = [n for n in sys.argv[1:] if n not in qs]
+    assert not unknown, f"unknown queries: {unknown}"
+    qs = {n: qs[n] for n in sys.argv[1:]}
 fails = []
 for name in sorted(qs):
     sdf = qs[name](spark, SF).toPandas()
