@@ -822,3 +822,65 @@ def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_sec"),
         ((syd - slope * sxd) / nd).alias("intercept_cents"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_distinct_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: build one Datasketches HLL sketch of
+    distinct users PER (event_type, day), then merge the daily sketches
+    with ``hll_union_agg`` into per-type totals — the incremental
+    pattern where daily jobs persist a few-KB binary sketch and the
+    monthly rollup unions sketches instead of rescanning the raw 100 TB.
+    (``events_approx_distinct`` is the one-shot in-query sketch; this is
+    the two-level materialize-then-merge form.)
+
+    Driver check: sketch registers are engine-specific, so the surfaced
+    columns are the exact distinct count plus a determinism-safe audit
+    flag — whether the merged estimate lands within HLL's 5-sigma band
+    (lgConfigK=14 → rse ≈ 0.81%, 5 % is >6 sigma; the estimate is a
+    deterministic function of the input set, so the flag is stable).
+    The raw estimate and merge-associativity (union of partials equals
+    the direct whole-scan sketch) are pinned in tests/test_events_extra.py.
+
+    Scale: level 1 exchanges |type × day| fixed-size sketches (map-side
+    partial merge), level 2 exchanges |type| of them; distinct users per
+    day never ship as rows. The exact column beside it is the
+    expand+two-shuffle plan, present for the audit only — a production
+    rollup would drop it and keep the sketch column as the stored
+    artifact.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -47,3 +47,28 @@ def test_ntz_normalize_does_not_mutate_session_timezone(spark):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_hll_sketch_merge_matches_direct_sketch(spark, sf_dir):
+    """Merge associativity of the mergeable-HLL rollup: unioning the
+    per-day sketches must estimate exactly what one direct whole-scan
+    sketch estimates (same registers → same estimate), and land within
+    the 5% audit band of the exact count for every event type."""
+    from imdbmapreduce_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    rows = merged.join(direct, "event_type").collect()
+    assert rows
+    for r in rows:
+        assert r.est == r.est_direct, (r.event_type, r.est, r.est_direct)
+        assert abs(r.est - r.exact) <= 0.05 * r.exact, (r.event_type, r.est, r.exact)
