@@ -214,3 +214,52 @@ def test_aqe_skew_join_splits_and_its_blind_spot(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_when_dim_exceeds_broadcast(spark, sf_dir):
+    """SCALE.md's runtime-filter claim: when a selective dimension side is
+    too big to broadcast (the 100 TB regime — modeled by disabling
+    broadcast), Spark injects a runtime Bloom filter: the dim side
+    aggregates a bloom_filter_agg, and the fact scan applies
+    might_contain BEFORE the shuffle, so non-qualifying fact rows never
+    enter the exchange. When broadcast IS possible, no Bloom filter is
+    injected — the broadcast hash join itself is the runtime filter."""
+    from imdbmapreduce_spark.catalog import table
+
+    def plan_for(disable_broadcast: bool) -> str:
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        # sf0.001's scans are far below the application-side threshold
+        # (10 GiB default) — lower it to model the 100 TB fact side.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        with_filter = plan_for(True)
+        assert "might_contain" in with_filter, with_filter[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    without = plan_for(False)
+    assert "BroadcastHashJoin" in without and "might_contain" not in without
