@@ -430,12 +430,29 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 @query("simhash_pairs")  # no SQL oracle: hash-family specifics; see tests
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: permuted-block candidate join + exact
-    Hamming verify.
+    Hamming verify — :func:`simhash_fingerprints` piped into the shared
+    :func:`hamming_pairs` banded join.
+
+    Scale: see :func:`hamming_pairs` (the join machinery) and
+    :func:`simhash_fingerprints` (the fingerprint build).
+    """
+    members = shared_cache(
+        spark,
+        ("simhash_fp", sf_dir),
+        lambda: simhash_fingerprints(table(spark, sf_dir, "documents")),
+    )
+    return hamming_pairs(members)
+
+
+def hamming_pairs(members: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All pairs within ``max_hamming`` bits over ANY (doc_id, fp) input —
+    the fingerprint source is pluggable (token SimHash, image perceptual
+    hash, audio chromaprint, ...); this is the shared scale path.
 
     20 tables keyed on 3-of-6 fingerprint blocks (~32 key bits) guarantee
     recall for Hamming distance <= 3 (pigeonhole over blocks — see the
     _BLOCK_WIDTHS comment) while keeping background collisions ~n²/2^32
-    per table instead of the old chunk scheme's n²/2^16.
+    per table instead of a 16-bit chunk scheme's n²/2^16.
 
     Scale: fingerprints are 8 bytes/doc; the table join shuffles 20 slim
     rows per DISTINCT fingerprint (linear), its output is
@@ -443,12 +460,6 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters never enter it at all. bit_count is a single codegen'd
     instruction.
     """
-    members = shared_cache(
-        spark,
-        ("simhash_fp", sf_dir),
-        lambda: simhash_fingerprints(table(spark, sf_dir, "documents")),
-    )
-
     # Identical-fingerprint clusters (the dominant mass in a duplicate-
     # heavy corpus — one 249-doc cluster at sf0.1 alone is 31k pairs)
     # short-circuit the banded join entirely: emit their pairs directly
@@ -501,8 +512,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # filter BEFORE dedup: only true fp pairs (<= 20 copies each)
         # reach the dropDuplicates shuffle; background collisions at ~32
-        # key bits are negligible.
-        .filter(F.col("hamming") <= 3)
+        # key bits are negligible. (Recall is guaranteed for <= 3; a
+        # larger max_hamming keeps correctness of emitted pairs but the
+        # pigeonhole bound no longer covers every pair.)
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["fp_a", "fp_b"])
     )
     # expand verified fp pairs to doc pairs — two output-sized joins

@@ -139,3 +139,49 @@ def test_real_codec_lane_decodes_true_geometry(spark):
     for i, (w, h) in enumerate(sizes):
         assert (out[i].width, out[i].height) == (w, h)
         assert out[i].n_bytes == len(bytes(rows[i][2]))
+
+
+def test_ahash_lane_matches_python_replay_and_finds_planted_dupes(spark):
+    """The perceptual-hash composition: (a) the Arrow lane's fingerprints
+    equal the pure-Python ahash64 spec bit-for-bit; (b) byte-identical
+    payloads collide at Hamming 0 and surface as a pair through the
+    shared banded join; (c) a perturbed payload pairs up iff its true
+    Hamming distance is within the band guarantee."""
+    import numpy as np
+
+    from imdbmapreduce_spark.operators.dedup import hamming_pairs
+    from imdbmapreduce_spark.operators.multimodal import ahash64, phash_lane
+
+    base = ("the quick brown fox jumps over the lazy dog " * 20).encode()
+    near = bytearray(base)
+    near[7] ^= 0x01  # one-bit payload perturbation
+    far = bytes(np.random.default_rng(7).integers(0, 256, len(base), dtype=np.uint8))
+    rows = [(0, base), (1, bytes(base)), (2, bytes(near)), (3, far)]
+    mm = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {r.doc_id: r.fp for r in phash_lane(mm).collect()}
+    assert got == {i: ahash64(bytes(p)) for i, p in rows}
+    assert got[0] == got[1]  # identical bytes → identical fingerprint
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_pairs(phash_lane(mm)).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    true_h = bin(got[0] ^ got[2]).count("1")
+    if true_h <= 3:
+        assert pairs.get((0, 2)) == true_h and pairs.get((1, 2)) == true_h
+    else:
+        assert (0, 2) not in pairs
+    # the unrelated payload must not pair with the base family at <=3 bits
+    assert all(3 not in p for p in pairs)
+
+
+def test_image_phash_dupes_registered_runs(spark, sf_dir):
+    from imdbmapreduce_spark import registry
+
+    df = registry.get("image_phash_dupes").fn(spark, sf_dir)
+    assert df.columns == ["doc_a", "doc_b", "hamming"]
+    rows = df.collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b and 0 <= r.hamming <= 3
