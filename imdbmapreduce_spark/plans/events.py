@@ -884,3 +884,47 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured via Spark 4 VARIANT: ``parse_json`` decodes each
+    props payload ONCE into the binary variant encoding; every downstream
+    access is a typed ``try_variant_get`` path lookup on the decoded
+    form. Contrast ``events_props_json`` (get_json_object), which
+    re-parses the JSON string at every extraction site — with one
+    accessed field they tie, but the variant form is the one that scales
+    to wide semi-structured payloads accessed many times.
+
+    At 100 TB the parse moves to ingest: materialize the variant column
+    in the table, and readers pay only the path lookups (with shredded
+    variant storage, parquet stats/pruning reach into it — the
+    schema-on-read endgame get_json_object can never give).
+
+    Scale: parse + extraction are JVM-side codegen; the agg is an
+    ordinary partial/final on |event_type| groups; distinct-k rewrites
+    to a two-phase agg exactly like any countDistinct.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
