@@ -546,3 +546,147 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_mean"
         ),
     )
+
+
+# --- Product quantization (PQ + ADC + exact re-rank) ----------------------
+
+_PQ_M = 8  # subspaces (64 dims → 8 dims each)
+_PQ_K = 16  # codes per subspace → 4 bits; a vector compresses to 4 bytes
+_PQ_SUB_DIMS = 8  # dims per subspace (= dims / _PQ_M)
+_PQ_RERANK = 10 * _TOP_K  # ADC shortlist width fed to the exact re-rank
+
+
+def _pq_subspace(pos: Column) -> Column:
+    """Subspace index of a component position (pos // sub_dims)."""
+    return F.shiftright(pos.cast("long"), 3)  # sub_dims = 8 = 2^3
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, code, pos, cv): per-subspace codebooks, hash-sample init + one
+    Lloyd round per subspace (same refine shape as the IVF codebook,
+    keyed on (s, code) instead of cell)."""
+    ex = _shared_components(spark, sf_dir)
+    corpus = ex.filter(F.col("vec_id") >= _N_PROBES)
+    init_ids = (
+        corpus.select("vec_id")
+        .distinct()
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(_PQ_K)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.xxhash64("vec_id"), "vec_id"))
+            .alias("code"),
+        )
+    )
+    cents = corpus.join(F.broadcast(init_ids), "vec_id").select(
+        _pq_subspace(F.col("pos")).alias("s"),
+        "code",
+        "pos",
+        F.col("v").alias("cv"),
+    )
+    assigned = _pq_assign(corpus, cents)
+    return (
+        corpus.withColumn("s", _pq_subspace(F.col("pos")))
+        .join(assigned, ["vec_id", "s"])
+        .groupBy("s", "code", "pos")
+        .agg(
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cv")
+        )
+    )
+
+
+def _pq_assign(target: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, s, code): nearest code per (vector, subspace) by exact
+    integer squared-L2 — argmin ||x_s − c||² = argmin (cn2 − 2·dot),
+    computed as one codegen hash-agg over components × codes."""
+    cn2 = cents.groupBy("s", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
+    aff = (
+        target.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "s", "code")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
+        .join(F.broadcast(cn2), ["s", "code"])
+        .withColumn("dist", F.col("cn2") - 2 * F.col("dot"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dist"), F.asc("code"))
+    return (
+        aff.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "s", "code")
+    )
+
+
+@query("ann_pq_topk")  # no SQL oracle: codebook-sample specifics; see tests
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{k} via PRODUCT QUANTIZATION: per-subspace
+    codebooks compress each corpus vector to {m} 4-bit codes (4 bytes vs
+    256 bytes of floats — 64×), probes score candidates through an ADC
+    lookup table, and the ADC shortlist is re-ranked exactly.
+
+    Pipeline: split the 64 dims into {m} subspaces × {sd} dims → per-
+    subspace codebook ({k} codes, hash-sample init + one Lloyd round;
+    the IVF refine shape keyed on (s, code)) → encode the corpus (argmin
+    integer L2 per subspace) → probe LUT = dot(q_s, c_{{s,code}}) for
+    every (probe, s, code) — |probes|·{m}·{k} integer entries, broadcast
+    → ADC score = Σ_s LUT[s, code_s(x)], normalized by the RECONSTRUCTED
+    norm ‖x̂‖ = sqrt(Σ_s ‖c_{{s,code}}‖²) → top-{rr} shortlist per probe
+    → exact integer re-rank (shared `_exact_rescore_topk`, same math as
+    brute force).
+
+    Scale: this is the memory-bound regime's index — at 100 TB of
+    embeddings the raw vectors don't fit anywhere hot, but PQ codes are
+    64× smaller and ADC touches {m} longs per candidate instead of 64.
+    The codebook + codes are per-corpus build artifacts in the bounded
+    releasable cache (vector stores persist exactly these two tables);
+    scoring shuffles |corpus|×|probes| map-side-combined rows, same key
+    shape as brute force but {m}/64 the per-pair work, and the exact
+    re-rank reads only |probes|·{rr} full vectors. Composes with IVF
+    (IVF cells to prune, PQ codes to score) in the standard IVFPQ
+    layout.
+    """
+    ex = _shared_components(spark, sf_dir)
+    probe_ids = F.col("vec_id") < _N_PROBES
+    cents = shared_cache(
+        spark, ("pq_codebook", sf_dir), lambda: _pq_codebook(spark, sf_dir)
+    )
+    codes = shared_cache(
+        spark,
+        ("pq_codes", sf_dir),
+        lambda: _pq_assign(ex.filter(~probe_ids), cents),
+    )
+    cn2 = cents.groupBy("s", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
+    recon_n2 = (
+        codes.join(F.broadcast(cn2), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("cn2").alias("rn2"))
+    )
+    lut = (
+        ex.filter(probe_ids)
+        .join(F.broadcast(cents), "pos")
+        .groupBy(F.col("vec_id").alias("q_id"), "s", "code")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("pdot"))
+    )
+    qn2 = _norms(ex.filter(probe_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pdot").alias("adot"))
+        .join(recon_n2, "vec_id")
+        .join(F.broadcast(qn2), "q_id")
+        .withColumn(
+            "ascore",
+            F.col("adot").cast("double")
+            / (F.sqrt(F.col("rn2").cast("double")) * F.sqrt(F.col("n2_q").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ascore"), F.asc("vec_id"))
+    shortlist = (
+        adc.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _PQ_RERANK)
+        .select("q_id", "vec_id")
+    )
+    return _exact_rescore_topk(ex, shortlist)
