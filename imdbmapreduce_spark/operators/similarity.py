@@ -416,6 +416,40 @@ def _cell_assignment(target: DataFrame, cents: DataFrame) -> DataFrame:
     return aff.select("vec_id", "cell", F.row_number().over(w).alias("cr"))
 
 
+def _ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse IVF codebook: hash-sample init + Lloyd rounds (shared by
+    the standalone IVF plan and the IVFPQ composition)."""
+    ex = _shared_components(spark, sf_dir)
+    corpus = ex.filter(F.col("vec_id") >= _N_PROBES)
+    cent_ids = (
+        corpus.select("vec_id")
+        .distinct()
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(_IVF_CELLS)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.xxhash64("vec_id"), "vec_id"))
+            .alias("cell"),
+        )
+    )
+    cents = ex.join(F.broadcast(cent_ids), "vec_id").select(
+        "cell", "pos", F.col("v").alias("cv")
+    )
+    for _ in range(_IVF_LLOYD_ROUNDS):
+        assigned = _cell_assignment(corpus, cents).filter(F.col("cr") == 1)
+        cents = (
+            corpus.join(assigned.select("vec_id", "cell"), "vec_id")
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+        )
+    return cents
+
+
 @query("ann_ivf_topk")  # no SQL oracle: sampled-centroid specifics; see tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{k}, IVF-style: inverted file over coarse cells
@@ -445,32 +479,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _shared_components(spark, sf_dir)
     probe_ids = F.col("vec_id") < _N_PROBES
 
-    def build_codebook() -> DataFrame:
-        corpus = ex.filter(~probe_ids)
-        cent_ids = (
-            corpus.select("vec_id")
-            .distinct()
-            .orderBy(F.xxhash64("vec_id"), "vec_id")
-            .limit(_IVF_CELLS)
-            .select("vec_id", F.row_number().over(Window.orderBy(F.xxhash64("vec_id"), "vec_id")).alias("cell"))
-        )
-        cents = (
-            ex.join(F.broadcast(cent_ids), "vec_id")
-            .select("cell", "pos", F.col("v").alias("cv"))
-        )
-        for _ in range(_IVF_LLOYD_ROUNDS):
-            assigned = _cell_assignment(corpus, cents).filter(F.col("cr") == 1)
-            cents = (
-                corpus.join(assigned.select("vec_id", "cell"), "vec_id")
-                .groupBy("cell", "pos")
-                .agg(
-                    F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
-                    .cast("long")
-                    .alias("cv")
-                )
-            )
-        return cents
-
     # The refined codebook and the corpus's cell assignment ARE the IVF
     # index — per-corpus build artifacts, not per-query work. Left lazy,
     # the Lloyd refinement subtree re-executes once per consuming plan
@@ -480,7 +488,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantized components: build once, serve every probe batch.
     # Codebook = cells x dims rows (constants); inverted lists = one
     # (vec_id, cell) row per corpus vector — o(corpus), spillable.
-    cents = shared_cache(spark, ("ivf_codebook", sf_dir), build_codebook)
+    cents = shared_cache(
+        spark, ("ivf_codebook", sf_dir), lambda: _ivf_codebook(spark, sf_dir)
+    )
     corpus_cells = shared_cache(
         spark,
         ("ivf_lists", sf_dir),
@@ -673,6 +683,100 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = (
         codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pdot").alias("adot"))
+        .join(recon_n2, "vec_id")
+        .join(F.broadcast(qn2), "q_id")
+        .withColumn(
+            "ascore",
+            F.col("adot").cast("double")
+            / (F.sqrt(F.col("rn2").cast("double")) * F.sqrt(F.col("n2_q").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ascore"), F.asc("vec_id"))
+    shortlist = (
+        adc.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _PQ_RERANK)
+        .select("q_id", "vec_id")
+    )
+    return _exact_rescore_topk(ex, shortlist)
+
+
+@query("ann_ivfpq_topk")  # no SQL oracle: composed index specifics; see tests
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the standard billion-scale vector-index layout, composed
+    from the two indexes this module already builds: IVF coarse cells
+    PRUNE (only vectors in the probes' {np} nearest cells are
+    candidates), PQ codes SCORE (broadcast ADC lookup table over the
+    pruned set), and the ADC shortlist is re-ranked exactly.
+
+    Every artifact is reused from the shared cache — the IVF codebook +
+    inverted lists and the PQ codebook + codes are the same tables the
+    standalone plans built; composition adds no index-build work, which
+    is the actual production property (FAISS's IVFPQ is literally these
+    two structures in one file).
+
+    Scale: ADC now touches |candidates| ≈ nprobe/C of the corpus per
+    probe instead of all of it — the missing factor between the pure-PQ
+    plan (scans every code) and sub-linear query cost. At 100 TB: cells
+    prune I/O (bucket the code table by cell → file-level pruning), PQ
+    bounds memory (4-byte codes), re-rank reads only |probes|·{rr} raw
+    vectors.
+    """
+    ex = _shared_components(spark, sf_dir)
+    probe_ids = F.col("vec_id") < _N_PROBES
+
+    # IVF side: cached codebook + inverted lists (cell per corpus vector)
+    ivf_cents = shared_cache(
+        spark, ("ivf_codebook", sf_dir), lambda: _ivf_codebook(spark, sf_dir)
+    )
+    corpus_cells = shared_cache(
+        spark,
+        ("ivf_lists", sf_dir),
+        lambda: _cell_assignment(ex.filter(~probe_ids), ivf_cents)
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "cell"),
+    )
+    probe_cells = (
+        _cell_assignment(ex.filter(probe_ids), ivf_cents)
+        .filter(F.col("cr") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(probe_cells), "cell")
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+
+    # PQ side: cached codebook + codes, ADC over the PRUNED candidates
+    pq_cents = shared_cache(
+        spark, ("pq_codebook", sf_dir), lambda: _pq_codebook(spark, sf_dir)
+    )
+    codes = shared_cache(
+        spark,
+        ("pq_codes", sf_dir),
+        lambda: _pq_assign(ex.filter(~probe_ids), pq_cents),
+    )
+    cn2 = pq_cents.groupBy("s", "code").agg(
+        F.sum(F.col("cv") * F.col("cv")).alias("cn2")
+    )
+    recon_n2 = (
+        codes.join(F.broadcast(cn2), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("cn2").alias("rn2"))
+    )
+    lut = (
+        ex.filter(probe_ids)
+        .join(F.broadcast(pq_cents), "pos")
+        .groupBy(F.col("vec_id").alias("q_id"), "s", "code")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("pdot"))
+    )
+    qn2 = _norms(ex.filter(probe_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "s", "code"])
         .groupBy("q_id", "vec_id")
         .agg(F.sum("pdot").alias("adot"))
         .join(recon_n2, "vec_id")

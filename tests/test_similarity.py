@@ -167,3 +167,37 @@ def test_pq_codebook_structure(spark, sf_dir):
     )
     per_vec = codes.groupBy("vec_id").count().collect()
     assert per_vec and all(r["count"] == S._PQ_M for r in per_vec)
+
+
+def test_ann_ivfpq_recall_and_candidate_discipline(spark, sf_dir):
+    """The composed IVFPQ plan must (a) keep usable recall (it can only
+    see vectors inside probed cells, so it is bounded above by IVF's
+    candidate recall — measured 0.44 at sf0.001; locked ≥ 0.3), and
+    (b) never surface a neighbor outside the probes' IVF cells —
+    pruning really prunes."""
+    from imdbmapreduce_spark.operators import similarity as S
+
+    exact = _topk_sets(registry.get("knn_bruteforce").fn(spark, sf_dir).collect())
+    got = _topk_sets(registry.get("ann_ivfpq_topk").fn(spark, sf_dir).collect())
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.3, f"IVFPQ recall collapsed: {hits}/{total}"
+
+    ex = S._shared_components(spark, sf_dir)
+    cents = S._ivf_codebook(spark, sf_dir)
+    corpus_cells = {
+        r.vec_id: r.cell
+        for r in S._cell_assignment(ex.filter(F.col("vec_id") >= S._N_PROBES), cents)
+        .filter(F.col("cr") == 1)
+        .collect()
+    }
+    probe_cells = {}
+    for r in (
+        S._cell_assignment(ex.filter(F.col("vec_id") < S._N_PROBES), cents)
+        .filter(F.col("cr") <= S._IVF_NPROBE)
+        .collect()
+    ):
+        probe_cells.setdefault(r.vec_id, set()).add(r.cell)
+    for q, neighbors in got.items():
+        for n in neighbors:
+            assert corpus_cells[n] in probe_cells[q], (q, n)
