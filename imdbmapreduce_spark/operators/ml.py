@@ -1,0 +1,152 @@
+"""Iterative model training on DataFrames (additive vertical, like
+operators/graph.py's fixed-point PageRank — no reference analog; the
+reference's only "learning" is static rule evaluation).
+
+The shape demonstrated here is the one every distributed trainer that
+fits in sufficient statistics uses: features are materialized ONCE into
+the bounded shared cache, each iteration is a single map-side-combinable
+aggregation producing a few longs on the driver, and the model update is
+driver-side scalar math on those longs. Spark's role is the exact
+gradient reduction over the corpus; the model (a handful of floats)
+never needs to be distributed at all — it rides into the next round's
+plan as literals.
+
+Determinism contract (repo-wide style): per-row float math (dot,
+sigmoid, log-loss) is IEEE-deterministic given literal weights; every
+cross-row SUM is quantized to integer units per row first, so the
+reduction is an exact long add — bit-identical under any partitioning,
+AQE re-plan, or replay. tests/test_ml.py replays the whole optimization
+in numpy and requires exact equality, round by round.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark.cache import shared_cache
+from imdbmapreduce_spark.registry import query
+
+_LR_ROUNDS = 10
+_LR_RATE = 2.0  # learning rate on normalized, bounded features
+_GRAD_SCALE = 1_000_000_000  # per-row gradient quantum (1e-9)
+_LOSS_SCALE = 1_000_000  # per-row loss quantum (1e-6)
+# |grad term| <= ~5e9 at this scale; the long sum holds ~1.8e9 rows
+# before overflow — at larger corpora drop _GRAD_SCALE to 1e6 (the
+# gradient only steers the update; 1e-6 resolution is far below the
+# noise floor of SGD-family methods).
+
+_FEATURES = ("bias", "log_tokens", "stop_ratio", "distinct_ratio")
+
+
+def quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, x0..x3): bounded training features from the quality
+    stats — bias, log10(tokens)/3 (soft length), stopword ratio,
+    distinct-token ratio; label = the is_quality gate."""
+    from imdbmapreduce_spark.operators.text import doc_quality
+
+    q = doc_quality(spark, sf_dir)
+    return q.select(
+        "doc_id",
+        F.col("is_quality").cast("int").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.log10(F.col("n_tokens").cast("double") + 1.0) / 3.0).alias("x1"),
+        F.col("stop_ratio").alias("x2"),
+        F.col("distinct_ratio").alias("x3"),
+    )
+
+
+@query("doc_quality_logreg", bench=True)  # no SQL oracle: iterative; replayed in tests
+def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent:
+    learn the quality gate from its own soft features — the smallest
+    honest instance of "train a quality classifier on the corpus" that
+    a curation pipeline distills from an expensive teacher.
+
+    Per round: ONE aggregation over the cached feature table computes
+    the exact quantized gradient (4 longs), the log-loss, and the
+    decision accuracy; the driver updates the 4 weights and embeds them
+    as literals in the next round's plan. Output is the training curve —
+    (round, sum_loss_q, n_correct, w0..w3) per round — so convergence is
+    an inspectable artifact, not a side effect.
+
+    Scale: the feature build is one scan (shared-cached, like every
+    index artifact); each round shuffles exactly ONE combined partial
+    row per task (the cheapest possible exchange), and driver state is
+    4 floats. 100 TB changes the scan cost, nothing else — this is why
+    sufficient-statistics trainers (linear/logistic/GLM, k-means, EM)
+    parallelize perfectly on a DataFrame engine while SGD-style
+    minibatch training does not (it would serialize on the per-batch
+    driver round-trip; that regime belongs to a parameter server or
+    torch DDP, not a SQL engine).
+    """
+    feats = shared_cache(
+        spark, ("logreg_features", sf_dir), lambda: quality_features(spark, sf_dir)
+    )
+    n = feats.count()
+    w = [0.0, 0.0, 0.0, 0.0]
+    rows = []
+    for t in range(_LR_ROUNDS):
+        margin = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        r = p - F.col("y").cast("double")
+        # per-row quantization BEFORE the sum: exact long reduction
+        grads = [
+            F.sum(
+                F.round(r * F.col(f"x{j}") * _GRAD_SCALE).cast("long")
+            ).alias(f"g{j}")
+            for j in range(4)
+        ]
+        logloss = -(
+            F.col("y").cast("double") * F.log(p)
+            + (1.0 - F.col("y").cast("double")) * F.log(F.lit(1.0) - p)
+        )
+        agg = feats.agg(
+            *grads,
+            F.sum(F.round(logloss * _LOSS_SCALE).cast("long")).alias("loss_q"),
+            F.sum(
+                ((p > 0.5).cast("int") == F.col("y")).cast("long")
+            ).alias("n_correct"),
+        ).first()
+        rows.append((t, agg["loss_q"], agg["n_correct"], *w))
+        for j in range(4):
+            w[j] -= _LR_RATE * (agg[f"g{j}"] / _GRAD_SCALE) / n
+    return spark.createDataFrame(
+        rows,
+        "round int, sum_loss_q long, n_correct long, "
+        "w0 double, w1 double, w2 double, w3 double",
+    )
+
+
+def logreg_replay(feats: list[tuple], rounds: int = _LR_ROUNDS) -> list[tuple]:
+    """Pure-Python replay of :func:`doc_quality_logreg`'s math over
+    collected (y, x0..x3) rows — the bit-exactness witness used by
+    tests. Same quantization, same update, no Spark."""
+    n = len(feats)
+    w = [0.0, 0.0, 0.0, 0.0]
+    out = []
+    for t in range(rounds):
+        g = [0, 0, 0, 0]
+        loss_q = 0
+        n_correct = 0
+        for y, *x in feats:
+            margin = sum(w[j] * x[j] for j in range(4))
+            p = 1.0 / (1.0 + math.exp(-margin))
+            r = p - float(y)
+            for j in range(4):
+                g[j] += _half_even(r * x[j] * _GRAD_SCALE)
+            ll = -(y * math.log(p) + (1 - y) * math.log(1.0 - p))
+            loss_q += _half_even(ll * _LOSS_SCALE)
+            n_correct += int((1 if p > 0.5 else 0) == y)
+        out.append((t, loss_q, n_correct, *w))
+        for j in range(4):
+            w[j] -= _LR_RATE * (g[j] / _GRAD_SCALE) / n
+    return out
+
+
+def _half_even(v: float) -> int:
+    """Spark's F.round uses HALF_UP for positive, HALF_UP magnitude for
+    negative (round half away from zero)."""
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
