@@ -136,9 +136,9 @@ def logreg_replay(feats: list[tuple], rounds: int = _LR_ROUNDS) -> list[tuple]:
             p = 1.0 / (1.0 + math.exp(-margin))
             r = p - float(y)
             for j in range(4):
-                g[j] += _half_even(r * x[j] * _GRAD_SCALE)
+                g[j] += _round_half_away(r * x[j] * _GRAD_SCALE)
             ll = -(y * math.log(p) + (1 - y) * math.log(1.0 - p))
-            loss_q += _half_even(ll * _LOSS_SCALE)
+            loss_q += _round_half_away(ll * _LOSS_SCALE)
             n_correct += int((1 if p > 0.5 else 0) == y)
         out.append((t, loss_q, n_correct, *w))
         for j in range(4):
@@ -146,7 +146,7 @@ def logreg_replay(feats: list[tuple], rounds: int = _LR_ROUNDS) -> list[tuple]:
     return out
 
 
-def _half_even(v: float) -> int:
-    """Spark's F.round uses HALF_UP for positive, HALF_UP magnitude for
-    negative (round half away from zero)."""
+def _round_half_away(v: float) -> int:
+    """Round half away from zero — Spark ``F.round``'s (HALF_UP)
+    semantics, mirrored for the replay."""
     return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
