@@ -15,6 +15,8 @@ into one codegen stage over the parquet scan.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -488,3 +490,118 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+# --- readability: the UDF extension surface, measured ---------------------
+
+_READ_ORACLE = """
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+FROM (
+  SELECT doc_id,
+         GREATEST(1, len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> ''))) AS n_words,
+         GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+         GREATEST(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syllables
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@query("doc_readability", oracle=_READ_ORACLE)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document — the BUILT-IN-EXPRESSION
+    form: words, sentence marks, and vowel-group "syllables" are
+    regexp_extract_all counts evaluated inside whole-stage codegen; the
+    score is row-local double math (no cross-row float accumulation, so
+    it is deterministic and bit-matches DuckDB).
+
+    This query and :func:`doc_readability_udf` compute the IDENTICAL
+    result through the two extension surfaces SURVEY §2.5 names — and
+    both are benchmarked, so "UDFs are the slow path; Arrow makes them
+    survivable" is a measured per-query delta in BENCH_LOCAL.json, not
+    a slogan. Scale: map-only, fuses into the scan stage; zero
+    exchanges before the presentation sort.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.greatest(F.lit(1), F.size(tokens("text"))).cast("long")
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0)))
+    ).cast("long")
+    n_syl = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))),
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syl.alias("n_syllables"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("doc_readability_udf", oracle=_READ_ORACLE)
+def doc_readability_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same readability computation through a VECTORIZED PANDAS UDF —
+    the user extension surface when logic outgrows SQL expressions
+    (a tokenizer, a scoring model, a C library). One Arrow batch in,
+    one struct column out; pandas ``str.count`` does the regex work
+    vectorized, and the arithmetic is IEEE double exactly like the
+    codegen twin, so the SAME DuckDB oracle hash-checks both.
+
+    Scale: still map-only and shuffle-free, but the column crosses the
+    JVM↔Python Arrow boundary once per batch — the measured per-query
+    delta vs :func:`doc_readability` in BENCH_LOCAL.json IS the price
+    of that boundary (row-at-a-time ``F.udf`` would multiply it ~10×;
+    the plan lint forbids it repo-wide).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<n_words: long, n_sentences: long, n_syllables: long, flesch: double>"
+    )
+    def readability(text: pd.Series) -> pd.DataFrame:
+        t = text.fillna("")
+        n_words = (
+            t.str.strip().str.split(r"\s+").map(lambda ws: sum(1 for w in ws if w))
+        ).clip(lower=1)
+        n_sent = t.str.count(r"[.!?]+").clip(lower=1)
+        n_syl = t.str.lower().str.count(r"[aeiouy]+").clip(lower=1)
+        flesch = (
+            206.835
+            - 1.015 * (n_words.astype("float64") / n_sent)
+            - 84.6 * (n_syl.astype("float64") / n_words)
+        )
+        return pd.DataFrame(
+            {
+                "n_words": n_words.astype("int64"),
+                "n_sentences": n_sent.astype("int64"),
+                "n_syllables": n_syl.astype("int64"),
+                "flesch": flesch,
+            }
+        )
+
+    docs = table(spark, sf_dir, "documents")
+    r = readability(F.col("text")).alias("r")
+    return docs.select("doc_id", r).select(
+        "doc_id", "r.n_words", "r.n_sentences", "r.n_syllables", "r.flesch"
+    ).orderBy("doc_id")

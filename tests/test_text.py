@@ -55,3 +55,20 @@ def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
     assert out[1].scrubbed_len == out[1].orig_len - len("jane.doe+spam@mail.example.org") + len("<EMAIL>")
     assert out[2].scrubbed_len == out[2].orig_len - len("https://example.com/a_b/c?q=1&x=2#frag") + len("<URL>")
     assert out[4].scrubbed_len == out[4].orig_len
+
+
+def test_readability_twins_agree_and_use_their_claimed_surfaces(spark, sf_dir):
+    """The codegen form and the Arrow pandas_udf form must produce
+    IDENTICAL rows (same IEEE double math), and each must run on the
+    surface it claims: no Python eval in the builtin plan, vectorized
+    ArrowEvalPython (never row-at-a-time BatchEvalPython) in the UDF
+    plan."""
+    from imdbmapreduce_spark import registry
+
+    a = registry.get("doc_readability").fn(spark, sf_dir)
+    b = registry.get("doc_readability_udf").fn(spark, sf_dir)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    plan_a = a._jdf.queryExecution().sparkPlan().toString()
+    plan_b = b._jdf.queryExecution().sparkPlan().toString()
+    assert "EvalPython" not in plan_a
+    assert "ArrowEvalPython" in plan_b and "BatchEvalPython" not in plan_b
