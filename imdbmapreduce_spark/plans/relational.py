@@ -1903,3 +1903,55 @@ def neardup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_quality").cast("int")).cast("long").alias("n_quality_members"),
         (-best.getField("negid")).alias("keep_id"),
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(GROUPING(l_returnflag) AS BIGINT) * 2
+        + CAST(GROUPING(l_linestatus) AS BIGINT) AS gid,
+      CAST(SUM({_C.format(col='l_extendedprice')}) AS DOUBLE)/100.0 AS revenue,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the grouping family
+    next to ROLLUP (`rollup_revenue`) and CUBE (`cube_order_stats`):
+    arbitrary, non-hierarchical set lists, here the two single-column
+    marginals plus the grand total (a shape neither rollup nor cube
+    produces without waste). GROUPING() disambiguates real NULL keys
+    from the "aggregated-away" NULL — surfaced as the standard packed
+    grouping id.
+
+    Scale: one scan; Expand replicates rows ×|sets| before the partial
+    agg, and the combine collapses to |sets|·|groups| slim rows on the
+    wire — same exchange discipline as rollup/cube. At wide set lists
+    the Expand factor is the knob to watch; Spark shares one Expand for
+    all sets rather than one scan per set (the UNION ALL rewrite a
+    naive engine does).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("long")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            gid.alias("gid"),
+            cents_sum("l_extendedprice", "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
