@@ -539,13 +539,13 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     revises ≡5); in production each side is its own snapshot directory
     and the plan is identical from the join down.
 
-    Scale: each side reduces to (doc_id, md5, chars) — 40 bytes/doc —
+    Scale: each side reduces to (doc_id, md5, chars) — ~50 bytes/doc —
     before the full-outer join, so the shuffle carries digests, never
     text. The join keys on unique doc_id (uniform, no skew); the status
     CASE and the final agg are codegen expressions over ~4 groups. md5
     rather than xxhash64 so DuckDB reproduces the digest bit-for-bit;
     at 100 TB you'd still hash-then-join exactly this way (hash each
-    snapshot once, shuffle 40-byte rows, never ship document bodies).
+    snapshot once, shuffle digest-sized rows, never ship document bodies).
     """
     docs = table(spark, sf_dir, "documents")
     v1 = docs.filter(F.col("doc_id") % 10 != 7).select(

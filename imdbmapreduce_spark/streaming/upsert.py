@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["KeyedStateSink", "read_state"]
+__all__ = ["KeyedStateSink", "Scd2Sink", "read_state"]
 
 _POINTER = "_CURRENT"
 
@@ -97,6 +97,118 @@ class KeyedStateSink:
             os.path.join(self.state_path, f"v{nxt:09d}")
         )
         # commit: atomic pointer swap (write-temp + rename on one filesystem)
+        fd, tmp = tempfile.mkstemp(dir=self.state_path, prefix=".ptr_")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, os.path.join(self.state_path, _POINTER))
+
+
+class Scd2Sink:
+    """``foreachBatch`` target: SCD **Type-2 history** maintenance — the
+    CDC-apply pattern that remembers. Where :class:`KeyedStateSink`
+    keeps one winning row per key, this keeps every key's full validity
+    history (state, valid_from_us, valid_to_us, is_current, version) —
+    the streaming twin of the batch ``user_state_history_scd2`` plan,
+    with the same half-open, gap-free interval semantics.
+
+    Input contract: an in-order-per-key CDC feed of
+    ``(key, state, ts_us, seq)`` — the standard assumption of every
+    SCD-2 applier (Debezium→MERGE, dbt snapshots). Late rows older than
+    a key's open interval are dropped as stale replays, which also makes
+    re-delivery of a micro-batch after a crash a no-op: checkpoint +
+    idempotent apply = exactly-once history, no sink transactions.
+
+    Per micro-batch: untouched keys pass through; for keys present in
+    the batch, closed intervals are preserved as-is and only the open
+    row is re-derived — it seeds a run-length recompute together with
+    the new events (the exact lag/lead/row_number math of the batch
+    plan), version numbering continuing from the seed. State commits
+    through the same versioned-parquet + atomic-pointer protocol as the
+    upsert sink (readers never see partial state; old versions = time
+    travel).
+
+    Scale: each apply shuffles once on the key (state ⋈ batch); the
+    recompute touches only batch-affected keys' open rows plus the new
+    events, never the closed history mass. At 100 TB the history table
+    is bucketed by key and the per-batch work is |batch|-proportional.
+    """
+
+    def __init__(self, state_path: str, key: str = "user_id"):
+        self.state_path = state_path
+        self.key = key
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        k = self.key
+        hist = read_state(spark, self.state_path)
+        batch = batch_df.select(k, "state", "ts_us", "seq")
+        if hist is None:
+            hist = spark.createDataFrame(
+                [],
+                f"{k} long, state string, valid_from_us long, "
+                "valid_to_us long, is_current boolean, version long",
+            )
+        affected = batch.select(k).distinct()
+        keep = hist.join(affected, k, "left_anti")
+        touched = hist.join(affected, k)
+        closed = touched.filter(~F.col("is_current"))
+        seed = touched.filter(F.col("is_current")).select(
+            k,
+            "state",
+            F.col("valid_from_us").alias("ts_us"),
+            F.lit(-1).cast("long").alias("seq"),
+            (F.col("version") - 1).alias("voff"),
+        )
+        # stale-replay guard: drop batch rows at-or-before the open row's
+        # start (an equal-ts equal-state row is the replayed open event)
+        fresh = (
+            batch.join(
+                seed.select(
+                    k,
+                    F.col("ts_us").alias("open_ts"),
+                    F.col("state").alias("open_state"),
+                ),
+                k,
+                "left",
+            )
+            .filter(
+                F.col("open_ts").isNull()
+                | (F.col("ts_us") > F.col("open_ts"))
+                | ((F.col("ts_us") == F.col("open_ts")) & (F.col("state") != F.col("open_state")))
+            )
+            .select(k, "state", "ts_us", "seq")
+            .withColumn("voff", F.lit(None).cast("long"))
+        )
+        ev = seed.unionByName(fresh)
+        w = Window.partitionBy(k).orderBy("ts_us", "seq")
+        changes = (
+            ev.withColumn("prev", F.lag("state").over(w))
+            .withColumn("off", F.max("voff").over(w))
+            .filter(F.col("prev").isNull() | (F.col("state") != F.col("prev")))
+        )
+        w2 = Window.partitionBy(k).orderBy("ts_us", "seq")
+        rebuilt = (
+            changes.withColumn("valid_to_us", F.lead("ts_us").over(w2))
+            .withColumn("is_current", F.col("valid_to_us").isNull())
+            .withColumn(
+                "version",
+                (F.row_number().over(w2) + F.coalesce(F.col("off"), F.lit(0))).cast("long"),
+            )
+            .select(
+                k,
+                "state",
+                F.col("ts_us").alias("valid_from_us"),
+                "valid_to_us",
+                "is_current",
+                "version",
+            )
+        )
+        out = keep.unionByName(closed).unionByName(rebuilt)
+        prev = _current_version(self.state_path)
+        nxt = 0 if prev is None else prev + 1
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.state_path, f"v{nxt:09d}")
+        )
         fd, tmp = tempfile.mkstemp(dir=self.state_path, prefix=".ptr_")
         with os.fdopen(fd, "w") as f:
             f.write(str(nxt))

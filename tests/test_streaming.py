@@ -222,3 +222,72 @@ def test_streaming_keyed_upsert_state_sink(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="not present"):
         read_state(spark, state, version=99)
+
+
+def test_streaming_scd2_sink_matches_batch_history(spark, sf_dir, tmp_path):
+    """foreachBatch SCD-2 apply: an in-order CDC feed drained in
+    micro-batches must rebuild EXACTLY the batch user_state_history_scd2
+    result — closed intervals preserved across batch boundaries, the
+    open row extended or closed as new states arrive, version numbering
+    continuous. Also: re-draining the same checkpoint (no new data) is a
+    no-op (idempotent replay guard)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.streaming.upsert import Scd2Sink, read_state
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("seq"),
+    )
+    # two IN-ORDER batches: split at the median timestamp so every key's
+    # batch-2 rows are at-or-after its batch-1 rows (the CDC contract)
+    mid = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
+    src, state, ckpt = f"{tmp_path}/src", f"{tmp_path}/state", f"{tmp_path}/ckpt"
+    os.makedirs(state)
+    ev.filter(F.col("ts_us") <= mid).write.parquet(f"{src}/b1.parquet")
+
+    sink = Scd2Sink(state, key="user_id")
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*.parquet")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    v_after_b1 = read_state(spark, state).count()
+    ev.filter(F.col("ts_us") > mid).write.parquet(f"{src}/b2.parquet")
+    drain()
+
+    got = {
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current, r.version)
+        for r in read_state(spark, state).collect()
+    }
+    want = {
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current, r.version)
+        for r in registry.get("user_state_history_scd2").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert v_after_b1 < len(got)  # batch 2 genuinely extended history
+
+    # replay: drain again with no new files — history must be unchanged
+    drain()
+    again = {
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current, r.version)
+        for r in read_state(spark, state).collect()
+    }
+    assert again == got
