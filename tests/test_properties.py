@@ -64,3 +64,43 @@ def test_coactor_query_matches_python_model(spark, movies):
         r["actor"]: (r["cnt"], r["level"]) for r in coactor_query(df, "Ann").collect()
     }
     assert got == _py_coactor(movies, "Ann")  # case-sensitive: 'ann' is a co-actor
+
+
+def test_round4_queries_invariant_under_shuffle_partitioning(spark, sf_dir):
+    """Determinism contract for the round-4 additions: identical results
+    under different shuffle-partition counts. Catches accidental
+    order/accumulation dependence (float sums, arbitrary tiebreaks) —
+    the property every plan in this repo claims via integer/quantized
+    math and total ordering. Shared-cache artifacts are released between
+    runs so the rebuild really happens under each configuration."""
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.cache import release_shared_caches
+
+    names = [
+        "corpus_snapshot_diff",
+        "corpus_manifest",
+        "events_distinct_sketch_rollup",
+        "image_phash_dupes",
+        "ann_pq_topk",
+        "doc_quality_logreg",
+        "grouping_sets_revenue",
+        "doc_readability_udf",
+    ]
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[str, list] = {}
+    try:
+        for n in ("1", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            release_shared_caches()
+            for name in names:
+                rows = sorted(
+                    (tuple(r) for r in registry.get(name).fn(spark, sf_dir).collect()),
+                    key=repr,  # rows may contain NULL group keys
+                )
+                if name in results:
+                    assert results[name] == rows, f"{name} varies at partitions={n}"
+                else:
+                    results[name] = rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+        release_shared_caches()
