@@ -928,3 +928,72 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type,
+           epoch_us(g.hour) AS hour_us,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN counts c USING (event_type, hour)
+    ORDER BY g.event_type, hour_us
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a DENSE hourly series per event type —
+    silent hours appear as explicit zero rows, the resample-and-fill
+    step every downstream forecaster/alerter needs (a missing row and a
+    zero row mean different things to a model).
+
+    The dense timeline is GENERATED, not scanned: per-type (min, max)
+    hour bounds from one agg, then ``sequence()`` + explode manufactures
+    the grid — no calendar dimension table, no cross join (the grid
+    derives keyed per type, so the plan lint's no-cartesian rule holds).
+    The observed counts left-join onto the grid.
+
+    Scale: bounds = |types| rows; the grid is |types| × |hours| — time-
+    bounded, not data-bounded (a year is 8,760 rows/type whatever the
+    corpus size); the count agg is the usual partial/final on
+    (type, hour). The left join keys on the same pair — one slim
+    exchange. Sequence explosion is per-row generation (codegen), safe
+    unless a single type spans decades of hours, in which case chunk
+    the span — the explode's fan-out is the one knob.
+    """
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    counts = ev.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        grid.join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("hour").alias("hour_us"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "hour_us")
+    )

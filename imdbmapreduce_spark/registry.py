@@ -142,19 +142,13 @@ def _load_plans() -> None:
     if _LOADED:
         return
     _LOADED = True
-    # Imported for their registration side effects. ORDER MATTERS for the
-    # driver's correctness sweep, which checks queries in REGISTRATION
-    # ORDER under a fixed ~50-query budget. Priority rule: the flagship
-    # cooccurrence vertical first, then every vertical whose queries have
-    # the fewest external driver rows (pipeline/graph/text-tail/
-    # similarity-tail were never swept; dedup/multimodal have one row;
-    # streaming's post-fix rows are owed), and the triple-verified batch
-    # families (events, relational) LAST — they have green rows from
-    # multiple prior sweeps, so spending budget on them starves queries
-    # that have none. Streaming sits after every batch vertical that
-    # still needs a row (so its wall-clock-bound micro-batch drains can
-    # never starve one — the r2 regression) but INSIDE the ~50 budget;
-    # tests/test_scale_claims.py pins both properties.
+    # Imported for their registration side effects. The driver-facing
+    # sweep order is computed by sweep_order() from the committed
+    # CORRECTNESS_r*.json results (never-verified first, streaming
+    # block second, verified batch last — pinned by
+    # tests/test_scale_claims.py); registration order here only breaks
+    # ties WITHIN a tier, so imports are grouped by vertical for
+    # readability, nothing more.
     from imdbmapreduce_spark.operators import cooccurrence  # noqa: F401
     from imdbmapreduce_spark.operators import text  # noqa: F401
     from imdbmapreduce_spark.operators import pipeline  # noqa: F401
