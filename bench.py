@@ -16,6 +16,33 @@ import sys
 import time
 
 
+_LINE_BUDGET = 1800  # driver capture window is 2000 chars; leave headroom
+
+
+def compact_bench_line(full: dict) -> str:
+    """The stdout JSON line, guaranteed under the driver's capture window.
+
+    Inlines the slowest queries first (the informative ones) up to the
+    char budget and folds the rest into an "..." remainder entry whose
+    value is their summed seconds — so ``value`` always equals the sum
+    of the inlined entries plus the remainder, and the complete map
+    lives in BENCH_LOCAL.json. Unit-tested in tests/test_bench_line.py.
+    """
+    timings = full["queries"]
+    inline: dict[str, float] = {}
+    omitted = dict(timings)
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        candidate = {**inline, name: round(timings[name], 3)}
+        probe = dict(full, queries={**candidate, "...": 0.0})
+        if len(json.dumps(probe)) > _LINE_BUDGET:
+            break
+        inline = candidate
+        del omitted[name]
+    if omitted:
+        inline["..."] = round(sum(omitted.values()), 3)  # see BENCH_LOCAL.json
+    return json.dumps(dict(full, queries=inline))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -71,19 +98,7 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the stdout line is still authoritative
 
-    _LINE_BUDGET = 1800  # driver window is 2000; leave headroom
-    inline: dict[str, float] = {}
-    omitted = dict(timings)
-    for name in sorted(timings, key=lambda n: -timings[n]):
-        candidate = {**inline, name: round(timings[name], 3)}
-        probe = dict(full, queries={**candidate, "...": 0.0})
-        if len(json.dumps(probe)) > _LINE_BUDGET:
-            break
-        inline = candidate
-        del omitted[name]
-    if omitted:
-        inline["..."] = round(sum(omitted.values()), 3)  # remainder, see BENCH_LOCAL.json
-    print(json.dumps(dict(full, queries=inline)))
+    print(compact_bench_line(full))
     # Sweep over: release the shared corpus artifacts (shingle sets,
     # quantized components) so a host embedding this harness reclaims
     # storage memory — the bounded-cache contract in cache.py.

@@ -1,0 +1,45 @@
+"""The bench stdout contract: ONE JSON line that always fits the
+driver's 2000-char capture window, however many queries register."""
+
+from __future__ import annotations
+
+import json
+
+from bench import compact_bench_line
+
+
+def _full(n: int) -> dict:
+    qs = {f"some_rather_long_query_name_{i:04d}": round(0.1 + i * 0.013, 4) for i in range(n)}
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(qs.values()), 4),
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+    }
+
+
+def test_line_fits_window_at_any_registry_size():
+    for n in (1, 40, 104, 200, 500):
+        line = compact_bench_line(_full(n))
+        assert len(line) <= 2000, (n, len(line))
+        d = json.loads(line)
+        assert set(d) == {"metric", "value", "unit", "queries", "sf"}
+
+
+def test_remainder_preserves_the_total():
+    full = _full(300)
+    d = json.loads(compact_bench_line(full))
+    inlined = sum(v for k, v in d["queries"].items() if k != "...")
+    remainder = d["queries"].get("...", 0.0)
+    assert abs((inlined + remainder) - full["value"]) < 0.01 * len(full["queries"])
+    # slowest queries are the ones inlined
+    slowest = sorted(full["queries"], key=lambda n: -full["queries"][n])
+    inline_names = [k for k in d["queries"] if k != "..."]
+    assert set(inline_names) == set(slowest[: len(inline_names)])
+
+
+def test_small_registry_needs_no_remainder():
+    d = json.loads(compact_bench_line(_full(10)))
+    assert "..." not in d["queries"]
+    assert len(d["queries"]) == 10

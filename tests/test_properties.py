@@ -85,6 +85,7 @@ def test_round4_queries_invariant_under_shuffle_partitioning(spark, sf_dir):
         "doc_quality_logreg",
         "grouping_sets_revenue",
         "doc_readability_udf",
+        "events_hourly_gapfill",
     ]
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     results: dict[str, list] = {}
