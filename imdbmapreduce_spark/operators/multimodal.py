@@ -538,9 +538,19 @@ def image_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     images the decode lane is the (embarrassingly parallel) cost; the
     pair join sees only |images| slim rows.
     """
+    from imdbmapreduce_spark.cache import shared_cache
     from imdbmapreduce_spark.operators.dedup import hamming_pairs
 
-    mm = with_payload(table(spark, sf_dir, "documents")).filter(
-        F.col("media_type") == "image"
-    )
-    return hamming_pairs(phash_lane(mm)).orderBy("doc_a", "doc_b")
+    def build_members() -> DataFrame:
+        mm = with_payload(table(spark, sf_dir, "documents")).filter(
+            F.col("media_type") == "image"
+        )
+        return phash_lane(mm)
+
+    # The banded join consumes the fingerprint table in several subtrees
+    # (intra-fp join sides, the distinct-fp band build, both expansion
+    # joins); left lazy, each one re-runs the Arrow decode lane — the
+    # expensive step at scale (measured 6 document scans per query).
+    # Cache it like the SimHash fingerprints: build once, serve all.
+    members = shared_cache(spark, ("phash_fp", sf_dir), build_members)
+    return hamming_pairs(members).orderBy("doc_a", "doc_b")
