@@ -35,6 +35,8 @@ from imdbmapreduce_spark.cache import shared_cache
 from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.functions import tokens
 from imdbmapreduce_spark.operators.dedup import _shingle_rows
+from imdbmapreduce_spark.operators.dedup import _DUCK_JAC_CTES as _JAC_CTES
+from imdbmapreduce_spark.operators.text import _SPLIT_TRAIN, _SPLIT_VAL
 from imdbmapreduce_spark.registry import query
 
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -627,4 +629,67 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.countDistinct("h")).alias("dup_docs"),
         )
         .orderBy("source", "lang")
+    )
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {_JAC_CTES},
+    assign AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) < {_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT LEAST(sa.split, sb.split) AS split_x,
+           GREATEST(sa.split, sb.split) AS split_y,
+           COUNT(*) AS n_leaky_pairs
+    FROM jac_edges e
+    JOIN assign sa ON sa.doc_id = e.doc_a
+    JOIN assign sb ON sb.doc_id = e.doc_b
+    WHERE sa.split <> sb.split
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: NEAR-duplicate pairs that straddle the
+    train/val/test boundary — the eval-contamination check every
+    pipeline runs before training. The content-hash split already sends
+    EXACT duplicates to one side by construction (`dataset_split`'s
+    guarantee); near-dups hash differently, so they are precisely the
+    leakage that remains, and this query counts them per split pair.
+
+    Composition: the cached df-capped Jaccard pair artifact (zero extra
+    scans in a sweep) joined against the split assignment on both
+    endpoints — each join side is |pairs| slim rows against a map-only
+    assignment projection; the oracle embeds the registered Jaccard CTEs
+    plus the registered split rule, so all three stay in lockstep.
+
+    Scale: |near-dup pairs| is o(corpus) in a deduplicated pipeline; two
+    uniform id-keyed joins and a ≤9-group agg. The actionable output at
+    100 TB is the same shape: which split boundary bleeds, and how much
+    — drive the fix (drop the pair's non-train member, or re-split by
+    cluster keeper) from these counts.
+    """
+    from imdbmapreduce_spark.operators.dedup import neardup_ngram_jaccard
+    from imdbmapreduce_spark.operators.text import split_assignment
+
+    pairs = neardup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    assign = split_assignment(table(spark, sf_dir, "documents"))
+    sa = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.least("split_a", "split_b").alias("split_x"),
+            F.greatest("split_a", "split_b").alias("split_y"),
+        )
+        .groupBy("split_x", "split_y")
+        .agg(F.count(F.lit(1)).alias("n_leaky_pairs"))
+        .orderBy("split_x", "split_y")
     )

@@ -221,6 +221,23 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 _SPLIT_TRAIN, _SPLIT_VAL = 204, 230
 
 
+def split_col() -> Column:
+    """The content-hash split rule as ONE shared expression — consumed by
+    `dataset_split` (aggregate) and `split_leakage_audit` (join), so the
+    rule cannot drift between them."""
+    bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
+    return (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+
+
+def split_assignment(docs: DataFrame) -> DataFrame:
+    """(doc_id, split): the split rule as a joinable projection."""
+    return docs.select("doc_id", split_col().alias("split"))
+
+
 @query(
     "dataset_split",
     oracle=f"""
@@ -250,14 +267,8 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan change.
     """
     docs = table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
-    split = (
-        F.when(bucket < _SPLIT_TRAIN, "train")
-        .when(bucket < _SPLIT_VAL, "val")
-        .otherwise("test")
-    )
     return docs.groupBy(
-        "lang", split.alias("split")
+        "lang", split_col().alias("split")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
