@@ -85,7 +85,7 @@ def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = shared_cache(
         spark, ("logreg_features", sf_dir), lambda: quality_features(spark, sf_dir)
     )
-    n = feats.count()
+    n = None  # folded into round 0's aggregation — one job per round, exactly
     w = [0.0, 0.0, 0.0, 0.0]
     rows = []
     for t in range(_LR_ROUNDS):
@@ -109,7 +109,10 @@ def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 ((p > 0.5).cast("int") == F.col("y")).cast("long")
             ).alias("n_correct"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
+        if n is None:
+            n = agg["n"]
         rows.append((t, agg["loss_q"], agg["n_correct"], *w))
         for j in range(4):
             w[j] -= _LR_RATE * (agg[f"g{j}"] / _GRAD_SCALE) / n
