@@ -24,16 +24,18 @@ def compact_bench_line(full: dict) -> str:
 
     Inlines the slowest queries first (the informative ones) up to the
     char budget and folds the rest into an "..." remainder entry whose
-    value is their summed seconds — so ``value`` always equals the sum
-    of the inlined entries plus the remainder, and the complete map
-    lives in BENCH_LOCAL.json. Unit-tested in tests/test_bench_line.py.
+    value is their summed seconds — inlined + remainder reproduces
+    ``value`` up to the 3-decimal per-entry rounding; the exact complete
+    map lives in BENCH_LOCAL.json. Unit-tested in tests/test_bench_line.py.
     """
     timings = full["queries"]
     inline: dict[str, float] = {}
     omitted = dict(timings)
     for name in sorted(timings, key=lambda n: (-timings[n], n)):
         candidate = {**inline, name: round(timings[name], 3)}
-        probe = dict(full, queries={**candidate, "...": 0.0})
+        # probe with a worst-case-width remainder so the emitted line can
+        # never exceed the budget once the real remainder substitutes in
+        probe = dict(full, queries={**candidate, "...": 99999.999})
         if len(json.dumps(probe)) > _LINE_BUDGET:
             break
         inline = candidate

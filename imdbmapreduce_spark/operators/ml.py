@@ -99,9 +99,18 @@ def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"g{j}")
             for j in range(4)
         ]
-        logloss = -(
-            F.col("y").cast("double") * F.log(p)
-            + (1.0 - F.col("y").cast("double")) * F.log(F.lit(1.0) - p)
+        # log-loss in softplus form: ln(1+e^margin) - y*margin, computed
+        # as max(margin,0) + log1p(exp(-|margin|)) - y*margin. Never
+        # evaluates log(0) when the sigmoid saturates (|margin| > ~37
+        # makes p exactly 0.0/1.0 in double and the naive
+        # y*log(p)+(1-y)*log(1-p) silently null-drops the row in Spark
+        # while the replay raises) — and it is the same expression the
+        # replay computes, so bit-exactness survives separable corpora.
+        m = margin
+        logloss = (
+            F.greatest(m, F.lit(0.0))
+            + F.log1p(F.exp(-F.abs(m)))
+            - F.col("y").cast("double") * m
         )
         agg = feats.agg(
             *grads,
@@ -140,7 +149,7 @@ def logreg_replay(feats: list[tuple], rounds: int = _LR_ROUNDS) -> list[tuple]:
             r = p - float(y)
             for j in range(4):
                 g[j] += _round_half_away(r * x[j] * _GRAD_SCALE)
-            ll = -(y * math.log(p) + (1 - y) * math.log(1.0 - p))
+            ll = max(margin, 0.0) + math.log1p(math.exp(-abs(margin))) - y * margin
             loss_q += _round_half_away(ll * _LOSS_SCALE)
             n_correct += int((1 if p > 0.5 else 0) == y)
         out.append((t, loss_q, n_correct, *w))

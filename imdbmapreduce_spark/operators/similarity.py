@@ -628,6 +628,68 @@ def _pq_assign(target: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _adc_shortlist(
+    spark: SparkSession, sf_dir: str, cand: DataFrame | None = None
+) -> DataFrame:
+    """(q_id, vec_id) ADC shortlist — the shared PQ scoring tail.
+
+    Builds (from the shared cache) the PQ codebook + corpus codes, the
+    broadcast probe LUT and reconstructed norms, scores either the whole
+    code table (``cand=None``, the pure-PQ plan) or only the candidate
+    pairs an upstream pruner supplies (the IVFPQ plan), and returns the
+    top-``_PQ_RERANK`` per probe by approximate cosine. One definition
+    so ADC normalization and shortlist tie-breaking cannot drift between
+    the two consumers."""
+    ex = _shared_components(spark, sf_dir)
+    probe_ids = F.col("vec_id") < _N_PROBES
+    cents = shared_cache(
+        spark, ("pq_codebook", sf_dir), lambda: _pq_codebook(spark, sf_dir)
+    )
+    codes = shared_cache(
+        spark,
+        ("pq_codes", sf_dir),
+        lambda: _pq_assign(ex.filter(~probe_ids), cents),
+    )
+    cn2 = cents.groupBy("s", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
+    recon_n2 = (
+        codes.join(F.broadcast(cn2), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("cn2").alias("rn2"))
+    )
+    lut = (
+        ex.filter(probe_ids)
+        .join(F.broadcast(cents), "pos")
+        .groupBy(F.col("vec_id").alias("q_id"), "s", "code")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("pdot"))
+    )
+    qn2 = _norms(ex.filter(probe_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")
+    )
+    if cand is None:
+        scored_codes = codes.join(F.broadcast(lut), ["s", "code"])
+    else:
+        scored_codes = cand.join(codes, "vec_id").join(
+            F.broadcast(lut), ["q_id", "s", "code"]
+        )
+    adc = (
+        scored_codes.groupBy("q_id", "vec_id")
+        .agg(F.sum("pdot").alias("adot"))
+        .join(recon_n2, "vec_id")
+        .join(F.broadcast(qn2), "q_id")
+        .withColumn(
+            "ascore",
+            F.col("adot").cast("double")
+            / (F.sqrt(F.col("rn2").cast("double")) * F.sqrt(F.col("n2_q").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ascore"), F.asc("vec_id"))
+    return (
+        adc.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _PQ_RERANK)
+        .select("q_id", "vec_id")
+    )
+
+
 @query("ann_pq_topk")  # no SQL oracle: codebook-sample specifics; see tests
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{k} via PRODUCT QUANTIZATION: per-subspace
@@ -657,49 +719,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout.
     """
     ex = _shared_components(spark, sf_dir)
-    probe_ids = F.col("vec_id") < _N_PROBES
-    cents = shared_cache(
-        spark, ("pq_codebook", sf_dir), lambda: _pq_codebook(spark, sf_dir)
-    )
-    codes = shared_cache(
-        spark,
-        ("pq_codes", sf_dir),
-        lambda: _pq_assign(ex.filter(~probe_ids), cents),
-    )
-    cn2 = cents.groupBy("s", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
-    recon_n2 = (
-        codes.join(F.broadcast(cn2), ["s", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("cn2").alias("rn2"))
-    )
-    lut = (
-        ex.filter(probe_ids)
-        .join(F.broadcast(cents), "pos")
-        .groupBy(F.col("vec_id").alias("q_id"), "s", "code")
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("pdot"))
-    )
-    qn2 = _norms(ex.filter(probe_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["s", "code"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("pdot").alias("adot"))
-        .join(recon_n2, "vec_id")
-        .join(F.broadcast(qn2), "q_id")
-        .withColumn(
-            "ascore",
-            F.col("adot").cast("double")
-            / (F.sqrt(F.col("rn2").cast("double")) * F.sqrt(F.col("n2_q").cast("double"))),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("ascore"), F.asc("vec_id"))
-    shortlist = (
-        adc.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _PQ_RERANK)
-        .select("q_id", "vec_id")
-    )
-    return _exact_rescore_topk(ex, shortlist)
+    return _exact_rescore_topk(ex, _adc_shortlist(spark, sf_dir))
 
 
 @query("ann_ivfpq_topk")  # no SQL oracle: composed index specifics; see tests
@@ -742,55 +762,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cr") <= _IVF_NPROBE)
         .select(F.col("vec_id").alias("q_id"), "cell")
     )
-    cand = (
-        corpus_cells.join(F.broadcast(probe_cells), "cell")
-        .select("q_id", "vec_id")
-        .distinct()
+    # one cell per corpus vector (cr == 1) and one row per (q_id, cell)
+    # probe pair means this join already yields unique (q_id, vec_id) —
+    # no dedup pass needed on the widest relation in the query
+    cand = corpus_cells.join(F.broadcast(probe_cells), "cell").select(
+        "q_id", "vec_id"
     )
-
-    # PQ side: cached codebook + codes, ADC over the PRUNED candidates
-    pq_cents = shared_cache(
-        spark, ("pq_codebook", sf_dir), lambda: _pq_codebook(spark, sf_dir)
-    )
-    codes = shared_cache(
-        spark,
-        ("pq_codes", sf_dir),
-        lambda: _pq_assign(ex.filter(~probe_ids), pq_cents),
-    )
-    cn2 = pq_cents.groupBy("s", "code").agg(
-        F.sum(F.col("cv") * F.col("cv")).alias("cn2")
-    )
-    recon_n2 = (
-        codes.join(F.broadcast(cn2), ["s", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("cn2").alias("rn2"))
-    )
-    lut = (
-        ex.filter(probe_ids)
-        .join(F.broadcast(pq_cents), "pos")
-        .groupBy(F.col("vec_id").alias("q_id"), "s", "code")
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("pdot"))
-    )
-    qn2 = _norms(ex.filter(probe_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")
-    )
-    adc = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(lut), ["q_id", "s", "code"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("pdot").alias("adot"))
-        .join(recon_n2, "vec_id")
-        .join(F.broadcast(qn2), "q_id")
-        .withColumn(
-            "ascore",
-            F.col("adot").cast("double")
-            / (F.sqrt(F.col("rn2").cast("double")) * F.sqrt(F.col("n2_q").cast("double"))),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("ascore"), F.asc("vec_id"))
-    shortlist = (
-        adc.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _PQ_RERANK)
-        .select("q_id", "vec_id")
-    )
-    return _exact_rescore_topk(ex, shortlist)
+    # PQ side: the shared ADC scoring tail over the PRUNED candidates
+    return _exact_rescore_topk(ex, _adc_shortlist(spark, sf_dir, cand))

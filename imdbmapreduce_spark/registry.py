@@ -56,31 +56,35 @@ def query(
 
 
 def driver_verified_names() -> frozenset[str]:
-    """Names with a green driver CORRECTNESS row in any prior round.
+    """Names whose MOST RECENT driver CORRECTNESS row is green.
 
     Reads the committed ``CORRECTNESS_r*.json`` files at the repo root
-    (the driver's own output). A row counts as green when the value hash
-    matched, or when the check was ``no_oracle`` by design (the weak
-    rows-only audit — re-sweeping it cannot strengthen the signal).
-    Missing/unreadable files degrade to "nothing verified", which only
-    makes the sweep order more conservative.
+    (the driver's own output); for each query the latest round that
+    checked it wins, so a query that was green in an early round but
+    regressed later counts as UNVERIFIED and re-enters tier 1 of the
+    sweep. A row is green when the value hash matched, or when the
+    check was ``no_oracle`` by design (the weak rows-only audit —
+    re-sweeping it cannot strengthen the signal). Missing/unreadable
+    files degrade to "nothing verified", which only makes the sweep
+    order more conservative.
     """
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    status: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path, encoding="utf-8") as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
-        for name, row in rows.items():
-            if row.get("hash_match") or row.get("err") == "no_oracle":
-                green.add(name)
-    return frozenset(green)
+        for name, row in rows.items():  # later rounds overwrite earlier
+            status[name] = bool(
+                row.get("hash_match") or row.get("err") == "no_oracle"
+            )
+    return frozenset(n for n, ok in status.items() if ok)
 
 
 def sweep_order() -> list[str]:
