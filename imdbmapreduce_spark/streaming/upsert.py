@@ -66,6 +66,20 @@ def read_state(
     return spark.read.parquet(path)
 
 
+def _commit_version(state_path: str, df: DataFrame) -> None:
+    """Write the next state version beside the current one, then flip the
+    pointer atomically (write-temp + rename on one filesystem) — the one
+    commit protocol both sinks share; readers (read_state) only ever see
+    a fully committed version."""
+    prev = _current_version(state_path)
+    nxt = 0 if prev is None else prev + 1
+    df.write.mode("overwrite").parquet(os.path.join(state_path, f"v{nxt:09d}"))
+    fd, tmp = tempfile.mkstemp(dir=state_path, prefix=".ptr_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, os.path.join(state_path, _POINTER))
+
+
 class KeyedStateSink:
     """``foreachBatch`` target: last-write-wins keyed state at ``state_path``.
 
@@ -91,16 +105,7 @@ class KeyedStateSink:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        prev = _current_version(self.state_path)
-        nxt = 0 if prev is None else prev + 1
-        winner.write.mode("overwrite").parquet(
-            os.path.join(self.state_path, f"v{nxt:09d}")
-        )
-        # commit: atomic pointer swap (write-temp + rename on one filesystem)
-        fd, tmp = tempfile.mkstemp(dir=self.state_path, prefix=".ptr_")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, os.path.join(self.state_path, _POINTER))
+        _commit_version(self.state_path, winner)
 
 
 class Scd2Sink:
@@ -112,11 +117,15 @@ class Scd2Sink:
     with the same half-open, gap-free interval semantics.
 
     Input contract: an in-order-per-key CDC feed of
-    ``(key, state, ts_us, seq)`` — the standard assumption of every
-    SCD-2 applier (Debezium→MERGE, dbt snapshots). Late rows older than
-    a key's open interval are dropped as stale replays, which also makes
-    re-delivery of a micro-batch after a crash a no-op: checkpoint +
-    idempotent apply = exactly-once history, no sink transactions.
+    ``(key, state, ts_us, seq)`` with ``(ts_us, seq)`` strictly
+    increasing per key — the standard assumption of every SCD-2 applier
+    (Debezium→MERGE, dbt snapshots). Each key's open row carries a
+    HIGH-WATER MARK — the greatest ``(ts_us, seq)`` ever applied — and
+    batch rows at or below it are dropped as stale replays, so
+    re-delivering a micro-batch after a crash is a no-op even when the
+    replayed batch contains several same-timestamp state flips:
+    checkpoint + idempotent apply = exactly-once history, no sink
+    transactions.
 
     Per micro-batch: untouched keys pass through; for keys present in
     the batch, closed intervals are preserved as-is and only the open
@@ -146,38 +155,64 @@ class Scd2Sink:
             hist = spark.createDataFrame(
                 [],
                 f"{k} long, state string, valid_from_us long, "
-                "valid_to_us long, is_current boolean, version long",
+                "valid_to_us long, is_current boolean, version long, "
+                "hw_ts_us long, hw_seq long",
             )
         affected = batch.select(k).distinct()
         keep = hist.join(affected, k, "left_anti")
         touched = hist.join(affected, k)
-        closed = touched.filter(~F.col("is_current"))
-        seed = touched.filter(F.col("is_current")).select(
+        closed = touched.filter(~F.col("is_current")).drop("hw_ts_us", "hw_seq")
+        open_rows = touched.filter(F.col("is_current"))
+        # the open row re-enters the rebuild as a pseudo-event at its
+        # interval start, sequenced at the high-water seq so any genuine
+        # new event at the same timestamp (higher seq) sorts after it
+        seed = open_rows.select(
             k,
             "state",
             F.col("valid_from_us").alias("ts_us"),
-            F.lit(-1).cast("long").alias("seq"),
+            F.col("hw_seq").alias("seq"),
             (F.col("version") - 1).alias("voff"),
         )
-        # stale-replay guard: drop batch rows at-or-before the open row's
-        # start (an equal-ts equal-state row is the replayed open event)
+        # stale-replay guard: the open row's high-water mark is the
+        # greatest (ts, seq) ever applied for the key — anything at or
+        # below it is a redelivery, including same-timestamp state flips
+        # that a (ts, state)-only guard would re-apply
         fresh = (
             batch.join(
-                seed.select(
+                open_rows.select(
                     k,
-                    F.col("ts_us").alias("open_ts"),
-                    F.col("state").alias("open_state"),
+                    F.col("hw_ts_us").alias("g_ts"),
+                    F.col("hw_seq").alias("g_seq"),
                 ),
                 k,
                 "left",
             )
             .filter(
-                F.col("open_ts").isNull()
-                | (F.col("ts_us") > F.col("open_ts"))
-                | ((F.col("ts_us") == F.col("open_ts")) & (F.col("state") != F.col("open_state")))
+                F.col("g_ts").isNull()
+                | (F.col("ts_us") > F.col("g_ts"))
+                | ((F.col("ts_us") == F.col("g_ts")) & (F.col("seq") > F.col("g_seq")))
             )
             .select(k, "state", "ts_us", "seq")
             .withColumn("voff", F.lit(None).cast("long"))
+        )
+        # next high-water mark: max (ts, seq) over the prior mark and the
+        # surviving batch rows
+        hw = (
+            fresh.select(k, "ts_us", "seq")
+            .unionByName(
+                open_rows.select(
+                    k,
+                    F.col("hw_ts_us").alias("ts_us"),
+                    F.col("hw_seq").alias("seq"),
+                )
+            )
+            .groupBy(k)
+            .agg(F.max(F.struct("ts_us", "seq")).alias("hw"))
+            .select(
+                k,
+                F.col("hw.ts_us").alias("hw_ts_us"),
+                F.col("hw.seq").alias("hw_seq"),
+            )
         )
         ev = seed.unionByName(fresh)
         w = Window.partitionBy(k).orderBy("ts_us", "seq")
@@ -203,13 +238,16 @@ class Scd2Sink:
                 "version",
             )
         )
-        out = keep.unionByName(closed).unionByName(rebuilt)
-        prev = _current_version(self.state_path)
-        nxt = 0 if prev is None else prev + 1
-        out.write.mode("overwrite").parquet(
-            os.path.join(self.state_path, f"v{nxt:09d}")
+        with_hw = (
+            rebuilt.join(hw, k, "left")
+            .withColumn(
+                "hw_ts_us", F.when(F.col("is_current"), F.col("hw_ts_us"))
+            )
+            .withColumn("hw_seq", F.when(F.col("is_current"), F.col("hw_seq")))
         )
-        fd, tmp = tempfile.mkstemp(dir=self.state_path, prefix=".ptr_")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, os.path.join(self.state_path, _POINTER))
+        out = keep.unionByName(
+            closed.withColumn("hw_ts_us", F.lit(None).cast("long")).withColumn(
+                "hw_seq", F.lit(None).cast("long")
+            )
+        ).unionByName(with_hw)
+        _commit_version(self.state_path, out)

@@ -291,3 +291,46 @@ def test_streaming_scd2_sink_matches_batch_history(spark, sf_dir, tmp_path):
         for r in read_state(spark, state).collect()
     }
     assert again == got
+
+
+def test_scd2_sink_redelivery_of_same_ts_state_flip_is_noop(spark, tmp_path):
+    """Exactly-once regression: a micro-batch containing a same-timestamp
+    state flip (A then B at ts T, ordered by seq) must not re-apply on
+    redelivery. The old (ts, state)-only guard let the replayed A row
+    back in (state differs from the open B), flipping the open state and
+    appending a spurious version on every crash-redelivery; the
+    high-water mark (greatest applied (ts, seq)) drops it."""
+    import os
+
+    from imdbmapreduce_spark.streaming.upsert import Scd2Sink, read_state
+
+    state = f"{tmp_path}/state"
+    os.makedirs(state)
+    sink = Scd2Sink(state, key="user_id")
+    batch = spark.createDataFrame(
+        [(1, "A", 1000, 1), (1, "B", 1000, 2)],
+        "user_id long, state string, ts_us long, seq long",
+    )
+    sink(batch, 0)
+    first = sorted(
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current, r.version)
+        for r in read_state(spark, state).collect()
+    )
+    open_rows = [r for r in first if r[4]]
+    assert len(open_rows) == 1 and open_rows[0][1] == "B"
+    sink(batch, 0)  # crash-redelivery of the SAME batch
+    again = sorted(
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current, r.version)
+        for r in read_state(spark, state).collect()
+    )
+    assert again == first
+    # and a genuinely new same-ts higher-seq event still applies
+    sink(
+        spark.createDataFrame(
+            [(1, "C", 1000, 3)], "user_id long, state string, ts_us long, seq long"
+        ),
+        1,
+    )
+    final = {r.state: r for r in read_state(spark, state).collect()}
+    assert final["C"].is_current and final["C"].version == 3
+    assert not final["B"].is_current
