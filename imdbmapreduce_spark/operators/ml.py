@@ -162,3 +162,75 @@ def _round_half_away(v: float) -> int:
     """Round half away from zero — Spark ``F.round``'s (HALF_UP)
     semantics, mirrored for the replay."""
     return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+@query("doc_quality_logreg_eval", bench=True)  # no SQL oracle: iterative; replayed in tests
+def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval separation for the quality classifier: fit the
+    logistic regression ON THE TRAIN SPLIT ONLY (the same content-hash
+    split `dataset_split` publishes), then score every split with the
+    frozen weights — the held-out generalization check that closes the
+    train-a-classifier loop (train on train, report on val/test, never
+    peek).
+
+    Output: one row per split — documents, correct decisions, exact
+    integer-accuracy per mille — plus the frozen weights (identical on
+    every row, so the artifact is self-contained).
+
+    Scale: the feature build joins the map-only split projection onto
+    the cached feature table once; training sees |train| rows per round
+    (same one-aggregation-per-round shape as `doc_quality_logreg`), and
+    the final scoring pass is a single grouped aggregation over all
+    splits with the weights as literals.
+    """
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.text import split_assignment
+
+    feats = shared_cache(
+        spark, ("logreg_features", sf_dir), lambda: quality_features(spark, sf_dir)
+    )
+    split = split_assignment(table(spark, sf_dir, "documents"))
+    labeled = feats.join(split, "doc_id")
+    train = labeled.filter(F.col("split") == "train")
+
+    n = None
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ROUNDS):
+        margin = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        r = p - F.col("y").cast("double")
+        agg = train.agg(
+            *[
+                F.sum(F.round(r * F.col(f"x{j}") * _GRAD_SCALE).cast("long")).alias(
+                    f"g{j}"
+                )
+                for j in range(4)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if n is None:
+            n = agg["n"]
+        for j in range(4):
+            w[j] -= _LR_RATE * (agg[f"g{j}"] / _GRAD_SCALE) / n
+
+    margin = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
+    pred = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) > 0.5).cast("int")
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((pred == F.col("y")).cast("long")).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy_milli",
+            (F.col("n_correct") * 1000 / F.col("n_docs")).cast("long"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_correct",
+            "accuracy_milli",
+            *[F.lit(w[j]).alias(f"w{j}") for j in range(4)],
+        )
+        .orderBy("split")
+    )

@@ -38,3 +38,52 @@ def test_logreg_converges(spark, sf_dir):
     base = max(r.n_correct for r in rows[:1])  # round 0 = w=0 coin flip
     assert rows[-1].n_correct > base
     assert rows[-1].n_correct / n >= 0.8, (rows[-1].n_correct, n)
+
+
+def test_logreg_eval_trains_only_on_train_and_generalizes(spark, sf_dir):
+    """Held-out evaluation: weights must come from the train split alone
+    (replayed bit-exactly on exactly those rows) and the frozen model
+    must still beat 75% accuracy on the val+test rows it never saw."""
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.text import split_assignment
+
+    rows = {
+        r.split: r
+        for r in registry.get("doc_quality_logreg_eval").fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"train", "val", "test"}
+    # replay training on the train rows only -> same weights
+    split = split_assignment(table(spark, sf_dir, "documents"))
+    train_feats = [
+        (r.y, r.x0, r.x1, r.x2, r.x3)
+        for r in quality_features(spark, sf_dir)
+        .join(split, "doc_id")
+        .filter("split = 'train'")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    # bit-exact reconstruction of the frozen weights: the same quantized
+    # gradient updates, over exactly the train rows
+    import math
+
+    from imdbmapreduce_spark.operators.ml import (
+        _GRAD_SCALE,
+        _LR_RATE,
+        _round_half_away,
+    )
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ROUNDS):
+        g = [0, 0, 0, 0]
+        for y, *x in train_feats:
+            margin = sum(w[j] * x[j] for j in range(4))
+            r = 1.0 / (1.0 + math.exp(-margin)) - float(y)
+            for j in range(4):
+                g[j] += _round_half_away(r * x[j] * _GRAD_SCALE)
+        for j in range(4):
+            w[j] -= _LR_RATE * (g[j] / _GRAD_SCALE) / len(train_feats)
+    got_w = (rows["train"].w0, rows["train"].w1, rows["train"].w2, rows["train"].w3)
+    assert got_w == tuple(w)  # trained on the train split, bit-for-bit
+    for s in ("val", "test"):
+        assert rows[s].n_docs > 0
+        assert rows[s].accuracy_milli >= 750, (s, rows[s].accuracy_milli)
