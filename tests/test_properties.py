@@ -105,3 +105,44 @@ def test_round4_queries_invariant_under_shuffle_partitioning(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
         release_shared_caches()
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_connected_components_random_graphs_vs_union_find(spark, edges):
+    """Pointer-jumping components equal a Python union-find on ARBITRARY
+    random graphs — self-loops, duplicate edges, multiple components,
+    isolated nodes — not just the corpus-derived edge list the other
+    test covers."""
+    from imdbmapreduce_spark.operators.dedup import connected_components
+
+    nodes = list(range(20))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in nodes}
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    ).limit(len(edges))
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == expected
