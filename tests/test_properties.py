@@ -146,3 +146,43 @@ def test_connected_components_random_graphs_vs_union_find(spark, edges):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_hamming_pairs_complete_for_3_bits_on_random_fingerprints(spark, data):
+    """The shared banded join's pigeonhole guarantee, tested directly on
+    the operator: for ARBITRARY 64-bit fingerprints, every pair within
+    Hamming distance 3 must be emitted with its exact distance, and no
+    emitted pair may exceed 3. Fingerprint sets mix random bases with
+    deliberate <=3-bit perturbations so true near pairs always exist."""
+    from imdbmapreduce_spark.operators.dedup import hamming_pairs
+
+    bases = data.draw(
+        st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=4, unique=True)
+    )
+    fps = list(bases)
+    for b in bases:
+        flips = data.draw(st.sets(st.integers(0, 63), min_size=0, max_size=3))
+        near = b
+        for bit in flips:
+            near ^= 1 << bit
+            if near >= 2**63:
+                near -= 2**64
+        fps.append(near)
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    want = {
+        (i, j): ham(a, b)
+        for i, a in rows
+        for j, b in rows
+        if i < j and ham(a, b) <= 3
+    }
+    members = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming for r in hamming_pairs(members).collect()
+    }
+    assert got == want
