@@ -186,3 +186,31 @@ def test_hamming_pairs_complete_for_3_bits_on_random_fingerprints(spark, data):
         (r.doc_a, r.doc_b): r.hamming for r in hamming_pairs(members).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lens=st.lists(st.integers(1, 1500), min_size=1, max_size=12),
+    budget=st.sampled_from([128, 512]),
+    shards=st.integers(1, 3),
+)
+def test_pack_sequences_geometry_on_random_corpora(spark, lens, budget, shards):
+    """Packing invariants for ARBITRARY doc lengths / budgets / shard
+    counts: per-shard offsets tile with no gaps from zero, every doc's
+    bin span matches the offset arithmetic, token mass is conserved, and
+    no doc is lost."""
+    from imdbmapreduce_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = pack_sequences(docs, budget=budget, shards=shards).toPandas()
+    assert sorted(pdf["doc_id"]) == list(range(len(lens)))
+    assert int(pdf["n_tokens"].sum()) == sum(lens)
+    for _, grp in pdf.groupby("shard"):
+        g = grp.sort_values("off")
+        assert g["off"].iloc[0] == 0
+        assert (g["off"] + g["n_tokens"]).iloc[:-1].tolist() == g["off"].iloc[1:].tolist()
+    for r in pdf.itertuples():
+        first_bin = r.off // budget
+        last_bin = (r.off + r.n_tokens - 1) // budget
+        assert r.n_bins == last_bin - first_bin + 1
