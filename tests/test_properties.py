@@ -214,3 +214,60 @@ def test_pack_sequences_geometry_on_random_corpora(spark, lens, budget, shards):
         first_bin = r.off // budget
         last_bin = (r.off + r.n_tokens - 1) // budget
         assert r.n_bins == last_bin - first_bin + 1
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_scd2_sink_random_cdc_feed_equals_batch_rebuild(spark, tmp_path_factory, data):
+    """The streaming SCD-2 apply must equal a direct batch rebuild for
+    ARBITRARY in-order CDC feeds cut into arbitrary batch boundaries —
+    including same-timestamp runs, single-event keys, and no-change
+    updates — and re-applying the final batch must change nothing."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from imdbmapreduce_spark.streaming.upsert import Scd2Sink, read_state
+
+    n_ev = data.draw(st.integers(1, 18))
+    events = []
+    for seq in range(n_ev):
+        events.append(
+            (
+                data.draw(st.integers(0, 2), label=f"key{seq}"),
+                data.draw(st.sampled_from(["A", "B", "C"]), label=f"state{seq}"),
+                data.draw(st.integers(0, 5), label=f"t{seq}") * 1000,
+                seq,
+            )
+        )
+    # in-order per key: sort by (ts, seq); seq is globally unique
+    events.sort(key=lambda e: (e[2], e[3]))
+    cut = data.draw(st.integers(0, len(events)), label="cut")
+    batches = [b for b in (events[:cut], events[cut:]) if b]
+
+    state_dir = str(tmp_path_factory.mktemp("scd2prop"))
+    sink = Scd2Sink(state_dir, key="user_id")
+    schema = "user_id long, state string, ts_us long, seq long"
+    for i, b in enumerate(batches):
+        sink(spark.createDataFrame(b, schema), i)
+    sink(spark.createDataFrame(batches[-1], schema), len(batches))  # replay
+
+    got = {
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current, r.version)
+        for r in read_state(spark, state_dir).collect()
+    }
+
+    # batch rebuild: the registered plan's exact math over all events
+    ev = spark.createDataFrame(events, schema)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "seq")
+    changes = (
+        ev.withColumn("prev", F.lag("state").over(w))
+        .filter(F.col("prev").isNull() | (F.col("state") != F.col("prev")))
+    )
+    want = {
+        (r.user_id, r.state, r.ts_us, r.valid_to_us, r.is_current, r.version)
+        for r in changes.withColumn("valid_to_us", F.lead("ts_us").over(w))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .withColumn("version", F.row_number().over(w).cast("long"))
+        .collect()
+    }
+    assert got == want
