@@ -183,8 +183,56 @@ def cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pagerank_cosuppliers", bench=True)  # no SQL oracle: iterative loop;
-# exact-int determinism locked by tests/test_graph.py's Python replay
+def _pagerank_oracle_sql(iters: int = COSUPPLIER_ITERS) -> str:
+    """Unroll the exact fixed-point recurrence as chained DuckDB CTEs.
+
+    Possible only BECAUSE of the determinism contract (module docstring):
+    every per-round operation is an int64 truncating division, an
+    order-independent integer sum, or an exact integer multiply — so one
+    CTE per round reproduces the Spark loop bit-for-bit. DuckDB's ``//``
+    truncates toward zero like Spark's ``div`` (verified: -7//2 = -3),
+    and its HUGEINT SUM is exact, cast back to BIGINT at each round.
+    """
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""c{t} AS (
+      SELECT e.dst AS node, SUM(r.rank_fp // e.out_deg) AS inbound
+      FROM ed e JOIN r{t - 1} r ON e.src = r.node GROUP BY e.dst
+    ), r{t} AS (
+      SELECT nd.node,
+             CAST((SELECT base FROM params)
+                  + ({PR_DAMP_NUM} * COALESCE(c.inbound, 0)) // {PR_DAMP_DEN}
+                  AS BIGINT) AS rank_fp
+      FROM nodes nd LEFT JOIN c{t} c ON nd.node = c.node
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    teleport = PR_DAMP_DEN - PR_DAMP_NUM
+    return f"""
+    WITH ds AS (
+      SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM ds a JOIN ds b ON a.k = b.k WHERE a.s <> b.s
+    ), ed AS (
+      SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS out_deg FROM edges
+    ), nodes AS (
+      SELECT s_suppkey AS node FROM supplier
+    ), params AS (
+      SELECT ({teleport} * {PR_SCALE} // {PR_DAMP_DEN}) // COUNT(*) AS base,
+             {PR_SCALE} // COUNT(*) AS r_init
+      FROM nodes
+    ), r0 AS (
+      SELECT node, CAST((SELECT r_init FROM params) AS BIGINT) AS rank_fp
+      FROM nodes
+    ),
+    {chain}
+    SELECT node, rank_fp FROM r{iters}
+    """
+
+
+@query("pagerank_cosuppliers", oracle=_pagerank_oracle_sql(), bench=True)
 def pagerank_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-supplier graph (suppliers sharing an order),
     COSUPPLIER_ITERS exact fixed-point iterations (count tuned to the

@@ -58,7 +58,80 @@ def quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_quality_logreg", bench=True)  # no SQL oracle: iterative; replayed in tests
+def _features_sql() -> str:
+    """The quality_features projection in DuckDB SQL (mirrors
+    operators.text.doc_quality's oracle fragments)."""
+    from imdbmapreduce_spark.operators.text import _DUCK_TOKS, _stop_list_sql
+
+    return f"""feats AS (
+      SELECT
+        CAST((len(toks) >= 20 AND len(list_distinct(toks)) * 4 >= len(toks))
+             AS INT) AS y,
+        1.0 AS x0,
+        log10(CAST(len(toks) AS DOUBLE) + 1.0) / 3.0 AS x1,
+        CAST(len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x)))
+             AS DOUBLE) / len(toks) AS x2,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS x3
+      FROM (SELECT {_DUCK_TOKS} AS toks FROM documents) t
+      WHERE len(toks) > 0
+    )"""
+
+
+def _logreg_oracle_sql(rounds: int = _LR_ROUNDS) -> str:
+    """Unroll the exact quantized-gradient descent as chained DuckDB CTEs.
+
+    Possible BECAUSE of the determinism contract (module docstring): every
+    cross-row reduction is an exact integer sum of per-row HALF_UP-rounded
+    quanta, and the driver-side weight update is plain double arithmetic
+    DuckDB reproduces operation-for-operation (same association order as
+    the Python expressions). DuckDB lacks ``log1p``, so the loss uses
+    ``ln(1+x)`` — for x = e^-|margin| in (0, 1] the two differ by at most
+    1 ulp, ~1e-10 of a loss quantum, far off any rounding boundary.
+    Verified hash-identical at sf0.01 via tools/driver_sim.py.
+    """
+    parts = [_features_sql()]
+    parts.append("w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)")
+    rows = []
+    for t in range(rounds):
+        margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(4))
+        grads = ",\n        ".join(
+            f"SUM(CAST(round(((p - CAST(y AS DOUBLE)) * x{j}) * {_GRAD_SCALE})"
+            f" AS BIGINT)) AS g{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f"""m{t} AS (
+      SELECT y, x0, x1, x2, x3, margin,
+             1.0 / (1.0 + exp(-margin)) AS p
+      FROM (SELECT f.*, ({margin}) AS margin FROM feats f, w{t} w)
+    ), a{t} AS (
+      SELECT
+        {grads},
+        SUM(CAST(round((greatest(margin, 0.0) + ln(1.0 + exp(-abs(margin)))
+                        - CAST(y AS DOUBLE) * margin) * {_LOSS_SCALE})
+                 AS BIGINT)) AS loss_q,
+        SUM(CAST((CAST(p > 0.5 AS INT) = y) AS BIGINT)) AS n_correct,
+        COUNT(*) AS n
+      FROM m{t}
+    ), w{t + 1} AS (
+      SELECT
+        {", ".join(
+            f"w.w{j} - ({_LR_RATE} * (CAST(a.g{j} AS DOUBLE) / {_GRAD_SCALE}))"
+            f" / a.n AS w{j}"
+            for j in range(4)
+        )}
+      FROM w{t} w, a{t} a
+    )"""
+        )
+        rows.append(
+            f"SELECT {t} AS round, CAST(a.loss_q AS BIGINT) AS sum_loss_q, "
+            f"CAST(a.n_correct AS BIGINT) AS n_correct, w.w0, w.w1, w.w2, w.w3 "
+            f"FROM a{t} a, w{t} w"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(rows)
+
+
+@query("doc_quality_logreg", oracle=_logreg_oracle_sql(), bench=True)
 def doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic regression by full-batch gradient descent:
     learn the quality gate from its own soft features — the smallest
