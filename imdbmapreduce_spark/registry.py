@@ -55,61 +55,157 @@ def query(
     return wrap
 
 
-def driver_verified_names() -> frozenset[str]:
-    """Names whose MOST RECENT driver CORRECTNESS row is green.
+def _repo_root() -> str:
+    import os
 
-    Reads the committed ``CORRECTNESS_r*.json`` files at the repo root
-    (the driver's own output); for each query the latest round that
-    checked it wins, so a query that was green in an early round but
-    regressed later counts as UNVERIFIED and re-enters tier 1 of the
-    sweep. A row is green when the value hash matched, or when the
-    check was ``no_oracle`` by design (the weak rows-only audit —
-    re-sweeping it cannot strengthen the signal). Missing/unreadable
-    files degrade to "nothing verified", which only makes the sweep
-    order more conservative.
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def manifest_path() -> str:
+    import os
+
+    return os.path.join(_repo_root(), "QUERY_FINGERPRINTS.json")
+
+
+def query_fingerprint(name: str) -> str:
+    """Behavior fingerprint of a registered query: sha256 over the plan
+    function's source text plus its oracle SQL.
+
+    Scope note: helper functions the plan calls are NOT hashed (a
+    cross-module helper edit escapes this). The fingerprint's job is to
+    catch the common case — an edit to the query body or its oracle —
+    and demote the query to tier 1 of the sweep until a fresh external
+    check lands; the pytest suite remains the net under helper edits.
     """
+    import hashlib
+    import inspect
+    import textwrap
+
+    rq = _REGISTRY[name]
+    try:
+        src = textwrap.dedent(inspect.getsource(rq.fn))
+    except (OSError, TypeError):
+        src = ""  # unhashable source degrades to "always stale" — conservative
+    return hashlib.sha256((src + "\n--oracle--\n" + (rq.oracle or "")).encode()).hexdigest()
+
+
+def _cached(fn):
+    import functools
+
+    return functools.lru_cache(maxsize=1)(fn)
+
+
+@_cached
+def _manifest() -> dict:
+    """Committed fingerprint manifest (name -> sha256 recorded at the
+    last successful verification). Memoized per process: the committed
+    file cannot change mid-run (ADVICE r4 — sweep_order was re-globbing
+    CORRECTNESS files on every registry call)."""
+    import json
+
+    try:
+        with open(manifest_path(), encoding="utf-8") as f:
+            return dict(json.load(f))
+    except (OSError, ValueError):
+        return {}
+
+
+@_cached
+def _latest_rows() -> dict:
+    """name -> (round_number, green) from the committed CORRECTNESS
+    files; the latest round that checked a query wins. Memoized per
+    process (files are committed artifacts, immutable mid-run)."""
     import glob
     import json
     import os
+    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    status: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    status: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path, encoding="utf-8") as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
         for name, row in rows.items():  # later rounds overwrite earlier
-            status[name] = bool(
-                row.get("hash_match") or row.get("err") == "no_oracle"
+            kind = (
+                "hash"
+                if row.get("hash_match")
+                else ("no_oracle" if row.get("err") == "no_oracle" else None)
             )
-    return frozenset(n for n, ok in status.items() if ok)
+            status[name] = (rnd, kind)
+    return status
+
+
+def invalidate_caches() -> None:
+    """Drop the memoized manifest/CORRECTNESS reads (test hook; also for
+    tools that rewrite the manifest and re-read it in-process)."""
+    _manifest.cache_clear()
+    _latest_rows.cache_clear()
+
+
+def driver_verified_names() -> frozenset[str]:
+    """Names whose MOST RECENT driver CORRECTNESS row is green AND whose
+    current fingerprint matches the committed manifest.
+
+    Three staleness triggers demote a query back to tier 1 of the sweep:
+    a red/missing latest driver row (regression); a fingerprint mismatch
+    (the query's source or oracle changed since its last verification —
+    the z-score near-miss from ADVICE r3 is the motivating case: a
+    behavior edit to an already-green query must re-enter the
+    externally-checked tier, not coast on a stale green); or a latest
+    row that was ``no_oracle`` for a query that NOW registers an oracle
+    (the weak rows-only row can be strengthened to a hash check — the
+    r5 pagerank/logreg oracle additions are the motivating case).
+    Missing/unreadable files degrade to "nothing verified", which only
+    makes the sweep more conservative.
+    """
+    _load_plans()
+    manifest = _manifest()
+    out = []
+    for name, (_, kind) in _latest_rows().items():
+        if name not in _REGISTRY:
+            continue
+        rows_only_ok = kind == "no_oracle" and _REGISTRY[name].oracle is None
+        if not (kind == "hash" or rows_only_ok):
+            continue
+        if manifest.get(name) != query_fingerprint(name):
+            continue  # edited since last verification -> stale
+        out.append(name)
+    return frozenset(out)
 
 
 def sweep_order() -> list[str]:
-    """Driver sweep order: never-verified queries first.
+    """Driver sweep order: never-verified and stale queries first.
 
     The driver checks queries in the order ``queries()`` yields them,
     under a fixed ~50-query budget — so ordering IS the verification
-    policy. Three tiers, each in registration order:
+    policy. Three tiers:
 
-    1. batch queries with NO green driver row in any prior round —
-       these need the external signal most;
+    1. batch queries with NO green driver row (or a stale fingerprint —
+       see :func:`driver_verified_names`), in registration order;
     2. the streaming vertical, as one contiguous block — after every
        batch query that still needs a row (its micro-batch wall-clock
        must never starve one: the round-2 regression), but still inside
-       the budget so post-fix streaming rows actually land (the round-3
-       gap);
-    3. batch queries already green in a prior round — re-verification
-       is a bonus, not a need.
+       the budget so post-fix streaming rows actually land;
+    3. batch queries verified in a prior round, LEAST-RECENTLY-VERIFIED
+       first (round number ascending, registration order within a
+       round) — stale greens refresh on a bounded cadence instead of
+       forever re-checking the same early registrations.
     """
     _load_plans()
     names = list(_REGISTRY)
     green = driver_verified_names()
+    rows = _latest_rows()
+    reg_pos = {n: i for i, n in enumerate(names)}
     tier1 = [n for n in names if n not in green and not n.startswith("streaming_")]
     tier2 = [n for n in names if n.startswith("streaming_")]
-    tier3 = [n for n in names if n in green and not n.startswith("streaming_")]
+    tier3 = sorted(
+        (n for n in names if n in green and not n.startswith("streaming_")),
+        key=lambda n: (rows[n][0], reg_pos[n]),
+    )
     return tier1 + tier2 + tier3
 
 

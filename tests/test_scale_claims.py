@@ -162,6 +162,64 @@ def test_sweep_order_prioritizes_never_verified_queries():
             assert n in green and not n.startswith("streaming_"), (i, n)
 
 
+def test_fingerprint_staleness_demotes_edited_query(tmp_path, monkeypatch):
+    """Staleness policy (r4 verdict item 2): a green driver row only
+    counts as verified while the query's fingerprint (plan source +
+    oracle SQL) matches the committed manifest. Simulate an edit by
+    rewriting one manifest entry — the query must drop out of
+    driver_verified_names() and re-enter tier 1 of the sweep, ahead of
+    the streaming block."""
+    import json
+
+    victim = "dedup_exact"
+    baseline = registry.driver_verified_names()
+    assert victim in baseline, "test premise: dedup_exact is verified"
+
+    manifest = dict(registry._manifest())
+    manifest[victim] = "0" * 64  # what an edited query's stale entry looks like
+    p = tmp_path / "QUERY_FINGERPRINTS.json"
+    p.write_text(json.dumps(manifest))
+    monkeypatch.setattr(registry, "manifest_path", lambda: str(p))
+    registry.invalidate_caches()
+    try:
+        demoted = registry.driver_verified_names()
+        assert victim not in demoted
+        assert baseline - demoted == {victim}  # nobody else disturbed
+        order = registry.sweep_order()
+        first_stream = next(
+            i for i, n in enumerate(order) if n.startswith("streaming_")
+        )
+        assert order.index(victim) < first_stream  # tier 1, inside budget
+    finally:
+        monkeypatch.undo()
+        registry.invalidate_caches()
+
+
+def test_no_oracle_row_does_not_verify_oracle_bearing_query():
+    """A ``no_oracle`` driver row is the weak rows-only check; once a
+    query registers an oracle (r5: pagerank_cosuppliers,
+    doc_quality_logreg), that row must no longer count — the query
+    re-enters tier 1 so the driver strengthens it to a hash check."""
+    green = registry.driver_verified_names()
+    rows = registry._latest_rows()
+    for name, (_, kind) in rows.items():
+        if kind == "no_oracle" and registry.get(name).oracle is not None:
+            assert name not in green, name
+
+
+def test_tier3_rotates_by_verification_age():
+    """Already-verified batch queries sweep least-recently-verified
+    first (r4 verdict item 8), so stale greens refresh on a bounded
+    cadence instead of registration order."""
+    order = registry.sweep_order()
+    green = registry.driver_verified_names()
+    rows = registry._latest_rows()
+    tier3 = [n for n in order if n in green and not n.startswith("streaming_")]
+    rounds = [rows[n][0] for n in tier3]
+    assert rounds == sorted(rounds), "tier 3 not ordered by verification round"
+    assert len(set(rounds)) > 1, "test premise: multiple verification rounds exist"
+
+
 def test_aqe_skew_join_splits_and_its_blind_spot(spark):
     """SCALE.md defers skewed-key joins to 'AQE skew-join territory';
     this pins (a) that AQE actually splits a skewed partition here, and

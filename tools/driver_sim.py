@@ -67,5 +67,23 @@ for name in sorted(qs):
     print(f"{status} {name}: spark_rows={len(sdf)} oracle_rows={len(odf)} cols_ok={ok_cols} hash_ok={ok_hash}")
 
 print("RESULT:", "ALL MATCH" if not fails else f"FAILURES: {fails}")
+
+# Refresh the committed fingerprint manifest for every query that just
+# passed its check (hash MATCH, or the rows-only run completing) — this
+# is what flips an edited query back from "stale, tier 1" to "verified"
+# in registry.sweep_order(). Failures keep their old entry, so a red
+# query stays demoted.
+import json
+
+from imdbmapreduce_spark import registry
+
+manifest = dict(registry._manifest())
+for name in qs:
+    if name not in fails:
+        manifest[name] = registry.query_fingerprint(name)
+with open(registry.manifest_path(), "w", encoding="utf-8") as f:
+    json.dump(dict(sorted(manifest.items())), f, indent=1)
+print(f"fingerprint manifest: {len(manifest)} entries refreshed -> {registry.manifest_path()}")
+
 spark.stop()
 sys.exit(1 if fails else 0)
