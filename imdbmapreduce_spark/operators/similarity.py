@@ -450,6 +450,80 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents
 
 
+def _vector_artifact(spark: SparkSession, sf_dir: str, name: str, build):
+    """Session-cache one index artifact, preferring the PERSISTED copy.
+
+    Resolution order: session shared cache → on-disk parquet index
+    (imdbmapreduce_spark.indexstore, with source-staleness checking) →
+    build from scratch. A cold session with a persisted index therefore
+    answers ANN queries without re-running the clustering/encoding jobs —
+    the reference's own save/restore lifecycle (ets:tab2file,
+    /root/reference/Code/csv_to_ets.erl:63-74) applied to vector indexes.
+    """
+    from imdbmapreduce_spark import indexstore
+
+    def load_or_build() -> DataFrame:
+        loaded = indexstore.load_artifact(spark, sf_dir, name)
+        return loaded if loaded is not None else build()
+
+    return shared_cache(spark, (name, sf_dir), load_or_build)
+
+
+def _ivf_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vector_artifact(
+        spark, sf_dir, "ivf_codebook", lambda: _ivf_codebook(spark, sf_dir)
+    )
+
+
+def _ivf_lists_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _shared_components(spark, sf_dir)
+    cents = _ivf_codebook_cached(spark, sf_dir)
+    return _vector_artifact(
+        spark,
+        sf_dir,
+        "ivf_lists",
+        lambda: _cell_assignment(ex.filter(F.col("vec_id") >= _N_PROBES), cents)
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "cell"),
+    )
+
+
+def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vector_artifact(
+        spark, sf_dir, "pq_codebook", lambda: _pq_codebook(spark, sf_dir)
+    )
+
+
+def _pq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _shared_components(spark, sf_dir)
+    cents = _pq_codebook_cached(spark, sf_dir)
+    return _vector_artifact(
+        spark,
+        sf_dir,
+        "pq_codes",
+        lambda: _pq_assign(ex.filter(F.col("vec_id") >= _N_PROBES), cents),
+    )
+
+
+def build_vector_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All four index artifacts (cached; built or loaded as available)."""
+    return {
+        "ivf_codebook": _ivf_codebook_cached(spark, sf_dir),
+        "ivf_lists": _ivf_lists_cached(spark, sf_dir),
+        "pq_codebook": _pq_codebook_cached(spark, sf_dir),
+        "pq_codes": _pq_codes_cached(spark, sf_dir),
+    }
+
+
+def persist_vector_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the four index artifacts and write them as the
+    on-disk index; returns the index directory. Later sessions' ann_*
+    queries then answer from the prebuilt index."""
+    from imdbmapreduce_spark import indexstore
+
+    return indexstore.persist(spark, sf_dir, build_vector_index(spark, sf_dir))
+
+
 @query("ann_ivf_topk")  # no SQL oracle: sampled-centroid specifics; see tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-{k}, IVF-style: inverted file over coarse cells
@@ -488,16 +562,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantized components: build once, serve every probe batch.
     # Codebook = cells x dims rows (constants); inverted lists = one
     # (vec_id, cell) row per corpus vector — o(corpus), spillable.
-    cents = shared_cache(
-        spark, ("ivf_codebook", sf_dir), lambda: _ivf_codebook(spark, sf_dir)
-    )
-    corpus_cells = shared_cache(
-        spark,
-        ("ivf_lists", sf_dir),
-        lambda: _cell_assignment(ex.filter(~probe_ids), cents)
-        .filter(F.col("cr") == 1)
-        .select("vec_id", "cell"),
-    )
+    # Both prefer the PERSISTED index when one exists (_vector_artifact).
+    cents = _ivf_codebook_cached(spark, sf_dir)
+    corpus_cells = _ivf_lists_cached(spark, sf_dir)
     probe_cells = (
         _cell_assignment(ex.filter(probe_ids), cents)
         .filter(F.col("cr") <= _IVF_NPROBE)
@@ -642,14 +709,8 @@ def _adc_shortlist(
     the two consumers."""
     ex = _shared_components(spark, sf_dir)
     probe_ids = F.col("vec_id") < _N_PROBES
-    cents = shared_cache(
-        spark, ("pq_codebook", sf_dir), lambda: _pq_codebook(spark, sf_dir)
-    )
-    codes = shared_cache(
-        spark,
-        ("pq_codes", sf_dir),
-        lambda: _pq_assign(ex.filter(~probe_ids), cents),
-    )
+    cents = _pq_codebook_cached(spark, sf_dir)
+    codes = _pq_codes_cached(spark, sf_dir)
     cn2 = cents.groupBy("s", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
     recon_n2 = (
         codes.join(F.broadcast(cn2), ["s", "code"])
@@ -746,17 +807,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _shared_components(spark, sf_dir)
     probe_ids = F.col("vec_id") < _N_PROBES
 
-    # IVF side: cached codebook + inverted lists (cell per corpus vector)
-    ivf_cents = shared_cache(
-        spark, ("ivf_codebook", sf_dir), lambda: _ivf_codebook(spark, sf_dir)
-    )
-    corpus_cells = shared_cache(
-        spark,
-        ("ivf_lists", sf_dir),
-        lambda: _cell_assignment(ex.filter(~probe_ids), ivf_cents)
-        .filter(F.col("cr") == 1)
-        .select("vec_id", "cell"),
-    )
+    # IVF side: cached codebook + inverted lists (cell per corpus vector),
+    # served from the persisted index when one exists
+    ivf_cents = _ivf_codebook_cached(spark, sf_dir)
+    corpus_cells = _ivf_lists_cached(spark, sf_dir)
     probe_cells = (
         _cell_assignment(ex.filter(probe_ids), ivf_cents)
         .filter(F.col("cr") <= _IVF_NPROBE)
