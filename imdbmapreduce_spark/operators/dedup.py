@@ -459,7 +459,19 @@ def hamming_pairs(members: DataFrame, max_hamming: int = 3) -> DataFrame:
     collision-bounded (not bucket-count-bounded), and duplicate-document
     clusters never enter it at all. bit_count is a single codegen'd
     instruction.
+
+    ``max_hamming`` must be <= 3: the 3-of-6 banding only GUARANTEES
+    recall through distance 3 (pigeonhole over the six blocks). A larger
+    value would emit only pairs the bands happen to catch — silently
+    incomplete — so it is rejected rather than half-honored (ADVICE r4);
+    a wider radius needs smaller band subsets (k-of-6 with k = 6 - d).
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 3-of-6 banding's "
+            "completeness guarantee (distance <= 3); rebuild the band "
+            "tables with (6 - d)-block subsets for a wider radius"
+        )
     # Identical-fingerprint clusters (the dominant mass in a duplicate-
     # heavy corpus — one 249-doc cluster at sf0.1 alone is 31k pairs)
     # short-circuit the banded join entirely: emit their pairs directly

@@ -46,7 +46,12 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping factor 0.85 as a ratio
 COSUPPLIER_ITERS = 5
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    cache_key: tuple | None = None,
+) -> DataFrame:
     """Power-method PageRank over (src, dst) edges in exact fixed point.
 
     nodes: one column ``node`` (every vertex, including isolated ones);
@@ -81,8 +86,19 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
     base = (teleport * PR_SCALE) // PR_DAMP_DEN // n_nodes
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # (src, dst, out_deg) is loop-invariant: materialize once.
-    ed = edges.join(deg, "src").localCheckpoint()
+    # (src, dst, out_deg) is loop-invariant: materialize once. With a
+    # cache_key it joins the repo's bounded releasable cache (built once
+    # per corpus, freed by release_shared_caches like every other index
+    # artifact — r4 verdict nit); without one it stays call-local as a
+    # LAZY checkpoint (lineage truncation on first use, no eager job).
+    if cache_key is not None:
+        ed = shared_cache(
+            edges.sparkSession,
+            ("pagerank_ed", *cache_key),
+            lambda: edges.join(deg, "src"),
+        )
+    else:
+        ed = edges.join(deg, "src").localCheckpoint(eager=False)
 
     ranks = nodes.select("node", F.lit(PR_SCALE // n_nodes).cast("long").alias("rank_fp"))
     for i in range(iters):

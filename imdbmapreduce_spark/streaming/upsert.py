@@ -29,6 +29,7 @@ version sweep is a metadata delete.
 
 from __future__ import annotations
 
+import logging
 import os
 import tempfile
 
@@ -39,6 +40,7 @@ from pyspark.sql.window import Window
 __all__ = ["KeyedStateSink", "Scd2Sink", "read_state"]
 
 _POINTER = "_CURRENT"
+_LOG = logging.getLogger(__name__)
 
 
 def _current_version(state_path: str) -> int | None:
@@ -145,6 +147,14 @@ class Scd2Sink:
     def __init__(self, state_path: str, key: str = "user_id"):
         self.state_path = state_path
         self.key = key
+        # Observability for the stale-replay guard (ADVICE r4): rows it
+        # drops are EITHER benign crash redeliveries (expected: whole
+        # batches, after a restart) or an upstream violating the
+        # in-order-per-key contract (history is then quietly missing
+        # those transitions). Per-batch counts make the second case
+        # visible instead of silently absorbed.
+        self.stale_dropped: dict[int, int] = {}  # batch_id -> rows dropped
+        self.total_stale_dropped = 0
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -177,21 +187,38 @@ class Scd2Sink:
         # greatest (ts, seq) ever applied for the key — anything at or
         # below it is a redelivery, including same-timestamp state flips
         # that a (ts, state)-only guard would re-apply
-        fresh = (
-            batch.join(
-                open_rows.select(
-                    k,
-                    F.col("hw_ts_us").alias("g_ts"),
-                    F.col("hw_seq").alias("g_seq"),
-                ),
+        guarded = batch.join(
+            open_rows.select(
                 k,
-                "left",
+                F.col("hw_ts_us").alias("g_ts"),
+                F.col("hw_seq").alias("g_seq"),
+            ),
+            k,
+            "left",
+        )
+        is_fresh = (
+            F.col("g_ts").isNull()
+            | (F.col("ts_us") > F.col("g_ts"))
+            | ((F.col("ts_us") == F.col("g_ts")) & (F.col("seq") > F.col("g_seq")))
+        )
+        # count what the guard drops (one |batch|-proportional job) so a
+        # contract-violating out-of-order feed is observable, not
+        # silently absorbed as "replay" (ADVICE r4)
+        n_stale = (
+            guarded.agg(F.sum((~is_fresh).cast("long")).alias("n")).first()["n"] or 0
+        )
+        if n_stale:
+            self.stale_dropped[batch_id] = int(n_stale)
+            self.total_stale_dropped += int(n_stale)
+            _LOG.warning(
+                "Scd2Sink %s batch %d: dropped %d stale row(s) at/below the "
+                "high-water mark (benign iff this is a crash redelivery)",
+                self.state_path,
+                batch_id,
+                n_stale,
             )
-            .filter(
-                F.col("g_ts").isNull()
-                | (F.col("ts_us") > F.col("g_ts"))
-                | ((F.col("ts_us") == F.col("g_ts")) & (F.col("seq") > F.col("g_seq")))
-            )
+        fresh = (
+            guarded.filter(is_fresh)
             .select(k, "state", "ts_us", "seq")
             .withColumn("voff", F.lit(None).cast("long"))
         )

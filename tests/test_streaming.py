@@ -334,3 +334,24 @@ def test_scd2_sink_redelivery_of_same_ts_state_flip_is_noop(spark, tmp_path):
     final = {r.state: r for r in read_state(spark, state).collect()}
     assert final["C"].is_current and final["C"].version == 3
     assert not final["B"].is_current
+    # observability (ADVICE r4): the guard COUNTS what it drops — the
+    # redelivered batch's 2 stale rows are recorded per batch_id, the
+    # fresh batches drop nothing, so a contract-violating out-of-order
+    # feed is distinguishable from clean streams
+    assert sink.stale_dropped == {0: 2}
+    assert sink.total_stale_dropped == 2
+
+
+def test_hamming_pairs_rejects_radius_beyond_banding_guarantee(spark):
+    """The 3-of-6 banded tables only guarantee completeness through
+    Hamming distance 3; a wider request must raise, not silently return
+    whatever pairs the bands happen to catch (ADVICE r4)."""
+    import pytest
+
+    from imdbmapreduce_spark.operators.dedup import hamming_pairs
+
+    members = spark.createDataFrame([(1, 5)], "doc_id long, fp long")
+    with pytest.raises(ValueError, match="completeness"):
+        hamming_pairs(members, max_hamming=4)
+    # the guaranteed radius still works
+    assert hamming_pairs(members, max_hamming=3).count() == 0
