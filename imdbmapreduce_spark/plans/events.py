@@ -623,7 +623,67 @@ def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_heavy_hitters_sketch")  # no SQL oracle: sketch internals; self-audited
+def _user_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user event counts — the shared subplan of the heavy-
+    hitters pair (one partial/final agg, |users| rows), cached so the
+    sketch audit and the exact twin never scan events twice in a sweep."""
+    from imdbmapreduce_spark.cache import shared_cache
+
+    return shared_cache(
+        spark,
+        ("events_user_counts", sf_dir),
+        lambda: table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt")),
+    )
+
+
+_HH_TOP = 64
+
+
+@query(
+    "events_heavy_hitters_exact",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS exact_cnt
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT user_id, exact_cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, user_id)
+                  AS BIGINT) AS rnk
+      FROM cnt
+    )
+    SELECT user_id, exact_cnt, rnk FROM ranked WHERE rnk <= {_HH_TOP}
+    """,
+)
+def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{top} users by event count — the oracle-checked twin the
+    Misra-Gries audit (events_heavy_hitters_sketch) references: its
+    "exact_cnt" column is THIS aggregation (shared subplan), so the
+    sketch's self-audit compares against an externally hash-verified
+    exact side (r4 verdict item 6).
+
+    Plan: one partial/final count agg, then a distributed top-k
+    (orderBy + limit lowers to TakeOrderedAndProject — per-partition
+    heaps, no global sort); the rank window runs over the surviving
+    {top} rows only.
+
+    Scale: this is the regime where the exact answer is affordable
+    (|users| grouped rows); when the key domain itself doesn't fit, the
+    sketch twin takes over — that division of labor is the point of
+    registering them as a pair.
+    """
+    top = (
+        _user_exact_counts(spark, sf_dir)
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(_HH_TOP)
+    )
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@query("events_heavy_hitters_sketch")  # no SQL oracle: sketch internals;
+# self-audited against the oracle-checked exact twin (shared subplan)
 def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent users next to their exact counts, with the
     deterministic error bound surfaced and checked as a column — the
@@ -646,8 +706,10 @@ def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     sk = misra_gries(ev, "user_id", k=64)
-    exact = ev.groupBy(F.col("user_id").cast("long").alias("item")).agg(
-        F.count(F.lit(1)).alias("exact_cnt")
+    # the exact side IS the oracle-checked twin's aggregation (shared
+    # cache), so this audit's reference column is externally verified
+    exact = _user_exact_counts(spark, sf_dir).select(
+        F.col("user_id").alias("item"), "exact_cnt"
     )
     return (
         sk.join(exact, "item")
