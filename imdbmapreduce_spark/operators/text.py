@@ -306,9 +306,21 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map pass computes tokens/quality/hash together (shared
     subexpression, no re-tokenization), one shuffle on the content hash
-    for the keeper group, one uniform-key join back. The verticals
-    compose without re-reading the corpus.
+    for the keeper group, one uniform-key join back. The verdict is a
+    per-corpus artifact in the bounded releasable cache (r4 verdict
+    item 4): downstream compositions (curated_embedding_stats, and any
+    keep-list consumer) reuse it instead of re-tokenizing the corpus.
     """
+    from imdbmapreduce_spark.cache import shared_cache
+
+    return shared_cache(
+        spark,
+        ("curation_verdict", sf_dir),
+        lambda: _build_curation_verdict(spark, sf_dir),
+    )
+
+
+def _build_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokens("text")
     scored = (
