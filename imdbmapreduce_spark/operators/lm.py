@@ -1,0 +1,190 @@
+"""Language-model-adjacent corpus operators: tokenizer induction and
+unigram LM scoring (north-star scope, the training-data side of an LLM
+pipeline; no reference analog — the reference's text processing stops at
+the cast tokenizer, /root/reference/Code/mapReduce.erl:140-148).
+
+Two operators a real pretraining pipeline runs over the whole corpus:
+
+- :func:`bpe_first_merge_stats` — the first step of byte-pair-encoding
+  training: count adjacent SYMBOL pairs across the corpus vocabulary,
+  weighted by word frequency. BPE's defining trick is that after one
+  pass over the corpus (the word-count aggregation), every further merge
+  round operates on the VOCABULARY (|unique words|), not the corpus —
+  exactly how this plan is shaped, so the expensive input is touched
+  once no matter how many merges a tokenizer build runs.
+- :func:`doc_unigram_logprob` — CCNet-style LM quality scoring: each
+  document's mean per-token log-probability under the corpus's own
+  unigram distribution. Low-probability documents are gibberish/noise;
+  high-probability ones are repetitive boilerplate — both tails are what
+  perplexity filters cut. The real thing swaps the unigram model for a
+  KenLM n-gram; the plan shape (score tokens against a broadcast/joined
+  model table, aggregate per doc) is identical.
+
+Determinism contract (repo-wide style): every cross-row reduction is an
+exact integer sum — pair counts are integer weights, and per-token
+log-probs are quantized to 1e-6 units per OCCURRENCE before summation —
+so results are bit-identical under any partitioning and reproduce in
+DuckDB (ln over doubles agrees bit-for-bit between the JVM and DuckDB's
+libm on this data; the sums of quantized values are exact either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.functions import tokens
+from imdbmapreduce_spark.operators.text import _DUCK_TOKS
+from imdbmapreduce_spark.registry import query
+
+_BPE_TOP = 100
+_LP_SCALE = 1_000_000  # log-prob quantum: 1e-6 per token occurrence
+
+
+@query(
+    "bpe_first_merge_stats",
+    oracle=f"""
+    WITH ex AS (
+      SELECT unnest(toks) AS tok
+      FROM (SELECT {_DUCK_TOKS} AS toks FROM documents)
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS n FROM ex GROUP BY tok
+    ), cs AS (
+      SELECT n, string_split(tok, '') AS c FROM vocab WHERE length(tok) >= 2
+    ), pairs AS (
+      SELECT n, unnest(c[1:len(c)-1]) AS c1, unnest(c[2:len(c)]) AS c2 FROM cs
+    ), cnt AS (
+      SELECT c1, c2, CAST(SUM(n) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c1, c2, pair_count,
+             CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, c1, c2)
+                  AS BIGINT) AS rnk
+      FROM cnt
+    )
+    SELECT c1, c2, pair_count, rnk FROM ranked WHERE rnk <= {_BPE_TOP}
+    """,
+)
+def bpe_first_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, step 1: the top-{top} adjacent character pairs
+    across the corpus vocabulary, weighted by word frequency — the exact
+    statistic whose argmax becomes the first merge rule of a BPE
+    tokenizer. Further merge rounds reuse the same plan over the updated
+    symbol sequences.
+
+    Plan: ONE corpus pass builds the word-count vocabulary (partial/
+    final agg on token); everything after operates on |vocab| rows —
+    split each distinct word into characters, slide the 2-window via two
+    array slices zipped map-side, explode, and sum the word counts per
+    pair. Top-k lowers to TakeOrderedAndProject (per-partition heaps, no
+    global sort); the rank window runs over the {top} survivors only.
+
+    Scale: this corpus-once/vocab-many asymmetry is WHY BPE trains in
+    minutes on terabytes — at 100 TB the vocabulary is ~1e8 rows of a
+    few bytes while the corpus stays on disk. The pair agg keys on
+    character pairs (thousands of groups) — tiny exchange, map-side
+    combined.
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cs = vocab.filter(F.length("tok") >= 2).select(
+        "n", F.split("tok", "").alias("c")
+    )
+    sel = cs.select(
+        "n",
+        F.slice("c", 1, F.size("c") - 1).alias("l"),
+        F.expr("slice(c, 2, size(c) - 1)").alias("r"),
+    )
+    cnt = (
+        sel.select("n", F.explode(F.arrays_zip("l", "r")).alias("p"))
+        .groupBy(F.col("p.l").alias("c1"), F.col("p.r").alias("c2"))
+        .agg(F.sum("n").alias("pair_count"))
+    )
+    top = cnt.orderBy(F.desc("pair_count"), "c1", "c2").limit(_BPE_TOP)
+    w = Window.orderBy(F.desc("pair_count"), "c1", "c2")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(toks) AS tok
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), dt AS (
+      SELECT doc_id, tok, COUNT(*) AS k FROM ex GROUP BY doc_id, tok
+    ), vocab AS (
+      SELECT tok, SUM(k) AS cnt FROM dt GROUP BY tok
+    ), n AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab
+    ), lp AS (
+      SELECT tok,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT total FROM n))
+                        * {_LP_SCALE}) AS BIGINT) AS lp_q
+      FROM vocab
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.k * l.lp_q) AS BIGINT) AS logprob_q,
+           CAST(SUM(d.k * l.lp_q) AS DOUBLE) / SUM(d.k) / {_LP_SCALE}
+             AS avg_logprob
+    FROM dt d JOIN lp l ON d.tok = l.tok
+    GROUP BY d.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: per document, the total and
+    mean per-token log-probability under the corpus's own unigram
+    distribution (CCNet's filter, with the KenLM swapped for the unigram
+    model the same plan shape supports).
+
+    Per-token log-probs quantize to 1e-6 units at the VOCABULARY level
+    (one rounding per distinct token, not per occurrence), so every
+    cross-row sum is an exact integer reduction; the mean is a fixed
+    int → double division sequence both engines replay bit-for-bit.
+
+    Plan: per-(doc, token) counts first (map-side combine shrinks "the"
+    from one row per occurrence to one row per document BEFORE any
+    join), vocabulary totals from those counts (no second corpus scan),
+    then a token-keyed join back and one per-doc agg.
+
+    Scale: the join keys on token — skewed by Zipf's law, but the
+    per-doc pre-combine bounds the hot key at |docs| rows and AQE's
+    skew split applies (the downstream agg keys on doc_id, not token).
+    At 100 TB the model side is |vocab| slim rows; a trained n-gram
+    model would instead be a broadcast/bucketed model table — same
+    join, different build.
+    """
+    docs = table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    vocab = dt.groupBy("tok").agg(F.sum("k").alias("cnt"))
+    total = float(vocab.agg(F.sum("cnt")).first()[0])
+    lp = vocab.select(
+        "tok",
+        F.round(F.log(F.col("cnt").cast("double") / F.lit(total)) * _LP_SCALE)
+        .cast("long")
+        .alias("lp_q"),
+    )
+    return (
+        dt.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("lp_q")).alias("logprob_q"),
+            (
+                F.sum(F.col("k") * F.col("lp_q")).cast("double")
+                / F.sum("k")
+                / F.lit(_LP_SCALE)
+            ).alias("avg_logprob"),
+        )
+    )

@@ -251,6 +251,7 @@ def _load_plans() -> None:
     # readability, nothing more.
     from imdbmapreduce_spark.operators import cooccurrence  # noqa: F401
     from imdbmapreduce_spark.operators import text  # noqa: F401
+    from imdbmapreduce_spark.operators import lm  # noqa: F401
     from imdbmapreduce_spark.operators import pipeline  # noqa: F401
     from imdbmapreduce_spark.operators import similarity  # noqa: F401
     from imdbmapreduce_spark.operators import graph  # noqa: F401

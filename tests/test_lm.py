@@ -1,0 +1,68 @@
+"""Semantics tests for the LM vertical (tokenizer induction + unigram
+scoring) — pure-Python replays of both operators' exact-integer math,
+plus shape invariants. The driver oracle covers both queries externally;
+these lock the math at sf0.001 against an independent implementation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from imdbmapreduce_spark import registry
+from imdbmapreduce_spark.catalog import table
+
+_LP_SCALE = 1_000_000
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.strip().split() if t]
+
+
+def test_bpe_first_merge_stats_matches_python_replay(spark, sf_dir):
+    docs = [r.text for r in table(spark, sf_dir, "documents").select("text").collect()]
+    vocab = Counter(t for d in docs for t in _toks(d))
+    pairs: Counter = Counter()
+    for tok, n in vocab.items():
+        for a, b in zip(tok, tok[1:]):
+            pairs[(a, b)] += n
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+
+    got = registry.get("bpe_first_merge_stats").fn(spark, sf_dir).collect()
+    assert [(r.c1, r.c2) for r in sorted(got, key=lambda r: r.rnk)] == [
+        p for p, _ in want
+    ]
+    assert {(r.c1, r.c2): r.pair_count for r in got} == dict(want)
+    assert [r.rnk for r in sorted(got, key=lambda r: r.rnk)] == list(
+        range(1, len(want) + 1)
+    )
+
+
+def test_doc_unigram_logprob_matches_python_replay(spark, sf_dir):
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    vocab: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for r in rows:
+        c = Counter(_toks(r.text))
+        if c:
+            per_doc[r.doc_id] = c
+            vocab.update(c)
+    total = float(sum(vocab.values()))
+
+    def q(v: float) -> int:  # Spark round(): half away from zero
+        s = v * _LP_SCALE
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    lp_q = {t: q(math.log(n / total)) for t, n in vocab.items()}
+    got = {
+        r.doc_id: r
+        for r in registry.get("doc_unigram_logprob").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, c in per_doc.items():
+        n_tokens = sum(c.values())
+        logprob_q = sum(k * lp_q[t] for t, k in c.items())
+        r = got[doc_id]
+        assert (r.n_tokens, r.logprob_q) == (n_tokens, logprob_q), doc_id
+        assert r.avg_logprob == logprob_q / n_tokens / _LP_SCALE
+        assert r.avg_logprob < 0  # probabilities < 1 -> negative log-prob
