@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["misra_gries"]
+__all__ = ["misra_gries", "count_min", "cms_estimate"]
 
 
 def _fold(counters: "pd.Series | None", batch: "pd.Series", k: int) -> tuple["pd.Series", int]:
@@ -106,4 +106,68 @@ def misra_gries(df: DataFrame, item: str | Column, k: int = 64) -> DataFrame:
             (F.col("dec0") + F.col("dec1")).alias("bound"),
         )
         .filter(F.col("est") > 0)
+    )
+
+
+# --- Count-Min sketch (overcounting dual of Misra-Gries) ------------------
+
+
+def _cms_bucket(item: Column, j: Column, w: int) -> Column:
+    """Row-j bucket of an item: xxhash64 seeded by the row index — the
+    same derive-the-hash-family-from-xxhash64 trick as the sign-LSH
+    hyperplanes (operators.similarity), so the sketch is pure codegen."""
+    return F.pmod(F.xxhash64(item, j), F.lit(w))
+
+
+def count_min(df: DataFrame, item: str | Column, d: int = 4, w: int = 512) -> DataFrame:
+    """Count-Min sketch of ``item``: ``d`` hash rows x ``w`` buckets.
+
+    Returns (j, bucket, cnt) — the d*w counter table. CMS is the
+    OVERCOUNTING dual of Misra-Gries: estimates never undercount
+    (est >= true always — hash collisions only add), and the expected
+    overcount per row is N/w, taken min across the d rows. Unlike MG it
+    answers point queries for ANY item, present or not, and merges by
+    plain counter addition (linearity), which is why it is the
+    distributed-systems default for per-key rate tracking.
+
+    Spark shape: NO Python anywhere — explode the fact x d row indexes,
+    one partial/final agg keyed (j, bucket). The exchange carries at
+    most d*w combined rows per map task regardless of fact size, and the
+    counter table is d*w slim rows total: the same nothing-but-summaries
+    shuffle discipline as the MG lane, without even an Arrow boundary.
+    """
+    col = F.col(item) if isinstance(item, str) else item
+    items = df.select(col.cast("long").alias("item"))
+    rows = items.select(
+        "item", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
+    )
+    return (
+        rows.groupBy("j", _cms_bucket(F.col("item"), F.col("j"), w).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, candidates: DataFrame, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Point estimates for ``candidates`` (column ``item``) against a
+    :func:`count_min` table built with the same (d, w).
+
+    est = min over rows j of the item's bucket counter; a missing bucket
+    means zero occurrences hashed there, so the estimate is 0 (the left
+    join + coalesce keeps absent items answerable — CMS's advantage over
+    MG, which can only speak about items it kept).
+
+    Scale: candidates explode x d and join the d*w counter table — the
+    counter side broadcasts (a few KB), so estimation is a map-only pass
+    over the candidate list.
+    """
+    cand = candidates.select("item").distinct()
+    probes = cand.select(
+        "item", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
+    ).withColumn("bucket", _cms_bucket(F.col("item"), F.col("j"), w))
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

@@ -728,6 +728,56 @@ def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D, _CMS_W = 4, 512
+
+
+@query("events_cms_audit", bench=True)  # rows-only: the xxhash64 hash
+# family isn't SQL-portable; audited against the oracle-checked exact twin
+def events_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit — the overcounting dual completing the
+    sketch family (HLL distinct / KLL quantiles / MG undercounting
+    frequent items / CMS overcounting point queries). The CMS counter
+    table is built from events.user_id in pure codegen (no Arrow lane,
+    operators/sketches.py), point-estimates the top-64 exact heavy
+    hitters, and surfaces the audit as columns:
+
+    (user_id, exact_cnt, est, overcount, never_undercounts) — CMS's
+    deterministic guarantee is est >= exact ALWAYS (collisions only
+    add), so never_undercounts is all-true by construction; overcount's
+    magnitude (expected N/w per hash row, min over d rows) is locked
+    empirically in tests/test_sketches.py. The exact column is the same
+    shared-cached aggregation the oracle-checked exact twin
+    (events_heavy_hitters_exact) hash-verifies.
+
+    Scale: the fact never shuffles raw rows — the build exchanges at
+    most d*w combined counters per map task and the counter table is
+    d*w slim rows; estimation broadcasts it over the candidate list.
+    """
+    from imdbmapreduce_spark.operators.sketches import cms_estimate, count_min
+
+    ev = table(spark, sf_dir, "events")
+    cms = count_min(ev, "user_id", d=_CMS_D, w=_CMS_W)
+    top = (
+        _user_exact_counts(spark, sf_dir)
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(_HH_TOP)
+    )
+    est = cms_estimate(
+        cms, top.select(F.col("user_id").alias("item")), d=_CMS_D, w=_CMS_W
+    )
+    return (
+        top.join(est, top.user_id == est.item)
+        .select(
+            "user_id",
+            "exact_cnt",
+            "est",
+            (F.col("est") - F.col("exact_cnt")).alias("overcount"),
+            (F.col("est") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+    )
+
+
 @query(
     "user_state_history_scd2",
     oracle="""

@@ -67,3 +67,48 @@ def test_registered_audit_is_all_within_bound(spark, sf_dir):
     assert rows
     assert all(r["within_bound"] for r in rows)
     assert all(r["err"] >= 0 for r in rows)  # undercount-only
+
+
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
+    """CMS's deterministic guarantee: est >= true for every queried item
+    (present or absent); with a sparse sketch (2 items, 512 buckets, min
+    over 4 rows) the estimates are exact."""
+    from imdbmapreduce_spark.operators.sketches import cms_estimate, count_min
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "user_id long")
+    cms = count_min(df, "user_id")
+    cand = spark.createDataFrame([(1,), (2,), (99,)], "item long")
+    est = {r.item: r.est for r in cms_estimate(cms, cand).collect()}
+    true = {1: 2, 2: 1, 99: 0}
+    n = 3
+    for item, t in true.items():
+        assert t <= est[item] <= t + n, (item, est[item])
+    assert est[1] == 2 and est[2] == 1 and est[99] == 0
+
+
+def test_cms_partition_invariance(spark):
+    """The counter table is exact integer counts per (row, bucket) —
+    bit-identical under any partitioning (the mergeable-summary
+    linearity: CMS(A ∪ B) = CMS(A) + CMS(B), elementwise)."""
+    from imdbmapreduce_spark.operators.sketches import count_min
+
+    rows = [(i % 17,) for i in range(500)]
+    df = spark.createDataFrame(rows, "user_id long")
+    a = sorted(map(tuple, count_min(df, "user_id").collect()))
+    b = sorted(map(tuple, count_min(df.repartition(7), "user_id").collect()))
+    assert a == b
+
+
+def test_registered_cms_audit_guarantee_and_error_scale(spark, sf_dir):
+    """The registered audit: never_undercounts is all-true (the
+    deterministic CMS guarantee), and the min-over-rows overcount stays
+    within a loose multiple of the expected per-row N/w on this corpus."""
+    rows = registry.get("events_cms_audit").fn(spark, sf_dir).collect()
+    assert rows and all(r.never_undercounts for r in rows)
+    assert all(r.est - r.exact_cnt == r.overcount for r in rows)
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.plans.events import _CMS_W
+
+    n = table(spark, sf_dir, "events").count()
+    loose = 5 * n / _CMS_W + 5
+    assert all(r.overcount <= loose for r in rows), max(r.overcount for r in rows)
