@@ -693,3 +693,45 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_leaky_pairs"))
         .orderBy("split_x", "split_y")
     )
+
+
+# --- fixed-quota eval holdout ---------------------------------------------
+
+_HOLDOUT_PER_LANG = 20
+
+
+@query(
+    "eval_holdout_sample",
+    oracle=f"""
+    SELECT doc_id, lang, rnk FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(text), doc_id
+             ) AS BIGINT) AS rnk
+      FROM documents
+    ) WHERE rnk <= {_HOLDOUT_PER_LANG}
+    """,
+)
+def eval_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-QUOTA stratified holdout: exactly {n} docs per language,
+    chosen as the smallest content-hash values — the eval-set builder
+    that complements the proportional splits (`dataset_split` slices the
+    hash SPACE, so stratum sizes float with the data; an eval benchmark
+    wants a fixed budget per stratum). Content-hash ordering keeps the
+    selection stable under re-ingestion and id reassignment, and growing
+    the quota keeps a superset (hash-order prefixes nest).
+
+    Scale: one window partitioned by lang ordered by (md5, doc_id) — a
+    single shuffle on the stratum key. Strata are language-sized (the
+    skew case is one giant stratum; the window sort is then that
+    stratum's size — for finer quotas at 100 TB, pre-filter with a
+    hash-prefix threshold like corpus_mix_resample to cap the sort input
+    before ranking, which preserves the same selection because prefixes
+    nest).
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= _HOLDOUT_PER_LANG)
+    )

@@ -824,3 +824,86 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # PQ side: the shared ADC scoring tail over the PRUNED candidates
     return _exact_rescore_topk(ex, _adc_shortlist(spark, sf_dir, cand))
+
+
+# --- random projection (Johnson-Lindenstrauss dimension reduction) --------
+
+_RP_K = 16  # output dimensions
+_RP_MAXD = 4096  # sign table covers input dims up to this
+
+
+def _rp_signs(spark: SparkSession) -> DataFrame:
+    """(pos, k, s): Rademacher ±1 derived from md5 hex parity — an
+    engine-portable hash family (unlike xxhash64) so the DuckDB oracle
+    reproduces every sign. Materialized as a TABLE (dims × k rows,
+    broadcast) rather than per-fact-row hash calls: the fact side does
+    only the join-multiply-sum."""
+    return (
+        spark.range(_RP_MAXD)
+        .select(F.col("id").cast("int").alias("pos"))
+        .select(
+            "pos", F.explode(F.sequence(F.lit(0), F.lit(_RP_K - 1))).alias("k")
+        )
+        .select(
+            "pos",
+            "k",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("_", "pos", "k")), 1, 1), 16, 10
+                ).cast("int")
+                % 2
+                * 2
+                - 1
+            ).alias("s"),
+        )
+    )
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS pos,
+             CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)*{_SCALE}) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN range(1, {_RP_MAXD + 1}) t(i)
+      WHERE CAST(t.i AS INTEGER) <= len(embedding)
+    ), signs AS (
+      SELECT CAST(p.i AS INTEGER) AS pos, CAST(q.k AS INTEGER) AS k,
+             (CAST(('0x' || substring(md5(CAST(p.i AS VARCHAR) || '_' || CAST(q.k AS VARCHAR)), 1, 1)) AS INTEGER) % 2) * 2 - 1 AS s
+      FROM range(0, {_RP_MAXD}) p(i) CROSS JOIN range(0, {_RP_K}) q(k)
+    )
+    SELECT e.vec_id, s.k, CAST(SUM(s.s * e.v) AS BIGINT) AS proj_q
+    FROM ex e JOIN signs s ON e.pos = s.pos
+    GROUP BY 1, 2
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimension reduction: project every
+    embedding onto {k} Rademacher directions — the standard shrink
+    before indexing/clustering when 64+ dims are too hot (JL: pairwise
+    distances survive within ε at k = O(log n / ε²); sparse/±1
+    projections carry the same guarantee as Gaussian ones, Achlioptas
+    2003). Output is flat (vec_id, k, proj_q) in exact 1e-6 integer
+    units: the projection of quantized components is an integer dot
+    with ±1 — order-independent, bit-reproducible, and directly
+    consumable by the banded-Hamming or sign-LSH machinery (sign(proj)
+    IS a {k}-bit sign-LSH code).
+
+    Plan: the shared quantized-component artifact joins the broadcast
+    sign table (dims × {k} rows built once per plan — no per-fact-row
+    hashing) and reduces with one partial/final agg keyed
+    (vec_id, k) — map-side combine collapses each vector's {k} sums
+    before the exchange, so shuffle volume is |vectors| × {k} longs.
+
+    Scale: this is the compute-then-index shape — at 100 TB the
+    projected table is dims/{k}× smaller than the raw embeddings and
+    becomes the input to every downstream ANN/dedup pass; the sign
+    table stays KBs regardless of corpus size.
+    """
+    ex = _shared_components(spark, sf_dir)
+    signs = _rp_signs(spark)
+    return (
+        ex.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("proj_q"))
+    )

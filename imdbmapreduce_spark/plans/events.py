@@ -1109,3 +1109,81 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_us")
     )
+
+
+_SKEW_KEYS = ("user_id", "event_type")
+
+
+@query(
+    "events_key_skew_profile",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT event_type AS key, COUNT(*) AS c FROM events GROUP BY 1
+    ), pu AS (
+      SELECT 'user_id' AS key_col, CAST(SUM(c) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_key_cnt
+      FROM u
+    ), pt AS (
+      SELECT 'event_type' AS key_col, CAST(SUM(c) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_key_cnt
+      FROM t
+    ), unioned AS (
+      SELECT * FROM pu UNION ALL SELECT * FROM pt
+    )
+    SELECT key_col, n_rows, n_distinct, max_key_cnt,
+           max_key_cnt * 1000 // n_rows AS top1_permille,
+           (n_rows + n_distinct - 1) // n_distinct AS avg_key_cnt_ceil,
+           max_key_cnt * n_distinct // n_rows AS skew_factor
+    FROM unioned ORDER BY key_col
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profiler — the diagnostic that DECIDES the skew
+    strategy the engine's other plans apply (salting in
+    events_salted_type_stats, AQE skew-split reliance elsewhere): per
+    candidate shuffle key, cardinality, the hottest key's absolute and
+    per-mille share, and skew_factor = hottest/average. A factor near 1
+    means hash partitioning balances; tens-to-hundreds means one task
+    owns the key and salting/AQE is mandatory. All ratios are integer
+    divisions of exact counts (engine-portable, no float).
+
+    Plan: one partial/final count agg per profiled key, then a 1-row
+    reduction each — the per-key tables never leave the executors except
+    as single combined rows. Profiling k keys is k scans here for
+    clarity; a production profiler fuses them into one pass with
+    grouping sets when the scan dominates.
+
+    Scale: this is the cheap pre-flight a 100 TB pipeline runs before
+    choosing join/agg strategies; its own shuffle is |distinct keys|
+    combined rows, and the hot-key share it reports is exactly the
+    number that predicts whether AQE's skew split (pinned in
+    test_scale_claims) will fire.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def profile(colname: str) -> DataFrame:
+        cnt = ev.groupBy(F.col(colname).cast("string").alias("key")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return cnt.agg(
+            F.lit(colname).alias("key_col"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_key_cnt"),
+        )
+
+    prof = profile(_SKEW_KEYS[0])
+    for k in _SKEW_KEYS[1:]:
+        prof = prof.unionByName(profile(k))
+    return prof.select(
+        "key_col",
+        "n_rows",
+        "n_distinct",
+        "max_key_cnt",
+        F.expr("max_key_cnt * 1000 div n_rows").alias("top1_permille"),
+        F.expr("(n_rows + n_distinct - 1) div n_distinct").alias("avg_key_cnt_ceil"),
+        F.expr("max_key_cnt * n_distinct div n_rows").alias("skew_factor"),
+    ).orderBy("key_col")

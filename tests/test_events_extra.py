@@ -72,3 +72,21 @@ def test_hll_sketch_merge_matches_direct_sketch(spark, sf_dir):
     for r in rows:
         assert r.est == r.est_direct, (r.event_type, r.est, r.est_direct)
         assert abs(r.est - r.exact) <= 0.05 * r.exact, (r.event_type, r.est, r.exact)
+
+
+def test_key_skew_profile_identities(spark, sf_dir):
+    """The profiler's ratios are integer functions of exact counts; check
+    them against an independent groupBy, and that the report orders the
+    strategy decision correctly (event_type is the skewed-few-keys case,
+    user_id the balanced-many-keys case in this corpus)."""
+    from imdbmapreduce_spark.catalog import table
+
+    rows = {r.key_col: r for r in registry.get("events_key_skew_profile").fn(spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events")
+    for col in ("user_id", "event_type"):
+        cnts = [r.c for r in ev.groupBy(col).agg(F.count(F.lit(1)).alias("c")).collect()]
+        r = rows[col]
+        assert (r.n_rows, r.n_distinct, r.max_key_cnt) == (sum(cnts), len(cnts), max(cnts))
+        assert r.top1_permille == r.max_key_cnt * 1000 // r.n_rows
+        assert r.skew_factor == r.max_key_cnt * r.n_distinct // r.n_rows
+    assert rows["event_type"].n_distinct < rows["user_id"].n_distinct

@@ -174,3 +174,30 @@ def test_snapshot_diff_shuffles_digests_not_text(spark, sf_dir):
     plan = _executed_plan(P.corpus_snapshot_diff(spark, sf_dir))
     for seg in plan.split("Exchange")[1:]:
         assert "text#" not in seg.split("\n")[0], seg[:200]
+
+
+def test_eval_holdout_quota_and_nesting(spark, sf_dir):
+    """Fixed quota per stratum; hash-order prefixes nest (growing the
+    quota keeps a superset) — the stability contract of the holdout."""
+    import hashlib
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+
+    rows = registry.get("eval_holdout_sample").fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    pop = {}
+    for d in docs:
+        pop.setdefault(d.lang, []).append(
+            (hashlib.md5(d.text.encode()).hexdigest(), d.doc_id)
+        )
+    for lang, got in by_lang.items():
+        want = [doc for _, doc in sorted(pop[lang])[:20]]
+        assert sorted(r.doc_id for r in got) == sorted(want), lang
+        assert len(got) == min(20, len(pop[lang]))
+        # nesting: the rnk<=10 prefix is the 10 smallest hashes
+        inner = {r.doc_id for r in got if r.rnk <= 10}
+        assert inner == {doc for _, doc in sorted(pop[lang])[:10]}

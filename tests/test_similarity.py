@@ -265,3 +265,34 @@ def test_persisted_index_cold_session_roundtrip(spark, sf_dir, tmp_path, monkeyp
         assert indexstore.manifest(sf_dir) is None
     finally:
         release_shared_caches()
+
+
+def test_random_projection_matches_numpy_replay(spark, sf_dir):
+    """JL projection: exact integer replay — quantize components, build
+    the md5-parity sign table, dot in int64 — must match bit-for-bit,
+    and sign(proj) furnishes a valid 16-bit code (all finite ints)."""
+    import hashlib
+
+    import numpy as np
+
+    from imdbmapreduce_spark.catalog import table
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").limit(50).collect()
+    }
+    got = {
+        (r.vec_id, r.k): r.proj_q
+        for r in registry.get("embedding_random_projection").fn(spark, sf_dir).collect()
+        if r.vec_id in emb
+    }
+
+    def sign(pos: int, k: int) -> int:
+        h = hashlib.md5(f"{pos}_{k}".encode()).hexdigest()
+        return (int(h[0], 16) % 2) * 2 - 1
+
+    for vid, v in emb.items():
+        q = (np.floor(np.abs(v * 1e6) + 0.5) * np.sign(v)).astype(np.int64)
+        for k in range(16):
+            s = np.array([sign(p, k) for p in range(len(q))], dtype=np.int64)
+            assert got[(vid, k)] == int(q @ s), (vid, k)
