@@ -1187,3 +1187,59 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_rows + n_distinct - 1) div n_distinct").alias("avg_key_cnt_ceil"),
         F.expr("max_key_cnt * n_distinct div n_rows").alias("skew_factor"),
     ).orderBy("key_col")
+
+
+@query(
+    "events_rollup_incremental",
+    oracle=f"""
+    SELECT
+      strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the hourly rollup is
+    REBUILT AS state + delta — events before a cutoff become the
+    "yesterday's rollup" state (partial aggregates: count + exact cent
+    sum per group), the tail re-aggregates as the delta, and the two
+    merge by group-wise addition. The ORACLE is the plain full rollup:
+    hash equality proves the incremental path is lossless — the
+    associativity/commutativity property that makes a rollup
+    incrementally maintainable at all (and the reason only
+    sum/count/min/max-style states qualify; medians don't).
+
+    The cutoff is derived from the data (start of the max-ts day) so the
+    delta is a realistic "today's partition"; in production the state
+    side is yesterday's PERSISTED rollup table and only the delta
+    touches raw events — turning a 100 TB daily rescan into a
+    |rollup| + |1 day| job. The streaming twin is the windowed
+    aggregation's checkpointed state; this is the batch/backfill form.
+
+    Scale: two partial/final aggs (each exchanging only group rows) and
+    a group-keyed merge agg over 2×|groups| slim rows. No raw-fact
+    shuffle anywhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.date_trunc("day", F.max("ts")).alias("w")).first()["w"]
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(bucket.alias("bucket_start"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+
+    state = rollup(ev.filter(F.col("ts") < F.lit(cutoff)))   # yesterday's table
+    delta = rollup(ev.filter(F.col("ts") >= F.lit(cutoff)))  # today's partition
+    return (
+        state.unionByName(delta)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
