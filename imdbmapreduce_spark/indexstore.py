@@ -1,33 +1,40 @@
-"""Persistent vector-index artifacts (IVF/PQ) — build once, reopen later.
+"""Persistent index artifacts — build once, reopen in a later session.
 
-The ANN plans in ``operators.similarity`` derive four per-corpus index
-tables: the IVF codebook + inverted lists and the PQ codebook + codes.
-Within one session they live in the bounded shared cache; this module
-adds the real index lifecycle on top — write them as parquet under the
-warehouse dir so a LATER session answers queries from the prebuilt index
-instead of re-running the clustering/encoding jobs.
+Query families here derive expensive per-corpus artifacts: the vector
+family's IVF codebook + inverted lists and PQ codebook + codes, and the
+text-dedup family's capped shingle rows, hashed shingles, Jaccard pair
+set and SimHash fingerprints. Within one session they live in the
+bounded shared cache; this module adds the real index lifecycle on top —
+write them as parquet under the warehouse dir so a LATER session answers
+queries from the prebuilt index instead of re-running the clustering/
+encoding/shingling jobs.
 
 Generalizes the reference's own table persistence: the ETS tables it
 builds from the CSV are saved with ``ets:tab2file`` and restored on
 restart (/root/reference/Code/csv_to_ets.erl:63-74 — SURVEY.md §2 S5);
 here the "table file" is a parquet directory per artifact plus a JSON
-manifest.
+manifest per (corpus, group).
 
 Correctness hazards handled:
 
-- **Staleness**: the manifest records a stamp of the source
-  ``embeddings.parquet`` (size + mtime). ``load_artifact`` refuses a
-  manifest whose stamp no longer matches — a rebuilt corpus can never be
-  served from an old index.
+- **Staleness**: the manifest records a stamp of the group's source
+  parquet (size + mtime). Loaders refuse a manifest whose stamp no
+  longer matches — a rebuilt corpus can never be served from an old
+  index.
+- **Parameter drift**: the manifest records the build parameters
+  (quantization scale, cell/code counts, shingle k, df cap, ...).
+  Loaders pass the CURRENT module constants; any mismatch refuses the
+  index — editing a tuning constant can never silently serve artifacts
+  built under the old one.
 - **Partial writes**: the manifest is written LAST, only after every
-  artifact committed; a crashed ``persist`` leaves no manifest and the
-  loader falls back to building.
+  artifact committed; a crashed ``persist_group`` leaves no manifest
+  and the loader falls back to building.
 
-Scale: these artifacts are exactly what a production vector store
-persists (FAISS's IVFPQ file is the same four structures). Codebooks are
-cells×dims / subspaces×codes×dims constants; lists and codes are one
-small row per corpus vector — o(corpus), partitioned parquet, readable
-with partition pruning by any number of executors.
+Scale: these artifacts are exactly what production systems persist
+(FAISS's IVFPQ file is the vector group's four structures; a dedup
+service's shingle/fingerprint tables are the text group's). Codebooks
+are constant-sized; lists/codes/shingle rows are o(corpus) slim rows —
+partitioned parquet, readable with pruning by any number of executors.
 """
 
 from __future__ import annotations
@@ -37,6 +44,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# group -> (source parquet file used for the staleness stamp)
+GROUPS = {"vector": "embeddings.parquet", "text": "documents.parquet"}
+# the vector group's artifact set (fixed — persist_group checks it)
 INDEX_ARTIFACTS = ("ivf_codebook", "ivf_lists", "pq_codebook", "pq_codes")
 _MANIFEST = "_INDEX_MANIFEST.json"
 
@@ -51,73 +61,121 @@ def index_root() -> str:
     return os.path.join(repo, "spark-warehouse", "vector_index")
 
 
-def _index_dir(sf_dir: str) -> str:
-    return os.path.join(index_root(), os.path.basename(os.path.normpath(sf_dir)))
+def _group_dir(sf_dir: str, group: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(index_root(), base, group)
 
 
-def _source_stamp(sf_dir: str) -> dict:
-    p = os.path.join(sf_dir, "embeddings.parquet")
+def _source_stamp(sf_dir: str, group: str) -> dict:
+    p = os.path.join(sf_dir, GROUPS[group])
     st = os.stat(p)
     return {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
 
 
-def manifest(sf_dir: str) -> dict | None:
-    """The on-disk manifest if present AND still matching the source
-    corpus, else None."""
+def group_manifest(sf_dir: str, group: str, params: dict | None = None) -> dict | None:
+    """The on-disk manifest for (corpus, group) if present, still
+    matching the source corpus, and (when ``params`` is given) built
+    under the same parameters — else None."""
     try:
-        with open(os.path.join(_index_dir(sf_dir), _MANIFEST), encoding="utf-8") as f:
+        with open(
+            os.path.join(_group_dir(sf_dir, group), _MANIFEST), encoding="utf-8"
+        ) as f:
             m = json.load(f)
     except (OSError, ValueError):
         return None
     try:
-        if m.get("source") != _source_stamp(sf_dir):
+        if m.get("source") != _source_stamp(sf_dir, group):
             return None  # corpus changed since the index was built
     except OSError:
         return None
-    if set(m.get("artifacts", [])) != set(INDEX_ARTIFACTS):
-        return None
+    if params is not None and m.get("params") != params:
+        return None  # tuning constants changed — refuse the stale build
     return m
 
 
-def load_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+def load_group_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    group: str,
+    name: str,
+    params: dict | None = None,
+) -> DataFrame | None:
     """Open one persisted artifact, or None when no valid index exists.
 
     The read is a plain parquet scan — lazy, column-pruned, and (for the
-    per-vector lists/codes) split across executors like any table.
+    per-row artifacts) split across executors like any table.
     """
-    if name not in INDEX_ARTIFACTS or manifest(sf_dir) is None:
+    m = group_manifest(sf_dir, group, params)
+    if m is None or name not in m.get("artifacts", []):
         return None
-    return spark.read.parquet(os.path.join(_index_dir(sf_dir), name))
+    return spark.read.parquet(os.path.join(_group_dir(sf_dir, group), name))
 
 
-def persist(spark: SparkSession, sf_dir: str, artifacts: dict[str, DataFrame]) -> str:
-    """Write all four artifacts as parquet + manifest; returns the index
-    dir. ``artifacts`` maps each INDEX_ARTIFACTS name to its DataFrame
-    (built by operators.similarity). Overwrites any previous index for
-    this corpus; the manifest lands last so readers never see a torn
-    index.
+def persist_group(
+    spark: SparkSession,
+    sf_dir: str,
+    group: str,
+    artifacts: dict[str, DataFrame],
+    params: dict | None = None,
+) -> str:
+    """Write a group's artifacts as parquet + manifest; returns the
+    group dir. Overwrites any previous index for this (corpus, group);
+    the manifest lands last so readers never see a torn index.
     """
-    missing = set(INDEX_ARTIFACTS) - set(artifacts)
-    if missing:
-        raise ValueError(f"missing index artifacts: {sorted(missing)}")
-    d = _index_dir(sf_dir)
+    if group not in GROUPS:
+        raise ValueError(f"unknown artifact group {group!r}")
+    if not artifacts:
+        raise ValueError("no artifacts to persist")
+    d = _group_dir(sf_dir, group)
     os.makedirs(d, exist_ok=True)
     mpath = os.path.join(d, _MANIFEST)
     if os.path.exists(mpath):
         os.remove(mpath)  # invalidate readers before touching data
-    for name in INDEX_ARTIFACTS:
+    for name in sorted(artifacts):
         artifacts[name].write.mode("overwrite").parquet(os.path.join(d, name))
     with open(mpath, "w", encoding="utf-8") as f:
         json.dump(
-            {"source": _source_stamp(sf_dir), "artifacts": list(INDEX_ARTIFACTS)},
+            {
+                "source": _source_stamp(sf_dir, group),
+                "artifacts": sorted(artifacts),
+                "params": params or {},
+            },
             f,
             indent=1,
         )
     return d
 
 
-def drop(sf_dir: str) -> None:
-    """Remove a persisted index (idempotent)."""
+def drop_group(sf_dir: str, group: str) -> None:
+    """Remove a persisted group (idempotent)."""
     import shutil
 
-    shutil.rmtree(_index_dir(sf_dir), ignore_errors=True)
+    shutil.rmtree(_group_dir(sf_dir, group), ignore_errors=True)
+
+
+# --- vector-group compatibility surface (operators.similarity) ------------
+
+
+def manifest(sf_dir: str) -> dict | None:
+    """The vector group's manifest (back-compat name)."""
+    m = group_manifest(sf_dir, "vector")
+    if m is not None and set(m.get("artifacts", [])) != set(INDEX_ARTIFACTS):
+        return None
+    return m
+
+
+def load_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    if name not in INDEX_ARTIFACTS or manifest(sf_dir) is None:
+        return None
+    return spark.read.parquet(os.path.join(_group_dir(sf_dir, "vector"), name))
+
+
+def persist(spark: SparkSession, sf_dir: str, artifacts: dict[str, DataFrame]) -> str:
+    missing = set(INDEX_ARTIFACTS) - set(artifacts)
+    if missing:
+        raise ValueError(f"missing index artifacts: {sorted(missing)}")
+    return persist_group(spark, sf_dir, "vector", artifacts)
+
+
+def drop(sf_dir: str) -> None:
+    drop_group(sf_dir, "vector")

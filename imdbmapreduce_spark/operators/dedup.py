@@ -154,6 +154,134 @@ _DUCK_JAC_CTES = f"""toks AS (
     )"""
 
 
+def _text_params() -> dict:
+    """Build parameters recorded in (and checked against) the persisted
+    text-index manifest — editing any tuning constant refuses a stale
+    on-disk index instead of silently serving it."""
+    return {
+        "shingle_k": 3,
+        "df_cap": _SHINGLE_DF_CAP,
+        "jaccard_theta": 0.6,
+        "n_perm": _N_PERM,
+        "n_bands": _N_BANDS,
+        "simhash_bits": _SIMHASH_BITS,
+        "max_simhash_tokens": _MAX_SIMHASH_TOKENS,
+    }
+
+
+def _text_artifact(spark: SparkSession, sf_dir: str, name: str, cache_key: tuple, build):
+    """Session-cache one text-dedup artifact, preferring the PERSISTED
+    parquet copy (imdbmapreduce_spark.indexstore, group "text") — the
+    same resolution order as the vector index: shared cache → on-disk
+    index (source-stamp + params checked) → build."""
+    from imdbmapreduce_spark import indexstore
+
+    def load_or_build() -> DataFrame:
+        loaded = indexstore.load_group_artifact(
+            spark, sf_dir, "text", name, params=_text_params()
+        )
+        return loaded if loaded is not None else build()
+
+    return shared_cache(spark, cache_key, load_or_build)
+
+
+def _shingles_capped_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text_artifact(
+        spark,
+        sf_dir,
+        "shingles_capped",
+        ("shingles_capped", sf_dir, 3, _SHINGLE_DF_CAP),
+        lambda: _shingle_rows(spark, sf_dir)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= _SHINGLE_DF_CAP)
+        .drop("df"),
+    )
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build_pairs() -> DataFrame:
+        ex = _shingles_capped_cached(spark, sf_dir)
+        a = ex.alias("a")
+        b = ex.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
+        jac = F.col("n_common").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_common")
+        )
+        return (
+            pairs.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+                "doc_b",
+            )
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.6)
+            .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+        )
+
+    return _text_artifact(
+        spark,
+        sf_dir,
+        "jaccard_pairs",
+        ("jaccard_pairs", sf_dir, 3, _SHINGLE_DF_CAP, 0.6),
+        build_pairs,
+    )
+
+
+def _shingle_hx_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text_artifact(
+        spark,
+        sf_dir,
+        "shingle_hx",
+        ("shingle_hx", sf_dir, 3),
+        lambda: _shingle_rows(spark, sf_dir).select(
+            "doc_id", F.xxhash64("shingle").alias("hx")
+        ),
+    )
+
+
+def _simhash_fp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text_artifact(
+        spark,
+        sf_dir,
+        "simhash_fp",
+        ("simhash_fp", sf_dir),
+        lambda: simhash_fingerprints(table(spark, sf_dir, "documents")),
+    )
+
+
+def build_text_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All four text-dedup artifacts (cached; built or loaded)."""
+    return {
+        "shingles_capped": _shingles_capped_cached(spark, sf_dir),
+        "jaccard_pairs": _jaccard_pairs_cached(spark, sf_dir),
+        "shingle_hx": _shingle_hx_cached(spark, sf_dir),
+        "simhash_fp": _simhash_fp_cached(spark, sf_dir),
+    }
+
+
+def persist_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the text-dedup artifacts and write them as the
+    on-disk "text" index group; later sessions' dedup queries then skip
+    the shingling/hashing jobs entirely."""
+    from imdbmapreduce_spark import indexstore
+
+    return indexstore.persist_group(
+        spark, sf_dir, "text", build_text_index(spark, sf_dir), params=_text_params()
+    )
+
+
 @query(
     "neardup_ngram_jaccard",
     oracle=f"""
@@ -179,39 +307,12 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed to O(bands).
     """
     # Shared artifacts, two levels: the capped shingle set (reused by the
-    # size agg below) and the final PAIR SET — dedup_clusters closes these
-    # same pairs into components in the same sweep, and the pair relation
-    # is o(corpus) rows (near-dup rate bounds it), so caching the output
-    # beats re-running the self-join per consumer.
-    def build_pairs() -> DataFrame:
-        ex = shared_cache(
-            spark,
-            ("shingles_capped", sf_dir, 3, _SHINGLE_DF_CAP),
-            lambda: _shingle_rows(spark, sf_dir)
-            .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-            .filter(F.col("df") <= _SHINGLE_DF_CAP)
-            .drop("df"),
-        )
-        a = ex.alias("a")
-        b = ex.alias("b")
-        pairs = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
-        jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-        return (
-            pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-            .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-            .withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= 0.6)
-            .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
-        )
-
-    return shared_cache(
-        spark, ("jaccard_pairs", sf_dir, 3, _SHINGLE_DF_CAP, 0.6), build_pairs
-    )
+    # size agg inside the pair build) and the final PAIR SET —
+    # dedup_clusters closes these same pairs into components in the same
+    # sweep, and the pair relation is o(corpus) rows (near-dup rate
+    # bounds it), so caching the output beats re-running the self-join
+    # per consumer. Both prefer the PERSISTED text index when present.
+    return _jaccard_pairs_cached(spark, sf_dir)
 
 
 # --- MinHash + LSH (sub-quadratic scale path) -----------------------------
@@ -273,14 +374,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an 8-byte long instead of re-hashing a ~25-byte string 64 times, and
     # the verify sets carry longs (collision prob ~2^-64·|pairs| — nil,
     # and deterministic). cache: feeds the signature build AND the verify
-    # sets.
-    ex = shared_cache(
-        spark,
-        ("shingle_hx", sf_dir, 3),
-        lambda: _shingle_rows(spark, sf_dir).select(
-            "doc_id", F.xxhash64("shingle").alias("hx")
-        ),
-    )
+    # sets; prefers the persisted text index when present.
+    ex = _shingle_hx_cached(spark, sf_dir)
     sh = ex.groupBy("doc_id").agg(F.collect_list("hx").alias("sh"))
     rows_per_band = _N_PERM // _N_BANDS
     sig = ex.groupBy("doc_id").agg(
@@ -436,11 +531,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: see :func:`hamming_pairs` (the join machinery) and
     :func:`simhash_fingerprints` (the fingerprint build).
     """
-    members = shared_cache(
-        spark,
-        ("simhash_fp", sf_dir),
-        lambda: simhash_fingerprints(table(spark, sf_dir, "documents")),
-    )
+    members = _simhash_fp_cached(spark, sf_dir)
     return hamming_pairs(members)
 
 

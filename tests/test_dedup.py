@@ -171,3 +171,49 @@ def test_connected_components_chain_converges_fast(spark):
     out = connected_components(nodes, edges, max_iters=12).collect()
     assert len(out) == n
     assert {r.cluster_id for r in out} == {0}
+
+
+def test_persisted_text_index_cold_session_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
+    """Text-index lifecycle (mirrors the vector group's test): persist
+    the shingle/pair/fingerprint artifacts, empty the session cache, and
+    prove the dedup family answers identically FROM DISK by poisoning
+    the build functions. Also pins the params guard: changing a tuning
+    constant refuses the stale on-disk index."""
+    import imdbmapreduce_spark.operators.dedup as D
+    from imdbmapreduce_spark import indexstore, registry
+    from imdbmapreduce_spark.cache import release_shared_caches
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    release_shared_caches()
+    try:
+        def snap():
+            return {
+                name: sorted(map(tuple, registry.get(name).fn(spark, sf_dir).collect()))
+                for name in ("neardup_ngram_jaccard", "simhash_pairs", "minhash_lsh_pairs")
+            }
+
+        baseline = snap()
+        D.persist_text_index(spark, sf_dir)
+        assert indexstore.group_manifest(sf_dir, "text", D._text_params()) is not None
+
+        release_shared_caches()
+
+        def _boom(*a, **k):
+            raise AssertionError("text-index rebuild attempted despite persisted index")
+
+        monkeypatch.setattr(D, "_shingle_rows", _boom)
+        monkeypatch.setattr(D, "simhash_fingerprints", _boom)
+        assert snap() == baseline
+
+        # params guard: a different df cap must refuse the stale index
+        changed = dict(D._text_params(), df_cap=D._SHINGLE_DF_CAP + 1)
+        assert indexstore.group_manifest(sf_dir, "text", changed) is None
+        assert (
+            indexstore.load_group_artifact(spark, sf_dir, "text", "shingle_hx", changed)
+            is None
+        )
+        indexstore.drop_group(sf_dir, "text")
+        assert indexstore.group_manifest(sf_dir, "text") is None
+    finally:
+        monkeypatch.undo()
+        release_shared_caches()
