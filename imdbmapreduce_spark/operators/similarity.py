@@ -450,20 +450,38 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents
 
 
+def _vector_params() -> dict:
+    """Build parameters recorded in (and checked against) the persisted
+    vector-index manifest — editing a tuning constant refuses a stale
+    on-disk index instead of silently serving artifacts built under the
+    old value (same guard as the text group's)."""
+    return {
+        "scale": _SCALE,
+        "n_probes": _N_PROBES,
+        "ivf_cells": _IVF_CELLS,
+        "ivf_lloyd_rounds": _IVF_LLOYD_ROUNDS,
+        "pq_m": _PQ_M,
+        "pq_k": _PQ_K,
+    }
+
+
 def _vector_artifact(spark: SparkSession, sf_dir: str, name: str, build):
     """Session-cache one index artifact, preferring the PERSISTED copy.
 
     Resolution order: session shared cache → on-disk parquet index
-    (imdbmapreduce_spark.indexstore, with source-staleness checking) →
-    build from scratch. A cold session with a persisted index therefore
-    answers ANN queries without re-running the clustering/encoding jobs —
-    the reference's own save/restore lifecycle (ets:tab2file,
-    /root/reference/Code/csv_to_ets.erl:63-74) applied to vector indexes.
+    (imdbmapreduce_spark.indexstore, with source-staleness AND build-
+    params checking) → build from scratch. A cold session with a
+    persisted index therefore answers ANN queries without re-running the
+    clustering/encoding jobs — the reference's own save/restore
+    lifecycle (ets:tab2file, /root/reference/Code/csv_to_ets.erl:63-74)
+    applied to vector indexes.
     """
     from imdbmapreduce_spark import indexstore
 
     def load_or_build() -> DataFrame:
-        loaded = indexstore.load_artifact(spark, sf_dir, name)
+        loaded = indexstore.load_group_artifact(
+            spark, sf_dir, "vector", name, params=_vector_params()
+        )
         return loaded if loaded is not None else build()
 
     return shared_cache(spark, (name, sf_dir), load_or_build)
@@ -521,7 +539,13 @@ def persist_vector_index(spark: SparkSession, sf_dir: str) -> str:
     queries then answer from the prebuilt index."""
     from imdbmapreduce_spark import indexstore
 
-    return indexstore.persist(spark, sf_dir, build_vector_index(spark, sf_dir))
+    artifacts = build_vector_index(spark, sf_dir)
+    missing = set(indexstore.INDEX_ARTIFACTS) - set(artifacts)
+    if missing:
+        raise ValueError(f"missing index artifacts: {sorted(missing)}")
+    return indexstore.persist_group(
+        spark, sf_dir, "vector", artifacts, params=_vector_params()
+    )
 
 
 @query("ann_ivf_topk")  # no SQL oracle: sampled-centroid specifics; see tests

@@ -1243,3 +1243,92 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
         )
     )
+
+
+_FUNNEL = ("view", "click", "purchase")
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # per-stage conversion window
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        AND epoch_us(e.ts) <= v.t_view + {_FUNNEL_WINDOW_US}
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        AND epoch_us(e.ts) <= c.t_click + {_FUNNEL_WINDOW_US}
+      GROUP BY 1
+    ), counts AS (
+      SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             (SELECT COUNT(*) FROM c) AS n_click,
+             (SELECT COUNT(*) FROM p) AS n_purchase
+    )
+    SELECT stage, n_users, conv_permille FROM (
+      SELECT 1 AS ord, 'view' AS stage, CAST(n_view AS BIGINT) AS n_users,
+             CAST(1000 AS BIGINT) AS conv_permille FROM counts
+      UNION ALL
+      SELECT 2, 'click', CAST(n_click AS BIGINT),
+             CAST(n_click * 1000 // n_view AS BIGINT) FROM counts
+      UNION ALL
+      SELECT 3, 'purchase', CAST(n_purchase AS BIGINT),
+             CAST(n_purchase * 1000 // n_view AS BIGINT) FROM counts
+    ) ORDER BY ord
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view → click → purchase, each stage
+    required to happen strictly AFTER the previous stage's first
+    occurrence and within a 24 h window of it — the product-analytics
+    query (Amplitude/Mixpanel's core primitive) that a naive
+    type-count comparison gets wrong (it ignores ordering). Conversion
+    is reported per-mille as an exact integer division.
+
+    Plan: each stage is a per-user MIN-timestamp aggregation of one
+    event type, semi-joined against the previous stage with the
+    ordering/window predicate — three aggs and two joins, ALL keyed on
+    user_id, so Catalyst plans one partitioning reused across every
+    stage (no re-shuffle between stages). The final stage counts are
+    three scalar aggregates unioned into the funnel table.
+
+    Scale: per-stage state is one row per surviving user (monotonically
+    shrinking down the funnel); no window function touches the raw
+    event stream, and the user_id keying is the same single shuffle the
+    sessionization family already uses. Adding a stage is one more
+    agg + join on the same key.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def stage(etype: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(
+                (F.col("ts_us") > F.col("t_prev"))
+                & (F.col("ts_us") <= F.col("t_prev") + _FUNNEL_WINDOW_US)
+            )
+        return e.groupBy("user_id").agg(F.min("ts_us").alias("t_prev"))
+
+    v = stage("view", None)
+    c = stage("click", v)
+    p = stage("purchase", c)
+    n_view = v.count()
+    n_click = c.count()
+    n_purchase = p.count()
+    return spark.createDataFrame(
+        [
+            ("view", n_view, 1000),
+            ("click", n_click, n_click * 1000 // n_view),
+            ("purchase", n_purchase, n_purchase * 1000 // n_view),
+        ],
+        "stage string, n_users long, conv_permille long",
+    )

@@ -1955,3 +1955,99 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT check_name, n_violations FROM (
+      SELECT 1 AS ord, 'orders_orphan_custkey' AS check_name,
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS n_violations
+      UNION ALL
+      SELECT 2, 'lineitem_orphan_orderkey',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 3, 'lineitem_orphan_suppkey',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 4, 'lineitem_orphan_partkey',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 5, 'customer_dup_custkey',
+             (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+      UNION ALL
+      SELECT 6, 'lineitem_nonpositive_quantity',
+             (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+      UNION ALL
+      SELECT 7, 'orders_nonpositive_totalprice',
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    ) ORDER BY ord
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation suite — the dbt-test / Deequ-style audit a
+    pipeline runs before publishing a snapshot: foreign-key orphans
+    (anti-joins), key uniqueness (count vs distinct), and domain checks
+    (non-positive measures), one row per check so the output is a
+    machine-checkable quality report (all-zeros on healthy data; any
+    non-zero names the broken constraint).
+
+    Plan: each FK check is a LEFT ANTI join from fact to dimension
+    reduced to a count — dimensions broadcast when small, and at
+    warehouse scale the anti-join keys on the FK with the same shuffle
+    the production join would use (a violation scan costs what one join
+    costs, no more). Uniqueness and domain checks are single partial/
+    final aggs. The checks are independent single-row results, so they
+    run as parallel jobs and union into the report.
+
+    Scale: at 100 TB each check remains one scan (+ one broadcast/
+    shuffle for FK checks); fusing same-table domain checks into one
+    pass with conditional sums is the production refinement — kept
+    separate here so each check's plan is individually auditable.
+    """
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part")
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> int:
+        return (
+            fact.select(F.col(fk).alias("k"))
+            .join(dim.select(F.col(pk).alias("k")), "k", "left_anti")
+            .count()
+        )
+
+    checks = [
+        ("orders_orphan_custkey", orphans(orders, "o_custkey", customer, "c_custkey")),
+        (
+            "lineitem_orphan_orderkey",
+            orphans(lineitem, "l_orderkey", orders, "o_orderkey"),
+        ),
+        (
+            "lineitem_orphan_suppkey",
+            orphans(lineitem, "l_suppkey", supplier, "s_suppkey"),
+        ),
+        ("lineitem_orphan_partkey", orphans(lineitem, "l_partkey", part, "p_partkey")),
+        (
+            "customer_dup_custkey",
+            customer.count() - customer.select("c_custkey").distinct().count(),
+        ),
+        (
+            "lineitem_nonpositive_quantity",
+            lineitem.filter(F.col("l_quantity") <= 0).count(),
+        ),
+        (
+            "orders_nonpositive_totalprice",
+            orders.filter(F.col("o_totalprice") <= 0).count(),
+        ),
+    ]
+    return spark.createDataFrame(checks, "check_name string, n_violations long")
