@@ -122,17 +122,33 @@ def persist_group(
     group dir. Overwrites any previous index for this (corpus, group);
     the manifest lands last so readers never see a torn index.
     """
+    import shutil
+
     if group not in GROUPS:
         raise ValueError(f"unknown artifact group {group!r}")
     if not artifacts:
         raise ValueError("no artifacts to persist")
     d = _group_dir(sf_dir, group)
     os.makedirs(d, exist_ok=True)
+    # STAGE-THEN-SWAP: when a re-persist's artifacts were themselves
+    # LOADED from this very index (the cached DataFrames are lazy parquet
+    # scans of <d>/<name>), a direct overwrite would delete the files
+    # before the read executes — destroying the index mid-job. Writing to
+    # a staging subdir first reads the old files intact; the swap is then
+    # pure driver-side directory renames with the manifest removed for
+    # its duration, so readers never see a torn index.
+    stage = os.path.join(d, ".stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    for name in sorted(artifacts):
+        artifacts[name].write.mode("overwrite").parquet(os.path.join(stage, name))
     mpath = os.path.join(d, _MANIFEST)
     if os.path.exists(mpath):
         os.remove(mpath)  # invalidate readers before touching data
     for name in sorted(artifacts):
-        artifacts[name].write.mode("overwrite").parquet(os.path.join(d, name))
+        final = os.path.join(d, name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(os.path.join(stage, name), final)
+    shutil.rmtree(stage, ignore_errors=True)
     with open(mpath, "w", encoding="utf-8") as f:
         json.dump(
             {
@@ -168,13 +184,6 @@ def load_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | No
     if name not in INDEX_ARTIFACTS or manifest(sf_dir) is None:
         return None
     return spark.read.parquet(os.path.join(_group_dir(sf_dir, "vector"), name))
-
-
-def persist(spark: SparkSession, sf_dir: str, artifacts: dict[str, DataFrame]) -> str:
-    missing = set(INDEX_ARTIFACTS) - set(artifacts)
-    if missing:
-        raise ValueError(f"missing index artifacts: {sorted(missing)}")
-    return persist_group(spark, sf_dir, "vector", artifacts)
 
 
 def drop(sf_dir: str) -> None:

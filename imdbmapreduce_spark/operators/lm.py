@@ -161,14 +161,26 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     model would instead be a broadcast/bucketed model table — same
     join, different build.
     """
-    docs = table(spark, sf_dir, "documents")
-    dt = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    from imdbmapreduce_spark.cache import shared_cache
+
+    # the per-(doc, token) counts feed the vocabulary build, the eager
+    # total, and the scoring join — shared-cache them so the corpus is
+    # tokenized ONCE per session, not once per consumer (review r5)
+    dt = shared_cache(
+        spark,
+        ("unigram_doc_tokens", sf_dir),
+        lambda: table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("k")),
     )
     vocab = dt.groupBy("tok").agg(F.sum("k").alias("cnt"))
-    total = float(vocab.agg(F.sum("cnt")).first()[0])
+    total_row = vocab.agg(F.sum("cnt")).first()[0]
+    if total_row is None:  # every document tokenized empty
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, logprob_q long, avg_logprob double"
+        )
+    total = float(total_row)
     lp = vocab.select(
         "tok",
         F.round(F.log(F.col("cnt").cast("double") / F.lit(total)) * _LP_SCALE)

@@ -162,7 +162,10 @@ def cms_estimate(
     counter side broadcasts (a few KB), so estimation is a map-only pass
     over the candidate list.
     """
-    cand = candidates.select("item").distinct()
+    # cast to long BEFORE hashing — count_min hashed cast items, and
+    # xxhash64(123L) != xxhash64('123'): an uncast string id column would
+    # probe foreign buckets and silently break est >= true (review r5)
+    cand = candidates.select(F.col("item").cast("long").alias("item")).distinct()
     probes = cand.select(
         "item", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
     ).withColumn("bucket", _cms_bucket(F.col("item"), F.col("j"), w))

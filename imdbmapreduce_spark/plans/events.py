@@ -641,6 +641,17 @@ def _user_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_TOP = 64
 
 
+def _top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact top-_HH_TOP users by count — ONE definition shared by
+    the oracle-checked exact twin and the CMS audit, so the audited
+    candidate set can never drift from the hash-verified one."""
+    return (
+        _user_exact_counts(spark, sf_dir)
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(_HH_TOP)
+    )
+
+
 @query(
     "events_heavy_hitters_exact",
     oracle=f"""
@@ -673,13 +684,10 @@ def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch twin takes over — that division of labor is the point of
     registering them as a pair.
     """
-    top = (
-        _user_exact_counts(spark, sf_dir)
-        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
-        .limit(_HH_TOP)
-    )
     w = Window.orderBy(F.desc("exact_cnt"), F.asc("user_id"))
-    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return _top_users(spark, sf_dir).withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )
 
 
 @query("events_heavy_hitters_sketch")  # no SQL oracle: sketch internals;
@@ -757,11 +765,7 @@ def events_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     cms = count_min(ev, "user_id", d=_CMS_D, w=_CMS_W)
-    top = (
-        _user_exact_counts(spark, sf_dir)
-        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
-        .limit(_HH_TOP)
-    )
+    top = _top_users(spark, sf_dir)
     est = cms_estimate(
         cms, top.select(F.col("user_id").alias("item")), d=_CMS_D, w=_CMS_W
     )
@@ -1274,7 +1278,7 @@ _FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # per-stage conversion window
     )
     SELECT stage, n_users, conv_permille FROM (
       SELECT 1 AS ord, 'view' AS stage, CAST(n_view AS BIGINT) AS n_users,
-             CAST(1000 AS BIGINT) AS conv_permille FROM counts
+             CAST(n_view * 1000 // n_view AS BIGINT) AS conv_permille FROM counts
       UNION ALL
       SELECT 2, 'click', CAST(n_click AS BIGINT),
              CAST(n_click * 1000 // n_view AS BIGINT) FROM counts
@@ -1324,11 +1328,17 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_view = v.count()
     n_click = c.count()
     n_purchase = p.count()
+
+    def permille(n: int) -> int | None:
+        # NULL on an empty funnel head — matching DuckDB's x // 0 = NULL
+        # in the oracle, instead of a driver ZeroDivisionError (review r5)
+        return n * 1000 // n_view if n_view else None
+
     return spark.createDataFrame(
         [
-            ("view", n_view, 1000),
-            ("click", n_click, n_click * 1000 // n_view),
-            ("purchase", n_purchase, n_purchase * 1000 // n_view),
+            ("view", n_view, 1000 if n_view else None),
+            ("click", n_click, permille(n_click)),
+            ("purchase", n_purchase, permille(n_purchase)),
         ],
         "stage string, n_users long, conv_permille long",
     )

@@ -2000,18 +2000,19 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine-checkable quality report (all-zeros on healthy data; any
     non-zero names the broken constraint).
 
-    Plan: each FK check is a LEFT ANTI join from fact to dimension
-    reduced to a count — dimensions broadcast when small, and at
-    warehouse scale the anti-join keys on the FK with the same shuffle
-    the production join would use (a violation scan costs what one join
-    costs, no more). Uniqueness and domain checks are single partial/
-    final aggs. The checks are independent single-row results, so they
-    run as parallel jobs and union into the report.
+    Plan: ONE lazy union of single-row aggregates — each FK check is a
+    LEFT ANTI join from fact to dimension reduced to a count (dimensions
+    broadcast when small; at warehouse scale the anti-join keys on the
+    FK with the same shuffle the production join would use), uniqueness
+    is count-minus-countDistinct in one agg, and domain checks are
+    conditional sums. Nothing collects on the driver, so Spark schedules
+    the independent branches concurrently inside one job instead of
+    nine sequential actions.
 
-    Scale: at 100 TB each check remains one scan (+ one broadcast/
-    shuffle for FK checks); fusing same-table domain checks into one
-    pass with conditional sums is the production refinement — kept
-    separate here so each check's plan is individually auditable.
+    Scale: at 100 TB each branch remains one scan (+ one broadcast/
+    shuffle for FK checks); fusing same-table branches into one shared
+    scan with conditional sums is the further refinement when the scan
+    dominates.
     """
     orders = table(spark, sf_dir, "orders")
     lineitem = table(spark, sf_dir, "lineitem")
@@ -2019,35 +2020,42 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = table(spark, sf_dir, "supplier")
     part = table(spark, sf_dir, "part")
 
-    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> int:
-        return (
-            fact.select(F.col(fk).alias("k"))
-            .join(dim.select(F.col(pk).alias("k")), "k", "left_anti")
-            .count()
+    def one(name: str, n: Column, src: DataFrame) -> DataFrame:
+        return src.agg(
+            F.lit(name).alias("check_name"), n.cast("long").alias("n_violations")
+        )
+
+    def orphans(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        return one(
+            name,
+            F.count(F.lit(1)),
+            fact.select(F.col(fk).alias("k")).join(
+                dim.select(F.col(pk).alias("k")), "k", "left_anti"
+            ),
         )
 
     checks = [
-        ("orders_orphan_custkey", orphans(orders, "o_custkey", customer, "c_custkey")),
-        (
-            "lineitem_orphan_orderkey",
-            orphans(lineitem, "l_orderkey", orders, "o_orderkey"),
-        ),
-        (
-            "lineitem_orphan_suppkey",
-            orphans(lineitem, "l_suppkey", supplier, "s_suppkey"),
-        ),
-        ("lineitem_orphan_partkey", orphans(lineitem, "l_partkey", part, "p_partkey")),
-        (
+        orphans("orders_orphan_custkey", orders, "o_custkey", customer, "c_custkey"),
+        orphans("lineitem_orphan_orderkey", lineitem, "l_orderkey", orders, "o_orderkey"),
+        orphans("lineitem_orphan_suppkey", lineitem, "l_suppkey", supplier, "s_suppkey"),
+        orphans("lineitem_orphan_partkey", lineitem, "l_partkey", part, "p_partkey"),
+        one(
             "customer_dup_custkey",
-            customer.count() - customer.select("c_custkey").distinct().count(),
+            F.count(F.lit(1)) - F.countDistinct("c_custkey"),
+            customer,
         ),
-        (
+        one(
             "lineitem_nonpositive_quantity",
-            lineitem.filter(F.col("l_quantity") <= 0).count(),
+            F.coalesce(F.sum((F.col("l_quantity") <= 0).cast("long")), F.lit(0)),
+            lineitem,
         ),
-        (
+        one(
             "orders_nonpositive_totalprice",
-            orders.filter(F.col("o_totalprice") <= 0).count(),
+            F.coalesce(F.sum((F.col("o_totalprice") <= 0).cast("long")), F.lit(0)),
+            orders,
         ),
     ]
-    return spark.createDataFrame(checks, "check_name string, n_violations long")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -129,13 +129,16 @@ def _latest_rows() -> dict:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
-        for name, row in rows.items():  # later rounds overwrite earlier
+        for name, row in rows.items():
             kind = (
                 "hash"
                 if row.get("hash_match")
                 else ("no_oracle" if row.get("err") == "no_oracle" else None)
             )
-            status[name] = (rnd, kind)
+            # the HIGHER round number wins, not file order — lexicographic
+            # glob order breaks at r100 vs r99 (and any unpadded name)
+            if name not in status or rnd >= status[name][0]:
+                status[name] = (rnd, kind)
     return status
 
 

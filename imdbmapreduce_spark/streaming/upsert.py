@@ -187,6 +187,10 @@ class Scd2Sink:
         # greatest (ts, seq) ever applied for the key — anything at or
         # below it is a redelivery, including same-timestamp state flips
         # that a (ts, state)-only guard would re-apply
+        # persisted for this batch: the stale-count action below and the
+        # commit's write both consume this join — caching evaluates it
+        # once instead of twice per micro-batch (review r5); released in
+        # the finally at the end of the apply
         guarded = batch.join(
             open_rows.select(
                 k,
@@ -195,7 +199,7 @@ class Scd2Sink:
             ),
             k,
             "left",
-        )
+        ).persist()
         is_fresh = (
             F.col("g_ts").isNull()
             | (F.col("ts_us") > F.col("g_ts"))
@@ -277,4 +281,7 @@ class Scd2Sink:
                 "hw_seq", F.lit(None).cast("long")
             )
         ).unionByName(with_hw)
-        _commit_version(self.state_path, out)
+        try:
+            _commit_version(self.state_path, out)
+        finally:
+            guarded.unpersist()

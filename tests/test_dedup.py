@@ -217,3 +217,30 @@ def test_persisted_text_index_cold_session_roundtrip(spark, sf_dir, tmp_path, mo
     finally:
         monkeypatch.undo()
         release_shared_caches()
+
+
+def test_repersist_over_loaded_index_does_not_destroy_it(spark, sf_dir, tmp_path, monkeypatch):
+    """Review-r5 regression: re-running persist in a cold session (whose
+    artifacts resolved FROM the on-disk index) previously self-overwrote
+    the parquet paths being read — deleting the data mid-job and leaving
+    an empty directory. The stage-then-swap protocol must survive it."""
+    import imdbmapreduce_spark.operators.dedup as D
+    from imdbmapreduce_spark import indexstore
+    from imdbmapreduce_spark.cache import release_shared_caches
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    release_shared_caches()
+    try:
+        D.persist_text_index(spark, sf_dir)
+        release_shared_caches()  # cold: next persist reads artifacts from disk
+        D.persist_text_index(spark, sf_dir)  # previously destroyed the index
+        release_shared_caches()
+        m = indexstore.group_manifest(sf_dir, "text", D._text_params())
+        assert m is not None
+        loaded = indexstore.load_group_artifact(
+            spark, sf_dir, "text", "shingle_hx", D._text_params()
+        )
+        assert loaded is not None and loaded.count() > 0
+        indexstore.drop_group(sf_dir, "text")
+    finally:
+        release_shared_caches()

@@ -107,3 +107,26 @@ def test_cosupplier_edges_symmetric(spark, sf_dir):
     fwd = {(r.src, r.dst) for r in e.collect()}
     assert fwd  # non-empty at every sf
     assert all((d, s) in fwd for s, d in fwd)  # both directions present
+
+
+def test_pagerank_cache_key_routes_edge_table_through_shared_cache(spark):
+    """The keyed form must (a) produce the identical exact result as the
+    call-local form and (b) actually register the loop-invariant edge
+    table in the releasable shared cache under the given key."""
+    from imdbmapreduce_spark import cache as C
+    from imdbmapreduce_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (5, 0)], "src long, dst long"
+    )
+    C.release_shared_caches()
+    try:
+        plain = sorted(map(tuple, pagerank(nodes, edges, iters=3).collect()))
+        keyed = sorted(
+            map(tuple, pagerank(nodes, edges, iters=3, cache_key=("t6",)).collect())
+        )
+        assert keyed == plain
+        assert any("pagerank_ed" in k for k in C._CACHE), list(C._CACHE)
+    finally:
+        C.release_shared_caches()
