@@ -65,6 +65,7 @@ def _features_sql() -> str:
 
     return f"""feats AS (
       SELECT
+        doc_id,
         CAST((len(toks) >= 20 AND len(list_distinct(toks)) * 4 >= len(toks))
              AS INT) AS y,
         1.0 AS x0,
@@ -72,7 +73,7 @@ def _features_sql() -> str:
         CAST(len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x)))
              AS DOUBLE) / len(toks) AS x2,
         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS x3
-      FROM (SELECT {_DUCK_TOKS} AS toks FROM documents) t
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) t
       WHERE len(toks) > 0
     )"""
 
@@ -237,7 +238,80 @@ def _round_half_away(v: float) -> int:
     return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
 
 
-@query("doc_quality_logreg_eval", bench=True)  # no SQL oracle: iterative; replayed in tests
+def _logreg_eval_oracle_sql(rounds: int = _LR_ROUNDS) -> str:
+    """Unrolled-CTE oracle for the train/eval twin: the content-hash
+    split rule (operators.text's md5-bucket thresholds) is plain SQL, the
+    10 training rounds unroll exactly like :func:`_logreg_oracle_sql`
+    (gradients only — the eval loop computes no loss), and the frozen
+    final weights score every split. ``accuracy_milli`` uses integer
+    division — Spark's double-divide-then-cast truncation is exact for
+    counts × 1000 far below 2^53, so ``//`` reproduces it bit-for-bit.
+    """
+    from imdbmapreduce_spark.operators.text import _SPLIT_TRAIN, _SPLIT_VAL
+
+    bucket = "CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER)"
+    # MATERIALIZED: DuckDB otherwise inlines these CTEs into every one of
+    # the 10 unrolled rounds, re-opening the parquet per reference (the
+    # "too many open files" failure mode); materializing evaluates each
+    # base table once, values unchanged.
+    parts = [_features_sql().replace("feats AS (", "feats AS MATERIALIZED (", 1)]
+    parts.append(
+        f"""split AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN {bucket} < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN {bucket} < {_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), labeled AS MATERIALIZED (
+      SELECT f.*, s.split FROM feats f JOIN split s USING (doc_id)
+    ), train AS MATERIALIZED (SELECT * FROM labeled WHERE split = 'train')"""
+    )
+    parts.append("w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)")
+    for t in range(rounds):
+        margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(4))
+        grads = ",\n        ".join(
+            f"SUM(CAST(round(((p - CAST(y AS DOUBLE)) * x{j}) * {_GRAD_SCALE})"
+            f" AS BIGINT)) AS g{j}"
+            for j in range(4)
+        )
+        # every round CTE MATERIALIZED: the w{t+1} -> (w{t}, a{t}) ->
+        # m{t} -> w{t} reference chain doubles per inlined level —
+        # exponential re-evaluation by round 10 without it
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+      SELECT y, x0, x1, x2, x3, 1.0 / (1.0 + exp(-margin)) AS p
+      FROM (SELECT f.*, ({margin}) AS margin FROM train f, w{t} w)
+    ), a{t} AS MATERIALIZED (
+      SELECT {grads}, COUNT(*) AS n FROM m{t}
+    ), w{t + 1} AS MATERIALIZED (
+      SELECT
+        {", ".join(
+            f"w.w{j} - ({_LR_RATE} * (CAST(a.g{j} AS DOUBLE) / {_GRAD_SCALE}))"
+            f" / (SELECT n FROM a0) AS w{j}"
+            for j in range(4)
+        )}
+      FROM w{t} w, a{t} a
+    )"""
+        )
+    fmargin = " + ".join(f"w.w{j} * l.x{j}" for j in range(4))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST((CAST(p > 0.5 AS INT) = y) AS BIGINT)) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CAST((CAST(p > 0.5 AS INT) = y) AS BIGINT)) * 1000
+                // COUNT(*) AS BIGINT) AS accuracy_milli,
+           {", ".join(f"(SELECT w{j} FROM w{rounds}) AS w{j}" for j in range(4))}
+    FROM (SELECT l.y, l.split, 1.0 / (1.0 + exp(-({fmargin}))) AS p
+          FROM labeled l, w{rounds} w)
+    GROUP BY split ORDER BY split"""
+    )
+
+
+@query("doc_quality_logreg_eval", oracle=_logreg_eval_oracle_sql(), bench=True)
 def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval separation for the quality classifier: fit the
     logistic regression ON THE TRAIN SPLIT ONLY (the same content-hash
