@@ -257,7 +257,31 @@ _FEATURES_SCHEMA = StructType(
 )
 
 
-@query("multimodal_features")  # no SQL oracle: byte-level decode; see tests
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), f AS (
+      SELECT doc_id, media_type, n,
+             COALESCE(list_sum(list_transform(range(1, n + 1),
+               i -> CAST(('0x' || substring(h, 2*i - 1, 2)) AS INTEGER))), 0)
+               % 2147483648 AS checksum
+      FROM b
+    )
+    SELECT doc_id, media_type,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(checksum AS BIGINT) AS checksum,
+           CAST(16 + checksum % 64 AS BIGINT) AS width,
+           CAST(greatest(1, n // (16 + checksum % 64)) AS BIGINT) AS height
+    FROM f
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload lane.
 
@@ -265,6 +289,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     is :func:`fake_decode` (deterministic — see module docstring for the
     real-codec stub policy). Output is a flat typed frame, so downstream
     plans treat extracted features as ordinary columns.
+
+    Oracle: the fake decoder is pure byte math, and DuckDB can reach the
+    payload BYTES via hex(encode(text)) expansion — so even this Arrow
+    lane gets a full external hash check (byte sums, derived geometry),
+    leaving only genuinely engine-specific hash families rows-only.
 
     Scale: no shuffle at all — a narrow per-partition pass; Arrow moves
     whole batches across the Python boundary. Parallelism = scan splits.
