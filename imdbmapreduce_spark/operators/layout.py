@@ -88,3 +88,38 @@ def zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark, src_dir: str, dst_dir: str, target_bytes: int = 128 << 20
+) -> int:
+    """Small-files maintenance: rewrite a parquet directory into
+    right-sized files (~``target_bytes`` each, matching the scan-split
+    size session.py configures); returns the file count written.
+
+    The small-files problem is the steady-state failure of streaming
+    sinks and over-parallel writers — thousands of KB-sized files turn
+    every scan into open/footer overhead and every listing into a
+    metadata storm. Compaction = one read + one round-robin repartition
+    to ceil(total_bytes / target) + one write: even output sizes by
+    construction (repartition, not coalesce — coalesce merges adjacent
+    partitions and inherits their skew).
+
+    Scale: this is the lakehouse OPTIMIZE primitive (without the
+    transaction log); on object storage the same three-step plan runs
+    with the listing swapped for the table manifest, and composes with
+    :func:`zorder_layout` when the rewrite should also cluster.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _, files in os.walk(src_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).repartition(n).write.mode("overwrite").parquet(dst_dir)
+    return n

@@ -1342,3 +1342,66 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "stage string, n_users long, conv_permille long",
     )
+
+
+@query(
+    "events_disorder_profile",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS high_water_us
+      FROM events
+    ), lateness AS (
+      SELECT user_id, high_water_us - ts_us AS late_us FROM seq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+                AS BIGINT) AS late_permille,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+           CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+    FROM lateness
+    """,
+)
+def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile: treating event_id as arrival order, how
+    late do events arrive relative to each user's running event-time
+    high-water mark? This single row — late-event share, worst and total
+    lateness — is the number that SIZES a streaming watermark: the
+    `withWatermark` delay in the streaming twins must exceed the
+    observed lateness tail or the windowed aggregates silently drop
+    those events, and the SCD-2 sink's in-order contract (streaming/
+    upsert.py) is exactly `n_late == 0` on its feed.
+
+    Plan: one running-max window per user (same single user_id exchange
+    + sort as sessionization — Catalyst shares the partitioning), then
+    one global aggregation of four exact integer measures.
+
+    Scale: per-user state in the window is one long; the global agg is
+    a partial/final reduction to one row. Lateness quantiles (p99 for a
+    tight watermark) are one approx_percentile away on the same
+    `late_us` column — kept exact-integer here so the oracle is
+    bit-for-bit.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select((F.max("ts_us").over(w) - F.col("ts_us")).alias("late_us"))
+    return late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+        F.expr("sum(cast(late_us > 0 as long)) * 1000 div count(1)").alias(
+            "late_permille"
+        ),
+        F.max("late_us").alias("max_late_us"),
+        F.sum("late_us").alias("sum_late_us"),
+    )

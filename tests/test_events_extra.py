@@ -90,3 +90,29 @@ def test_key_skew_profile_identities(spark, sf_dir):
         assert r.top1_permille == r.max_key_cnt * 1000 // r.n_rows
         assert r.skew_factor == r.max_key_cnt * r.n_distinct // r.n_rows
     assert rows["event_type"].n_distinct < rows["user_id"].n_distinct
+
+
+def test_disorder_profile_counts_synthetic_inversions(spark, tmp_path):
+    """The sf corpus arrives fully in-order (n_late = 0), so drive the
+    late path directly: planted inversions must be counted with exact
+    lateness against hand-computed values."""
+    import datetime
+
+    from imdbmapreduce_spark import registry
+
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def ts(us):
+        return base + datetime.timedelta(microseconds=us)
+
+    rows = [
+        # user 1, arrival order by event_id: lateness 0, 50, 0, 30
+        (1, 1, ts(100)), (2, 1, ts(50)), (3, 1, ts(150)), (4, 1, ts(120)),
+        # user 2: fully in order
+        (5, 2, ts(10)), (6, 2, ts(20)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = registry.get("events_disorder_profile").fn(spark, str(tmp_path)).first()
+    assert (r.n_events, r.n_late, r.max_late_us, r.sum_late_us) == (6, 2, 50, 80)
+    assert r.late_permille == 2 * 1000 // 6

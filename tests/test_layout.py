@@ -87,3 +87,30 @@ def test_zorder_shrinks_file_bounding_boxes(spark, sf_dir, tmp_path):
     assert a_z < a_plain / 3, (a_z, a_plain)
     # and the rewrite loses no rows
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_compact_parquet_rightsizes_and_preserves_rows(spark, tmp_path):
+    """Compaction: 40 tiny files -> the computed file count, identical
+    row multiset, and roughly even output sizes (repartition, not
+    coalesce)."""
+    import glob
+
+    from imdbmapreduce_spark.operators.layout import compact_parquet
+
+    src, dst = f"{tmp_path}/small", f"{tmp_path}/compacted"
+    df = spark.range(20000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+
+    total = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(f"{src}/part-*.parquet")
+    )
+    target = max(1, total // 3)  # force ~3-4 output files
+    n = compact_parquet(spark, src, dst, target_bytes=target)
+    out_files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(out_files) == n <= 5
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+    sizes = sorted(__import__("os").path.getsize(p) for p in out_files)
+    assert sizes[0] * 3 > sizes[-1]  # no pathological skew across outputs
