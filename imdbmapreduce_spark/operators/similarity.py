@@ -931,3 +931,65 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "k")
         .agg(F.sum(F.col("s") * F.col("v")).alias("proj_q"))
     )
+
+
+@query("neardup_embedding_cells")  # rows-only: cells come from the
+# hash-sampled, Lloyd-refined IVF codebook (not SQL-portable); the
+# same-cell completeness identity is locked in tests/test_similarity.py
+def neardup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every vector to its IVF
+    cell, then find near-duplicate pairs WITHIN cells only — the
+    cluster-then-dedup layout (Abbas et al. 2023) that makes embedding
+    dedup sub-quadratic at corpus scale by accepting cluster recall as
+    the completeness boundary.
+
+    Exactness contract: every emitted pair is a TRUE pair with the same
+    bit-exact quantized cosine as the all-pairs plan, and the emitted
+    set is EXACTLY the same-cell subset of the all-pairs result —
+    pinned as an identity in tests, not a sampled recall number. The
+    knob is the cell count: fewer cells → higher recall, more in-cell
+    work (C = 1 reproduces the all-pairs plan).
+
+    Scale: the all-pairs block plan shuffles n·B rows and does the full
+    O(n²d) arithmetic; this shuffles each vector ONCE (to its cell) and
+    does Σ_c |cell_c|² work — with balanced cells, 1/C of the
+    arithmetic. The cell assignment reuses the cached/persisted IVF
+    codebook, so the index amortizes across dedup AND search.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ex = _shared_components(spark, sf_dir)
+    cents = _ivf_codebook_cached(spark, sf_dir)
+    cells = (
+        _cell_assignment(ex, cents).filter(F.col("cr") == 1).select("vec_id", "cell")
+    )
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .join(cells, "vec_id")
+    )
+
+    def _quant(col: "pd.Series") -> "np.ndarray":
+        a = np.stack(col.to_numpy()).astype(np.float64) * _SCALE
+        return (np.floor(np.abs(a) + 0.5) * np.sign(a)).astype(np.int64)
+
+    def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"a_id": pd.Series([], dtype="int64"),
+                 "b_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = _quant(pdf["embedding"])
+        dot = Q @ Q.T  # exact int64
+        s = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        cos = dot.astype(np.float64) / (s[:, None] * s[None, :])
+        keep = (cos >= _NEARDUP_THETA) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"a_id": ids[ai], "b_id": ids[bi], "cosine": cos[ai, bi]}
+        )
+
+    return emb.groupBy("cell").applyInPandas(gram, "a_id long, b_id long, cosine double")

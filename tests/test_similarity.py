@@ -296,3 +296,37 @@ def test_random_projection_matches_numpy_replay(spark, sf_dir):
         for k in range(16):
             s = np.array([sign(p, k) for p in range(len(q))], dtype=np.int64)
             assert got[(vid, k)] == int(q @ s), (vid, k)
+
+
+def test_semantic_cell_dedup_is_exactly_the_same_cell_subset(spark, sf_dir):
+    """The SemDeDup-style plan's contract is an identity, not a recall
+    sample: emitted pairs == { exact all-pairs results whose endpoints
+    share an IVF cell }, with bit-identical cosines."""
+    from imdbmapreduce_spark.cache import release_shared_caches
+    from imdbmapreduce_spark.operators import similarity as S
+
+    release_shared_caches()
+    try:
+        exact = {
+            (r.a_id, r.b_id): r.cosine
+            for r in registry.get("neardup_embedding_cosine").fn(spark, sf_dir).collect()
+        }
+        ex = S._shared_components(spark, sf_dir)
+        cents = S._ivf_codebook_cached(spark, sf_dir)
+        cell_of = {
+            r.vec_id: r.cell
+            for r in S._cell_assignment(ex, cents).filter(F.col("cr") == 1).collect()
+        }
+        want = {
+            pair: cos
+            for pair, cos in exact.items()
+            if cell_of[pair[0]] == cell_of[pair[1]]
+        }
+        got = {
+            (r.a_id, r.b_id): r.cosine
+            for r in registry.get("neardup_embedding_cells").fn(spark, sf_dir).collect()
+        }
+        assert got == want  # same pairs, bit-identical cosines
+        assert all(a < b for a, b in got)
+    finally:
+        release_shared_caches()
