@@ -1289,12 +1289,13 @@ _FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # per-stage conversion window
     """,
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis: view → click → purchase, each stage
-    required to happen strictly AFTER the previous stage's first
-    occurrence and within a 24 h window of it — the product-analytics
-    query (Amplitude/Mixpanel's core primitive) that a naive
-    type-count comparison gets wrong (it ignores ordering). Conversion
-    is reported per-mille as an exact integer division.
+    """WINDOWED ordered funnel: view → click → purchase, each stage
+    strictly AFTER the previous stage's first occurrence AND within a
+    24 h window of it, with per-mille conversion rates as exact integer
+    divisions. The unwindowed twin is :func:`events_funnel` (any-time
+    ordering, counts only); the conversion-window bound is the
+    product-analytics default (Amplitude/Mixpanel) because unbounded
+    funnels credit conversions that took months.
 
     Plan: each stage is a per-user MIN-timestamp aggregation of one
     event type, semi-joined against the previous stage with the
