@@ -8,4 +8,43 @@ from imdbmapreduce_spark.session import get_spark
 from imdbmapreduce_spark.catalog import load_tables, register_views, table
 from imdbmapreduce_spark.operators.cooccurrence import Engine
 
-__all__ = ["get_spark", "load_tables", "register_views", "table", "Engine"]
+
+def queries():
+    """All registered queries: name -> fn(spark, sf_dir) -> DataFrame.
+    The complete query surface (SURVEY.md §2 + the LLM-pipeline
+    verticals), same registry the driver contract reads."""
+    from imdbmapreduce_spark import registry
+
+    return registry.all_queries()
+
+
+def run(name: str, spark, sf_dir: str):
+    """Run one registered query by name."""
+    from imdbmapreduce_spark import registry
+
+    return registry.get(name).fn(spark, sf_dir)
+
+
+def persist_indexes(spark, sf_dir: str) -> dict:
+    """Build and persist BOTH index groups (vector IVF/PQ + text dedup)
+    for a corpus; returns {group: directory}. Later sessions' ANN and
+    dedup queries then answer from the prebuilt on-disk index."""
+    from imdbmapreduce_spark.operators.dedup import persist_text_index
+    from imdbmapreduce_spark.operators.similarity import persist_vector_index
+
+    return {
+        "vector": persist_vector_index(spark, sf_dir),
+        "text": persist_text_index(spark, sf_dir),
+    }
+
+
+__all__ = [
+    "get_spark",
+    "load_tables",
+    "register_views",
+    "table",
+    "Engine",
+    "queries",
+    "run",
+    "persist_indexes",
+]

@@ -64,3 +64,26 @@ def test_sweep_does_not_accumulate_storage(spark, sf_dir):
     assert _storage_rdd_count(spark) == first, "re-runs must reuse artifacts"
     release_shared_caches()
     assert _storage_rdd_count(spark) < first
+
+
+def test_package_facade_runs_queries_and_persists_indexes(spark, sf_dir, tmp_path, monkeypatch):
+    """The public API surface: queries()/run() reach the registry, and
+    persist_indexes writes both index groups with valid manifests."""
+    import imdbmapreduce_spark as eng
+    from imdbmapreduce_spark import indexstore
+    from imdbmapreduce_spark.cache import release_shared_caches
+
+    assert "q1_pricing_summary" in eng.queries()
+    assert eng.run("limit_scan", spark, sf_dir).count() > 0
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    release_shared_caches()
+    try:
+        dirs = eng.persist_indexes(spark, sf_dir)
+        assert set(dirs) == {"vector", "text"}
+        assert indexstore.manifest(sf_dir) is not None
+        assert indexstore.group_manifest(sf_dir, "text") is not None
+    finally:
+        indexstore.drop_group(sf_dir, "vector")
+        indexstore.drop_group(sf_dir, "text")
+        release_shared_caches()
