@@ -271,3 +271,66 @@ def test_scd2_sink_random_cdc_feed_equals_batch_rebuild(spark, tmp_path_factory,
         .collect()
     }
     assert got == want
+
+
+_LM_TOKS = ["the", "a", "xx", "的", "b7", "!", "zzz"]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(_LM_TOKS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_lm_vertical_on_random_corpora(spark, tmp_path_factory, corpus):
+    """BPE pair stats and unigram log-prob vs pure-Python replays on
+    ARBITRARY corpora — unicode tokens, empty docs, singleton docs —
+    not just the generated fixture (the test_lm replays only see
+    sf0.001)."""
+    import math
+    from collections import Counter
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.cache import release_shared_caches
+
+    tmp = tmp_path_factory.mktemp("lmrand")
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/documents.parquet")
+    try:
+        # --- BPE first-merge pairs ---
+        vocab = Counter(t for _, toks in [(i, c) for i, c in enumerate(corpus)] for t in toks)
+        pairs: Counter = Counter()
+        for tok, n in vocab.items():
+            for x, y in zip(tok, tok[1:]):
+                pairs[(x, y)] += n
+        want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        got = registry.get("bpe_first_merge_stats").fn(spark, str(tmp)).collect()
+        assert {(r.c1, r.c2): r.pair_count for r in got} == dict(want)
+
+        # --- unigram log-prob ---
+        per_doc = {i: Counter(toks) for i, toks in enumerate(corpus) if toks}
+        total = float(sum(sum(c.values()) for c in per_doc.values()))
+        gotu = {
+            r.doc_id: r
+            for r in registry.get("doc_unigram_logprob").fn(spark, str(tmp)).collect()
+        }
+        assert set(gotu) == set(per_doc)
+        if per_doc:
+            allc: Counter = Counter()
+            for c in per_doc.values():
+                allc.update(c)
+
+            def q(v):
+                s = v * 1_000_000
+                return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+            lp_q = {t: q(math.log(n / total)) for t, n in allc.items()}
+            for i, c in per_doc.items():
+                assert gotu[i].n_tokens == sum(c.values())
+                assert gotu[i].logprob_q == sum(k * lp_q[t] for t, k in c.items())
+    finally:
+        release_shared_caches()
