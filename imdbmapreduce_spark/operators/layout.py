@@ -112,6 +112,7 @@ def compact_parquet(
     """
     import math
     import os
+    import shutil
 
     total = 0
     for root, _, files in os.walk(src_dir):
@@ -121,5 +122,17 @@ def compact_parquet(
             if f.endswith(".parquet")
         )
     n = max(1, math.ceil(total / target_bytes))
-    spark.read.parquet(src_dir).repartition(n).write.mode("overwrite").parquet(dst_dir)
+    df = spark.read.parquet(src_dir).repartition(n)
+    if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
+        # in-place compaction: a direct overwrite would delete the source
+        # files while the lazy scan still needs them (the indexstore
+        # self-overwrite failure mode) — stage beside the target, then
+        # swap with driver-side renames
+        stage = dst_dir.rstrip("/") + ".compact-stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        df.write.parquet(stage)
+        shutil.rmtree(dst_dir)
+        os.replace(stage, dst_dir)
+    else:
+        df.write.mode("overwrite").parquet(dst_dir)
     return n

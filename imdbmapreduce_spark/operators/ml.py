@@ -341,7 +341,7 @@ def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = labeled.filter(F.col("split") == "train")
 
     n = None
-    w = [0.0, 0.0, 0.0, 0.0]
+    w: list = [0.0, 0.0, 0.0, 0.0]
     for _ in range(_LR_ROUNDS):
         margin = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
@@ -357,10 +357,18 @@ def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         if n is None:
             n = agg["n"]
+        if n == 0:
+            # empty train split (degenerate corpus): no model exists.
+            # NULL weights flow through the scoring expressions as NULL
+            # predictions/accuracy — the same NULL propagation the
+            # unrolled oracle produces — instead of a driver
+            # TypeError/ZeroDivisionError (review r5)
+            w = [None, None, None, None]
+            break
         for j in range(4):
             w[j] -= _LR_RATE * (agg[f"g{j}"] / _GRAD_SCALE) / n
 
-    margin = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
+    margin = sum(F.lit(w[j]).cast("double") * F.col(f"x{j}") for j in range(4))
     pred = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) > 0.5).cast("int")
     return (
         labeled.groupBy("split")
@@ -377,7 +385,7 @@ def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_correct",
             "accuracy_milli",
-            *[F.lit(w[j]).alias(f"w{j}") for j in range(4)],
+            *[F.lit(w[j]).cast("double").alias(f"w{j}") for j in range(4)],
         )
         .orderBy("split")
     )

@@ -198,6 +198,17 @@ def _bucket_codes(ex: DataFrame) -> DataFrame:
     return proj.select("vec_id", "tbl", code.alias("code"))
 
 
+def _quant_batch(col):
+    """Quantize a pandas Series of embeddings to exact 1e-6 int64 units —
+    round-half-away-from-zero, matching Spark/DuckDB ``round()``. ONE
+    definition shared by every numpy lane (all-pairs blocks, in-cell
+    SemDeDup) so the bit-exactness contract can't drift between them."""
+    import numpy as np
+
+    a = np.stack(col.to_numpy()).astype(np.float64) * _SCALE
+    return (np.floor(np.abs(a) + 0.5) * np.sign(a)).astype(np.int64)
+
+
 # Near-dup threshold: the corpus is unit-norm random vectors (pairwise
 # cosine ~ N(0, 1/sqrt(64))), so 0.45 (~3.6 sigma) selects the genuine
 # distribution tail — the same knob a real corpus would set at 0.9+.
@@ -274,11 +285,7 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return emb.join(F.broadcast(sel), "blk").select("pair_id", "vec_id", "embedding")
 
     left, right = side("pa"), side("pb")
-
-    def _quant(col: pd.Series) -> "np.ndarray":
-        a = np.stack(col.to_numpy()).astype(np.float64) * _SCALE
-        # round-half-away-from-zero, matching Spark/DuckDB round()
-        return (np.floor(np.abs(a) + 0.5) * np.sign(a)).astype(np.int64)
+    _quant = _quant_batch
 
     empty = {"a_id": pd.Series([], dtype="int64"), "b_id": pd.Series([], dtype="int64"),
              "cosine": pd.Series([], dtype="float64")}
@@ -961,18 +968,22 @@ def neardup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ex = _shared_components(spark, sf_dir)
     cents = _ivf_codebook_cached(spark, sf_dir)
-    cells = (
-        _cell_assignment(ex, cents).filter(F.col("cr") == 1).select("vec_id", "cell")
+    # corpus cells come from the cached/PERSISTED inverted lists — the
+    # amortization the docstring promises (review r5); only the tiny
+    # probe slice (vec_id < _N_PROBES, excluded from ivf_lists) is
+    # assigned fresh here
+    probe_cells = (
+        _cell_assignment(ex.filter(F.col("vec_id") < _N_PROBES), cents)
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "cell")
     )
+    cells = _ivf_lists_cached(spark, sf_dir).unionByName(probe_cells)
     emb = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .join(cells, "vec_id")
     )
-
-    def _quant(col: "pd.Series") -> "np.ndarray":
-        a = np.stack(col.to_numpy()).astype(np.float64) * _SCALE
-        return (np.floor(np.abs(a) + 0.5) * np.sign(a)).astype(np.int64)
+    _quant = _quant_batch
 
     def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(pdf) < 2:

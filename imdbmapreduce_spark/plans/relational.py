@@ -2020,7 +2020,7 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = table(spark, sf_dir, "supplier")
     part = table(spark, sf_dir, "part")
 
-    def one(name: str, n: Column, src: DataFrame) -> DataFrame:
+    def one(name: str, n: F.Column, src: DataFrame) -> DataFrame:
         return src.agg(
             F.lit(name).alias("check_name"), n.cast("long").alias("n_violations")
         )

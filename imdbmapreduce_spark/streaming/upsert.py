@@ -200,6 +200,15 @@ class Scd2Sink:
             k,
             "left",
         ).persist()
+        try:
+            self._apply_guarded(batch_id, guarded, k, keep, closed, open_rows, seed)
+        finally:
+            # released HERE (not deeper in) so any failure between the
+            # stale-count action and the commit — e.g. a retried
+            # micro-batch — can never leak cached storage (review r5)
+            guarded.unpersist()
+
+    def _apply_guarded(self, batch_id, guarded, k, keep, closed, open_rows, seed) -> None:
         is_fresh = (
             F.col("g_ts").isNull()
             | (F.col("ts_us") > F.col("g_ts"))
@@ -281,7 +290,4 @@ class Scd2Sink:
                 "hw_seq", F.lit(None).cast("long")
             )
         ).unionByName(with_hw)
-        try:
-            _commit_version(self.state_path, out)
-        finally:
-            guarded.unpersist()
+        _commit_version(self.state_path, out)
