@@ -114,3 +114,21 @@ def test_compact_parquet_rightsizes_and_preserves_rows(spark, tmp_path):
     assert a == b
     sizes = sorted(__import__("os").path.getsize(p) for p in out_files)
     assert sizes[0] * 3 > sizes[-1]  # no pathological skew across outputs
+
+
+def test_compact_parquet_in_place_is_safe(spark, tmp_path):
+    """dst == src must stage-then-swap, not self-overwrite (review r5):
+    the data survives, row multiset unchanged, file count reduced."""
+    import glob
+
+    from imdbmapreduce_spark.operators.layout import compact_parquet
+
+    d = f"{tmp_path}/table"
+    spark.range(5000).selectExpr("id", "id % 7 AS g").repartition(20).write.parquet(d)
+    before = sorted(map(tuple, spark.read.parquet(d).collect()))
+    n = compact_parquet(spark, d, d, target_bytes=1 << 30)
+    assert n == 1
+    files = glob.glob(f"{d}/part-*.parquet")
+    assert len(files) == 1
+    assert sorted(map(tuple, spark.read.parquet(d).collect())) == before
+    assert not glob.glob(f"{d}.compact-stage")
