@@ -87,3 +87,48 @@ def test_package_facade_runs_queries_and_persists_indexes(spark, sf_dir, tmp_pat
         indexstore.drop_group(sf_dir, "vector")
         indexstore.drop_group(sf_dir, "text")
         release_shared_caches()
+
+
+def test_torn_persist_leaves_no_manifest(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash-mid-persist contract: the manifest lands LAST, so a persist
+    that dies during an artifact write leaves the group unloadable (and
+    the loaders fall back to building) rather than half-written."""
+    import pytest
+
+    from imdbmapreduce_spark import indexstore
+    from imdbmapreduce_spark.cache import release_shared_caches
+    from imdbmapreduce_spark.operators.dedup import _text_params, build_text_index
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    release_shared_caches()
+    try:
+        artifacts = build_text_index(spark, sf_dir)
+
+        # poison ONE artifact: fails lazily, at WRITE time (an eager
+        # failure would never reach persist_group)
+        def boom(_batches):
+            raise RuntimeError("torn-write")
+            yield  # pragma: no cover — marks this as a generator
+
+        bad = artifacts["shingle_hx"].mapInPandas(boom, "doc_id long, hx long")
+        artifacts = dict(artifacts, shingle_hx=bad)
+        with pytest.raises(Exception, match="torn-write"):
+            indexstore.persist_group(
+                spark, sf_dir, "text", artifacts, params=_text_params()
+            )
+        assert indexstore.group_manifest(sf_dir, "text") is None
+        assert (
+            indexstore.load_group_artifact(
+                spark, sf_dir, "text", "jaccard_pairs", _text_params()
+            )
+            is None
+        )
+        # and a subsequent CLEAN persist fully recovers
+        release_shared_caches()
+        indexstore.persist_group(
+            spark, sf_dir, "text", build_text_index(spark, sf_dir), params=_text_params()
+        )
+        assert indexstore.group_manifest(sf_dir, "text", _text_params()) is not None
+    finally:
+        indexstore.drop_group(sf_dir, "text")
+        release_shared_caches()
