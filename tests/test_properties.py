@@ -334,3 +334,74 @@ def test_lm_vertical_on_random_corpora(spark, tmp_path_factory, corpus):
                 assert gotu[i].logprob_q == sum(k * lp_q[t] for t, k in c.items())
     finally:
         release_shared_caches()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # user_id
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=4_000_000_000_000),  # ts_us
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_windowed_funnel_matches_python_simulator(spark, tmp_path_factory, events):
+    """The 24h-window funnel's semantics — each stage strictly after the
+    FIRST qualifying completion of the previous stage and within the
+    window of it — replayed in pure Python over random event feeds
+    (including boundary timestamps at exactly +window)."""
+    import datetime
+
+    from imdbmapreduce_spark import registry
+
+    window_us = 24 * 3600 * 1_000_000
+    base = datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (i, u, t, base + datetime.timedelta(microseconds=ts))
+        for i, (u, t, ts) in enumerate(events)
+    ]
+    tmp = tmp_path_factory.mktemp("funnel")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    # python simulator
+    by_user: dict[int, list] = {}
+    for _, (u, t, ts) in zip(rows, events):
+        by_user.setdefault(u, []).append((t, ts))
+
+    def first_stage(evs, etype, after=None):
+        ok = [
+            ts
+            for t, ts in evs
+            if t == etype
+            and (after is None or (after < ts <= after + window_us))
+        ]
+        return min(ok) if ok else None
+
+    n_view = n_click = n_purchase = 0
+    for evs in by_user.values():
+        t1 = first_stage(evs, "view")
+        if t1 is None:
+            continue
+        n_view += 1
+        t2 = first_stage(evs, "click", after=t1)
+        if t2 is None:
+            continue
+        n_click += 1
+        if first_stage(evs, "purchase", after=t2) is not None:
+            n_purchase += 1
+
+    got = {
+        r.stage: r for r in registry.get("events_funnel_conversion").fn(spark, str(tmp)).collect()
+    }
+    assert got["view"].n_users == n_view
+    assert got["click"].n_users == n_click
+    assert got["purchase"].n_users == n_purchase
+    if n_view:
+        assert got["purchase"].conv_permille == n_purchase * 1000 // n_view
+    else:
+        assert got["view"].conv_permille is None
