@@ -26,3 +26,77 @@ def test_stratified_sample_rate_and_determinism(spark, sf_dir):
     # deterministic: a second run keeps the exact same row set
     again = {r.o_orderkey for r in sample.collect()}
     assert {r.o_orderkey for r in kept} == again
+
+
+def test_referential_integrity_audit_counts_planted_violations(spark, tmp_path):
+    """The sf corpus is violation-free, so the audit's positive path
+    needs planted breakage: orphan FKs on every edge, a duplicate
+    customer key, and non-positive measures — each counted exactly."""
+    from imdbmapreduce_spark import registry
+
+    spark.createDataFrame(
+        [(1, "a"), (1, "dup"), (2, "b")], "c_custkey long, c_name string"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, -3.0), (12, 99, 7.0)],  # 99 = orphan custkey
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [
+            (10, 100, 1000, 2.0),   # ok
+            (10, 100, 1000, 0.0),   # non-positive quantity
+            (77, 100, 1000, 1.0),   # orphan orderkey
+            (10, 999, 1000, 1.0),   # orphan suppkey
+            (10, 100, 9999, 1.0),   # orphan partkey
+        ],
+        "l_orderkey long, l_suppkey long, l_partkey long, l_quantity double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame([(100, "s")], "s_suppkey long, s_name string").write.parquet(
+        f"{tmp_path}/supplier.parquet"
+    )
+    spark.createDataFrame([(1000, "p")], "p_partkey long, p_name string").write.parquet(
+        f"{tmp_path}/part.parquet"
+    )
+
+    got = {
+        r.check_name: r.n_violations
+        for r in registry.get("referential_integrity_audit").fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "orders_orphan_custkey": 1,
+        "lineitem_orphan_orderkey": 1,
+        "lineitem_orphan_suppkey": 1,
+        "lineitem_orphan_partkey": 1,
+        "customer_dup_custkey": 1,
+        "lineitem_nonpositive_quantity": 1,
+        "orders_nonpositive_totalprice": 1,
+    }
+
+
+def test_rollup_incremental_single_day_edge(spark, tmp_path):
+    """Cutoff = start of the max-ts day: when EVERY event is on that
+    day, the state side is empty and the delta carries everything — the
+    merge must still equal the direct rollup."""
+    import datetime
+
+    from imdbmapreduce_spark import registry
+
+    base = datetime.datetime(2026, 3, 3, 10, 0, tzinfo=datetime.timezone.utc)
+    rows = [
+        (i, base + datetime.timedelta(minutes=40 * i), "click", 1.25 * i)
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in registry.get("events_rollup_incremental").fn(spark, str(tmp_path)).collect()
+    }
+    # direct expectation: hours 10..13 with 40-minute spacing
+    want = {}
+    for i, r in enumerate(rows):
+        key = (r[1].strftime("%Y-%m-%d %H:00:00"), "click")
+        n, s = want.get(key, (0, 0.0))
+        want[key] = (n + 1, round(s + 1.25 * i, 2))
+    assert {k: (n, round(s, 2)) for k, (n, s) in got.items()} == want
