@@ -149,6 +149,58 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — count
+    orders per priority that have at least one late line.
+
+    The reference has no subquery machinery at all; its nearest analog is
+    the probe-set membership filter (/root/reference/Code/mapReduce.erl:55-60),
+    which is likewise a semi-join. Adaptation: the synthetic lineitem has
+    no l_commitdate/l_receiptdate, so "late" := shipped more than 90 days
+    after the order date (same convention as q12).
+
+    Scale: the quarter filter prunes orders at the scan; the semi-join on
+    l_orderkey carries the cross-table lateness predicate as a join filter
+    on the equi-join (never a theta join), and each order short-circuits at
+    its first matching line — no duplicate-then-distinct blowup. One
+    shuffle pair on orderkey, then a map-side-combined agg to |priorities|
+    (=5) groups. At 100×, AQE may flip the semi-join to shuffled-hash per
+    partition size; semantics are unchanged.
+    """
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "q5_nation_revenue",
     oracle=f"""
     SELECT

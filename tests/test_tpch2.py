@@ -119,3 +119,20 @@ def test_price_band_bucketed_is_equi_join(spark, sf_dir):
     plan = eq._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan  # it IS still a join, keyed on bkt
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    """The EXISTS must decorrelate to a LEFT SEMI equi-join on orderkey
+    carrying the lateness predicate as a join filter — never a theta or
+    nested-loop join — with the quarter filter pushed to the orders scan
+    and lineitem pruned to (l_orderkey, l_shipdate)."""
+    plan = _executed_plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    orders_scan = next(s for s in _scans(plan) if "orders.parquet" in s)
+    assert "o_orderdate" in orders_scan.split("PushedFilters")[1][:300]
+    li_scan = next(s for s in _scans(plan) if "lineitem.parquet" in s)
+    read_schema = li_scan.split("ReadSchema:")[1][:200]
+    assert "l_orderkey" in read_schema and "l_shipdate" in read_schema
+    assert "l_extendedprice" not in read_schema
