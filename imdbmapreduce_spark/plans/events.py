@@ -245,6 +245,81 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "events_attribution_window",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us AS purchase_ts_us,
+           CAST(COUNT(v.ts_us) AS BIGINT) AS n_views_24h
+    FROM purchases p
+    LEFT JOIN views v
+      ON v.user_id = p.user_id
+     AND v.ts_us >= p.ts_us - {_DAY_US} AND v.ts_us < p.ts_us
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range join: for every purchase, how many views the same
+    user made in the preceding 24 hours (half-open window — the purchase
+    instant itself excluded). Purchases with zero prior views stay in the
+    result with n_views_24h = 0.
+
+    The as-of join above finds the single NEAREST predecessor; this is its
+    ALL-rows-in-window sibling — the other half of the range-join family
+    Spark lacks natively. The oracle states the semantics as DuckDB's
+    native theta left-join; the Spark plan must NOT do that (per-user
+    cartesian): it goes through operators/rangejoin.point_in_interval_join,
+    which bands time into 24-hour buckets and equi-joins on (user, bucket)
+    with the exact range as a residual filter — each 24-hour window overlaps
+    at most 2 buckets, so the interval side carries a fixed ~2× replication
+    and the join stays a hash join at any scale.
+
+    Scale: two shuffles on (user_id, bucket) — linear in events — then one
+    partial-agg'd count per purchase and a broadcast-or-shuffle join back
+    for the zero-view purchases. At 100 TB nothing here is quadratic; the
+    residual within-bucket skew (one user's views concentrated in one day)
+    is AQE skew-join territory, same as any hot hash key.
+    """
+    from imdbmapreduce_spark.operators.rangejoin import point_in_interval_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        (F.col("ts_us") - F.lit(_DAY_US)).alias("w_start"),
+        F.col("ts_us").alias("w_end"),
+    )
+    pairs = point_in_interval_join(
+        views,
+        purchases,
+        keys=["user_id"],
+        point_ts="ts_us",
+        start="w_start",
+        end="w_end",
+        bucket=_DAY_US,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_views_24h"))
+    return purchases.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "purchase_ts_us",
+        F.coalesce(F.col("n_views_24h"), F.lit(0)).cast("long").alias("n_views_24h"),
+    )
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 

@@ -116,3 +116,75 @@ def test_disorder_profile_counts_synthetic_inversions(spark, tmp_path):
     r = registry.get("events_disorder_profile").fn(spark, str(tmp_path)).first()
     assert (r.n_events, r.n_late, r.max_late_us, r.sum_late_us) == (6, 2, 50, 80)
     assert r.late_permille == 2 * 1000 // 6
+
+
+# --- banded range join (operators/rangejoin.py) ---------------------------
+
+
+def _naive_point_in_interval(points, intervals):
+    """Reference semantics: per-key theta join, Python-side."""
+    out = []
+    for pk, pts, extra in points:
+        for ik, s, e, tag in intervals:
+            if pk == ik and s <= pts < e:
+                out.append((pk, pts, extra, s, e, tag))
+    return sorted(out)
+
+
+def test_point_in_interval_join_matches_naive(spark):
+    """Banded equi-join == naive theta join on a randomized small case,
+    including intervals longer than / shorter than the bucket, bucket
+    boundary landings, and empty (start==end) intervals."""
+    import random
+
+    from imdbmapreduce_spark.operators.rangejoin import point_in_interval_join
+
+    rng = random.Random(7)
+    points = [
+        (rng.randrange(3), rng.randrange(0, 1000), i) for i in range(120)
+    ]
+    intervals = []
+    for j in range(40):
+        s = rng.randrange(0, 1000)
+        ln = rng.choice([0, 1, 7, 93, 250, 400])  # bucket=100: 0-4 buckets
+        intervals.append((rng.randrange(3), s, s + ln, j))
+    p = spark.createDataFrame(points, "k long, ts long, pid long")
+    i = spark.createDataFrame(intervals, "k long, s long, e long, iid long")
+    got = point_in_interval_join(
+        p, i, keys=["k"], point_ts="ts", start="s", end="e", bucket=100
+    )
+    got_rows = sorted(
+        (r.k, r.ts, r.pid, r.s, r.e, r.iid) for r in got.collect()
+    )
+    assert got_rows == _naive_point_in_interval(points, intervals)
+    # pair multiplicity is exactly 1 by construction — no dedup hiding dupes
+    assert len(got_rows) == len(set(got_rows))
+
+
+def test_point_in_interval_join_left_keeps_unmatched_points(spark):
+    from imdbmapreduce_spark.operators.rangejoin import point_in_interval_join
+
+    p = spark.createDataFrame(
+        [(1, 50, 10), (1, 500, 11), (2, 50, 12)], "k long, ts long, pid long"
+    )
+    i = spark.createDataFrame([(1, 0, 100, 7)], "k long, s long, e long, iid long")
+    got = point_in_interval_join(
+        p, i, keys=["k"], point_ts="ts", start="s", end="e", bucket=100, how="left"
+    )
+    rows = {(r.k, r.ts): (r.iid, r.s) for r in got.collect()}
+    assert rows[(1, 50)] == (7, 0)
+    assert rows[(1, 500)] == (None, None)
+    assert rows[(2, 50)] == (None, None)
+    assert got.count() == 3
+
+
+def test_attribution_window_plan_is_banded_not_theta(spark, sf_dir):
+    """The scale claim: the range join must execute as an equi hash/merge
+    join on (user, bucket) — never BroadcastNestedLoopJoin or cartesian,
+    which is what a naive range predicate plans as."""
+    df = registry.get("events_attribution_window").fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") >= 2  # banded pair join + zero-count join-back
