@@ -389,3 +389,201 @@ def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- k-means (Lloyd) on the embeddings table ------------------------------
+
+_KM_K = 8
+_KM_ROUNDS = 3
+_KM_Q = 1_000_000  # component quantum: ~±0.6 floats -> |xq| <= ~6e5
+_KM_DIM = 64
+# dist per pair <= 64 * (1.2e6)^2 ≈ 9.2e13 (exact in BIGINT and in
+# DOUBLE); SSE over 2e3 points <= ~2e17 — in range at test scale. At
+# 100 TB point counts, report avg-SSE per cluster or drop _KM_Q to 1e3
+# so the BIGINT sum stays in range; the iteration structure is unchanged.
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero — what both Spark's
+    ``div`` and DuckDB's ``//`` do on BIGINT (floor division like
+    Python's ``//`` differs on negative sums)."""
+    q = abs(s) // n
+    return -q if s < 0 else q
+
+
+def _kmeans_oracle_sql(k: int = _KM_K, rounds: int = _KM_ROUNDS) -> str:
+    """Unroll Lloyd's algorithm as chained MATERIALIZED DuckDB CTEs.
+
+    Possible because every step is integer fixed-point: quantized
+    components, exact BIGINT distances, argmin with (dist, cluster)
+    tie-break, and truncating integer centroid updates — the same
+    bit-for-bit recurrence in both engines (the PageRank/logreg oracle
+    technique). MATERIALIZED is load-bearing: the c0→a0→c1→… chain
+    re-evaluates exponentially if inlined.
+    """
+    parts = [
+        f"""pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(round(CAST(v AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS xq
+      FROM embeddings
+    )""",
+        f"""c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, xq AS cent
+      FROM (SELECT vec_id, xq FROM pts ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    rows = []
+    for t in range(rounds):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+      SELECT vec_id, cluster, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS dist
+      FROM (SELECT p.vec_id, c.cluster, UNNEST(p.xq) AS x, UNNEST(c.cent) AS c
+            FROM pts p CROSS JOIN c{t} c)
+      GROUP BY 1, 2
+    ), a{t} AS MATERIALIZED (
+      SELECT vec_id, cluster, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cluster) AS rn
+            FROM d{t})
+      WHERE rn = 1
+    ), s{t} AS MATERIALIZED (
+      SELECT cluster, COUNT(*) AS n_points, SUM(dist) AS sse_q
+      FROM a{t} GROUP BY 1
+    ), u{t} AS MATERIALIZED (
+      SELECT a.cluster, g.i, SUM(p.xq[g.i]) AS s, COUNT(*) AS n
+      FROM a{t} a JOIN pts p USING (vec_id)
+           CROSS JOIN generate_series(1, {_KM_DIM}) g(i)
+      GROUP BY 1, 2
+    ), c{t + 1} AS MATERIALIZED (
+      SELECT cluster, list(CAST(s AS BIGINT) // CAST(n AS BIGINT) ORDER BY i) AS cent
+      FROM u{t} GROUP BY cluster
+    )"""
+        )
+        rows.append(
+            f"SELECT {t} AS round, s.cluster, CAST(s.n_points AS BIGINT) AS n_points, "
+            f"CAST(s.sse_q AS BIGINT) AS sse_q, c.cent[1] AS cent0_q "
+            f"FROM s{t} s JOIN c{t} c USING (cluster)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT * FROM (\n    "
+        + "\n    UNION ALL ".join(rows)
+        + "\n    )"
+    )
+
+
+def _km_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from imdbmapreduce_spark.catalog import table
+
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * _KM_Q).cast("long"),
+        ).alias("xq"),
+    )
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle_sql(), bench=True)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means by Lloyd iterations over the embeddings table, exact
+    integer fixed-point end to end: components quantized to a 1e-6 grid,
+    BIGINT squared distances, argmin tie-broken by cluster id, centroid
+    update = truncating integer division of per-dim sums. Deterministic
+    under any partitioning — and therefore hash-checkable against the
+    unrolled DuckDB CTE recurrence (the logreg/PageRank oracle pattern,
+    here for the third sufficient-statistics family: clustering).
+
+    Init = the k lowest-vec_id points (data-derived, deterministic). An
+    emptied cluster drops out identically in both engines (its GROUP BY
+    row simply disappears). Output is the per-round training curve:
+    (round, cluster, n_points, sse_q, cent0_q) for the centroids IN
+    EFFECT that round.
+
+    Scale: the quantized features are shared-cached (one scan); each
+    round is ONE aggregation whose shuffle carries k×(dim+2) longs per
+    task after map-side combine, and driver state is k×dim ints. The
+    per-point work is k zip_with/aggregate array expressions — all
+    codegen, no UDF. This is the canonical reason k-means parallelizes
+    on a DataFrame engine: the sufficient statistics (per-cluster sums
+    and counts) are tiny and associative.
+    """
+    feats = shared_cache(
+        spark, ("kmeans_xq", sf_dir), lambda: _km_features(spark, sf_dir)
+    )
+    init = feats.orderBy("vec_id").limit(_KM_K).collect()
+    cents: dict[int, list[int]] = {i: list(r.xq) for i, r in enumerate(init)}
+    out_rows = []
+    for t in range(_KM_ROUNDS):
+        ids = sorted(cents)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"),
+                    F.array(*[F.lit(v) for v in cents[c]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in ids
+        ]
+        arr = F.array(*dists)
+        pos = F.array_position(arr, F.array_min(arr))
+        assigned = feats.select(
+            "xq",
+            F.element_at(F.array(*[F.lit(c) for c in ids]), pos.cast("int")).alias(
+                "cluster"
+            ),
+            F.array_min(arr).alias("dist"),
+        )
+        agg_rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.sum("dist").alias("sse_q"),
+                *[F.sum(F.col("xq")[i]).alias(f"s{i}") for i in range(_KM_DIM)],
+            )
+            .collect()
+        )
+        for r in sorted(agg_rows, key=lambda r: r.cluster):
+            out_rows.append((t, r.cluster, r.n_points, r.sse_q, cents[r.cluster][0]))
+        cents = {
+            r.cluster: [_trunc_div(r[f"s{i}"], r.n_points) for i in range(_KM_DIM)]
+            for r in agg_rows
+        }
+    return spark.createDataFrame(
+        out_rows, "round int, cluster int, n_points long, sse_q long, cent0_q long"
+    )
+
+
+def kmeans_replay(
+    xq_rows: list[tuple[int, list[int]]], k: int = _KM_K, rounds: int = _KM_ROUNDS
+) -> list[tuple]:
+    """Pure-Python replay of :func:`kmeans_embeddings` over (vec_id, xq)
+    rows — the bit-exactness witness for tests. Same init, same argmin
+    tie-break, same truncating update."""
+    pts = sorted(xq_rows)
+    cents = {i: list(xq) for i, (_, xq) in enumerate(pts[:k])}
+    out = []
+    for t in range(rounds):
+        stats: dict[int, list] = {}
+        for _, xq in pts:
+            best, best_d = None, None
+            for c in sorted(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(xq, cents[c]))
+                if best_d is None or d < best_d:
+                    best, best_d = c, d
+            s = stats.setdefault(best, [0, 0, [0] * len(xq)])
+            s[0] += 1
+            s[1] += best_d
+            for j, a in enumerate(xq):
+                s[2][j] += a
+        for c in sorted(stats):
+            out.append((t, c, stats[c][0], stats[c][1], cents[c][0]))
+        cents = {
+            c: [_trunc_div(sj, stats[c][0]) for sj in stats[c][2]] for c in stats
+        }
+    return out

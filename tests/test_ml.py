@@ -87,3 +87,37 @@ def test_logreg_eval_trains_only_on_train_and_generalizes(spark, sf_dir):
     for s in ("val", "test"):
         assert rows[s].n_docs > 0
         assert rows[s].accuracy_milli >= 750, (s, rows[s].accuracy_milli)
+
+
+def test_kmeans_matches_pure_python_replay(spark, sf_dir):
+    """Bit-exactness witness for the Lloyd loop: the Spark run must equal
+    the pure-Python replay row-for-row — counts, exact BIGINT SSE, and
+    the truncating integer centroid components."""
+    from imdbmapreduce_spark.operators.ml import _km_features, kmeans_replay
+
+    got = [
+        (r.round, r.cluster, r.n_points, r.sse_q, r.cent0_q)
+        for r in registry.get("kmeans_embeddings").fn(spark, sf_dir).collect()
+    ]
+    xq = [(r.vec_id, list(r.xq)) for r in _km_features(spark, sf_dir).collect()]
+    assert sorted(got) == sorted(kmeans_replay(xq))
+    # every point accounted for each round
+    import collections
+
+    n = len(xq)
+    totals = collections.defaultdict(int)
+    for t, _, n_points, _, _ in got:
+        totals[t] += n_points
+    assert set(totals.values()) == {n}
+
+
+def test_trunc_div_matches_engines_on_negatives():
+    """Centroid update must truncate toward zero (Spark div / DuckDB //),
+    not floor like Python's // — a negative component sum is the case
+    that diverges."""
+    from imdbmapreduce_spark.operators.ml import _trunc_div
+
+    assert _trunc_div(-7, 2) == -3  # floor would say -4
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-6, 3) == -2
+    assert _trunc_div(0, 5) == 0
