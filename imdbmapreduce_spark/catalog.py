@@ -113,3 +113,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL entry point)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def parquet_column_minmax(sf_dir: str, name: str, col: str):
+    """(min, max) of a numeric column from parquet FOOTER statistics —
+    zero data scanned; a pure metadata read over row-group zone maps.
+
+    This is the 100 TB way to seed range-bucketed algorithms (histogram
+    quantiles, range partitioning): the writer already recorded per-row-
+    group min/max, so a driver-side metadata sweep replaces a full-table
+    aggregation scan. Returns None when any row group lacks stats (or the
+    path is a layout this reader doesn't know) — callers MUST fall back
+    to the exact aggregation; correctness never depends on stats being
+    present. Any row group with nulls still carries min/max of its
+    non-null values, matching what F.min/F.max aggregate.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    paths = (
+        [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    lo = hi = None
+    try:
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    except (OSError, ValueError, KeyError):
+        return None
+    return None if lo is None else (lo, hi)

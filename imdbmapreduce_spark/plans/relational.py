@@ -749,7 +749,11 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes, all map-side combinable:
 
       1. global (min, max) of the cents value → fixed bucket width
-         (~64k buckets); a two-long agg, scalar to the driver;
+         (~64k buckets). Read from the parquet FOOTER zone maps
+         (catalog.parquet_column_minmax) — a driver-side metadata sweep,
+         ZERO rows scanned; falls back to a two-long agg scan when any
+         row group lacks statistics. HALF_UP cents rounding is monotone,
+         so round(min)·100 == min of the rounded column, bit-exact;
       2. per-(group, bucket) histogram — a partial/final count agg whose
          exchange carries at most |groups|·64k tiny rows; a running sum
          over each group's ≤64k histogram rows (driver-sized window)
@@ -762,7 +766,8 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
          fractions is exact in binary floating point, so the result
          hash-matches DuckDB's `quantile_cont` bit-for-bit.
 
-    Scale: two full scans + one pruned scan, no giant sort anywhere; the
+    Scale: one full scan + one pruned scan (min/max is metadata), no
+    giant sort anywhere; the
     only per-row shuffle is the histogram partial agg. Degenerate case
     (one value dominating a bucket) makes step 3's bucket large, but the
     quantile then sits inside a run of equal values and the sort is of
@@ -770,11 +775,25 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile ever shows it. `approx_quantile_error` below audits the
     sketch alternative against this exact plan.
     """
+    import math
+
+    from imdbmapreduce_spark.catalog import parquet_column_minmax
+
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", cents("l_extendedprice").alias("pc")
     )
-    lo, hi = li.agg(F.min("pc"), F.max("pc")).first()
-    width = max(1, (hi - lo) // 65536 + 1)
+    stats = parquet_column_minmax(sf_dir, "lineitem", "l_extendedprice")
+    if stats is not None:
+        # F.round's HALF_UP, mirrored (Python round() is banker's)
+        lo, hi = (int(math.floor(v * 100 + 0.5)) for v in stats)
+    else:
+        lo, hi = li.agg(F.min("pc"), F.max("pc")).first()
+    # 4k buckets, not 64k: map-side combine only compresses the
+    # histogram exchange when per-task row count >> bucket count. At 4k
+    # the shuffle carries |groups|*4k rows per task regardless of data
+    # volume; step 3's needed buckets grow to n/4096 rows each — still a
+    # vanishing pruned scan, and the final per-bucket sort is tiny.
+    width = max(1, (hi - lo) // 4096 + 1)
     b = li.withColumn("bkt", F.expr(f"(pc - {lo}) div {width}"))
 
     hist = b.groupBy("l_returnflag", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
