@@ -96,6 +96,63 @@ def point_in_interval_join(
     return matched.unionByName(only_points.select(*matched.columns))
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    lstart: str,
+    lend: str,
+    rstart: str,
+    rend: str,
+    bucket: int,
+) -> DataFrame:
+    """Inner-join interval rows whose half-open ranges OVERLAP:
+    ``lstart < rend AND rstart < lend`` with matching ``keys``.
+
+    Banding with a multiplicity-1 guard: both sides replicate into the
+    buckets they cover, and a pair is emitted ONLY in the bucket
+    containing ``max(lstart, rstart)`` — the overlap's first instant,
+    which every overlapping pair has exactly once. No dedup pass, so
+    the downstream agg can stream off the join.
+
+    Scale: same banded equi-join shape as point_in_interval_join —
+    shuffle on (keys..., bucket), hash join, residual filter; output
+    bounded by true overlaps. Replication factor is interval_len/bucket
+    per side; pick ``bucket`` near the typical interval length.
+    """
+    l = left.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                (F.col(lstart) / bucket).cast("long"),
+                F.floor((F.col(lend) - 1) / bucket).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                (F.col(rstart) / bucket).cast("long"),
+                F.floor((F.col(rend) - 1) / bucket).cast("long"),
+            )
+        ),
+    )
+    cond = [l["__bkt"] == r["__bkt"]]
+    for k in keys:
+        cond.append(l[k] == r[k])
+    overlap = (l[lstart] < r[rend]) & (r[rstart] < l[lend])
+    once = l["__bkt"] == F.floor(
+        F.greatest(l[lstart], r[rstart]) / bucket
+    ).cast("long")
+    return (
+        l.join(r, functools_and(cond) & overlap & once, "inner")
+        .drop(r["__bkt"])
+        .drop(*[r[k] for k in keys])
+        .drop("__bkt")
+    )
+
+
 def functools_and(conds: list[Column]) -> Column:
     out = conds[0]
     for c in conds[1:]:

@@ -188,3 +188,40 @@ def test_attribution_window_plan_is_banded_not_theta(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Join") >= 2  # banded pair join + zero-count join-back
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Banded overlap join == naive O(n*m) overlap test on randomized
+    intervals, with exact multiplicity 1 per overlapping pair (the
+    overlap-start-bucket guard, not a dedup)."""
+    import random
+
+    from imdbmapreduce_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(11)
+
+    def mk(n, tag):
+        out = []
+        for j in range(n):
+            s = rng.randrange(0, 1000)
+            out.append((rng.randrange(3), s, s + rng.choice([1, 5, 80, 170, 320]), j))
+        return out
+
+    L, R = mk(60, "l"), mk(60, "r")
+    ldf = spark.createDataFrame(L, "k long, ls long, le long, lid long")
+    rdf = spark.createDataFrame(R, "k long, rs long, re long, rid long")
+    got = sorted(
+        (r.k, r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, keys=["k"], lstart="ls", lend="le",
+            rstart="rs", rend="re", bucket=100,
+        ).collect()
+    )
+    want = sorted(
+        (lk, lid, rid)
+        for lk, ls, le, lid in L
+        for rk, rs, re, rid in R
+        if lk == rk and ls < re and rs < le
+    )
+    assert got == want
+    assert len(got) == len(set(got))
