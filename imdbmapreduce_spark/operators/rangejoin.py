@@ -11,6 +11,10 @@ predicate as a residual filter. The theta join becomes a hash join whose
 output is bounded by true-match volume plus an O(interval_len/bucket)
 replication factor.
 
+All bucket arithmetic is FLOOR division (never long-cast truncation,
+which rounds toward zero and disagrees with floor for negative epochs —
+pre-1970 microsecond timestamps are valid inputs).
+
 The reference has no time-dimension operators at all (SURVEY.md §2.5);
 this module is part of the additive events vertical, sibling to the
 as-of join in plans/events.py (as-of = nearest single predecessor; range
@@ -19,8 +23,43 @@ join = ALL rows inside a window).
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _and_all(conds: list[Column]) -> Column:
+    return functools.reduce(operator.and_, conds)
+
+
+def _bkt(col: Column, bucket: int) -> Column:
+    return F.floor(col / bucket).cast("long")
+
+
+def _interval_buckets(start: str, end: str, bucket: int) -> Column:
+    """Every bucket a half-open [start, end) interval overlaps, as an
+    explodable array. Empty or reversed intervals (end <= start) yield
+    an EMPTY array — explode drops the row. The guard matters: Spark's
+    ``sequence(a, b)`` silently counts DOWN when b < a, so one corrupt
+    end-before-start row would otherwise replicate across its whole
+    (reversed) span instead of matching nothing."""
+    return F.when(
+        F.col(end) > F.col(start),
+        F.sequence(
+            _bkt(F.col(start), bucket), _bkt(F.col(end) - 1, bucket)
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def _check_disjoint(left: DataFrame, right: DataFrame, keys: list[str]) -> None:
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"column name collision between join sides: {sorted(clash)}; "
+            "rename/alias non-key columns so the joined schema is unambiguous"
+        )
 
 
 def point_in_interval_join(
@@ -37,14 +76,15 @@ def point_in_interval_join(
     and ``start <= point_ts < end`` (half-open, like window semantics).
 
     All time columns are BIGINT (microsecond epochs — the repo's
-    engine-neutral timestamp convention). ``bucket`` is the band width in
-    the same unit; choose it near the TYPICAL interval length so each
-    interval replicates into ~2 buckets (len/bucket + 1).
+    engine-neutral timestamp convention; negative pre-1970 epochs
+    included). ``bucket`` is the band width in the same unit; choose it
+    near the TYPICAL interval length so each interval replicates into
+    ~2 buckets (len/bucket + 1).
 
     No post-join dedup is needed: an interval is replicated once per
     overlapped bucket, but a (point, interval) pair meets ONLY in the
-    point's single containing bucket — the pair multiplicity is exactly 1
-    by construction.
+    point's single containing bucket — the pair multiplicity is exactly
+    1 by construction.
 
     Scale: one shuffle per side on (keys..., bucket) into a hash join.
     Shuffle volume is |points| + |intervals| × replication; join output
@@ -55,45 +95,26 @@ def point_in_interval_join(
     skew, handled by AQE skew-join splitting on the equi-join.
 
     ``how='left'`` keeps unmatched points (interval columns null) —
-    implemented as the inner banded join plus an anti-join union, so the
-    equi-join core stays a plain hash join.
+    the points side is never exploded, so plain left-outer semantics on
+    the banded join are exact.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: only inner/left supported")
-    p = points.withColumn("__bkt", (F.col(point_ts) / bucket).cast("long"))
-    # sequence() is inclusive on both ends; end is exclusive so the last
-    # overlapped bucket is floor((end-1)/bucket). Empty/negative-length
-    # intervals produce an empty sequence and match nothing.
+    _check_disjoint(points, intervals, keys)
+    p = points.withColumn("__bkt", _bkt(F.col(point_ts), bucket))
     i = intervals.withColumn(
-        "__bkt",
-        F.explode(
-            F.sequence(
-                (F.col(start) / bucket).cast("long"),
-                F.floor((F.col(end) - 1) / bucket).cast("long"),
-            )
-        ),
+        "__bkt", F.explode(_interval_buckets(start, end, bucket))
     )
     cond = [p["__bkt"] == i["__bkt"]]
     for k in keys:
         cond.append(p[k] == i[k])
     residual = (p[point_ts] >= i[start]) & (p[point_ts] < i[end])
-    matched = (
-        p.join(i, functools_and(cond) & residual, "inner")
+    return (
+        p.join(i, _and_all(cond) & residual, how)
         .drop(i["__bkt"])
         .drop(*[i[k] for k in keys])
         .drop("__bkt")
     )
-    if how == "inner":
-        return matched
-    # left: points with no interval at all, padded with nulls
-    int_cols = [c for c in intervals.columns if c not in keys and c not in (start, end)]
-    pad = points
-    for c in [start, end, *int_cols]:
-        pad = pad.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    only_points = pad.join(
-        matched.select(*points.columns), points.columns, "left_anti"
-    )
-    return matched.unionByName(only_points.select(*matched.columns))
 
 
 def interval_overlap_join(
@@ -112,49 +133,27 @@ def interval_overlap_join(
     Banding with a multiplicity-1 guard: both sides replicate into the
     buckets they cover, and a pair is emitted ONLY in the bucket
     containing ``max(lstart, rstart)`` — the overlap's first instant,
-    which every overlapping pair has exactly once. No dedup pass, so
-    the downstream agg can stream off the join.
+    which every overlapping pair has exactly once (and which both sides
+    are guaranteed to have replicated into, since it lies inside each
+    interval). No dedup pass, so the downstream agg can stream off the
+    join. Degenerate rows with ``end <= start`` match nothing.
 
     Scale: same banded equi-join shape as point_in_interval_join —
     shuffle on (keys..., bucket), hash join, residual filter; output
     bounded by true overlaps. Replication factor is interval_len/bucket
     per side; pick ``bucket`` near the typical interval length.
     """
-    l = left.withColumn(
-        "__bkt",
-        F.explode(
-            F.sequence(
-                (F.col(lstart) / bucket).cast("long"),
-                F.floor((F.col(lend) - 1) / bucket).cast("long"),
-            )
-        ),
-    )
-    r = right.withColumn(
-        "__bkt",
-        F.explode(
-            F.sequence(
-                (F.col(rstart) / bucket).cast("long"),
-                F.floor((F.col(rend) - 1) / bucket).cast("long"),
-            )
-        ),
-    )
+    _check_disjoint(left, right, keys)
+    l = left.withColumn("__bkt", F.explode(_interval_buckets(lstart, lend, bucket)))
+    r = right.withColumn("__bkt", F.explode(_interval_buckets(rstart, rend, bucket)))
     cond = [l["__bkt"] == r["__bkt"]]
     for k in keys:
         cond.append(l[k] == r[k])
     overlap = (l[lstart] < r[rend]) & (r[rstart] < l[lend])
-    once = l["__bkt"] == F.floor(
-        F.greatest(l[lstart], r[rstart]) / bucket
-    ).cast("long")
+    once = l["__bkt"] == _bkt(F.greatest(l[lstart], r[rstart]), bucket)
     return (
-        l.join(r, functools_and(cond) & overlap & once, "inner")
+        l.join(r, _and_all(cond) & overlap & once, "inner")
         .drop(r["__bkt"])
         .drop(*[r[k] for k in keys])
         .drop("__bkt")
     )
-
-
-def functools_and(conds: list[Column]) -> Column:
-    out = conds[0]
-    for c in conds[1:]:
-        out = out & c
-    return out

@@ -749,19 +749,21 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes, all map-side combinable:
 
       1. global (min, max) of the cents value → fixed bucket width
-         (~64k buckets). Read from the parquet FOOTER zone maps
+         (~4k buckets). Read from the parquet FOOTER zone maps
          (catalog.parquet_column_minmax) — a driver-side metadata sweep,
          ZERO rows scanned; falls back to a two-long agg scan when any
          row group lacks statistics. HALF_UP cents rounding is monotone,
          so round(min)·100 == min of the rounded column, bit-exact;
       2. per-(group, bucket) histogram — a partial/final count agg whose
-         exchange carries at most |groups|·64k tiny rows; a running sum
-         over each group's ≤64k histogram rows (driver-sized window)
+         exchange carries at most |groups|·4k tiny rows PER TASK (4k, not
+         more: map-side combine only compresses when bucket count is well
+         under per-task row count); a running sum over each group's ≤4k
+         histogram rows (driver-sized window)
          locates, for each target rank k = ⌊p·(n−1)⌋ and its neighbor
          k+1, the ONE bucket containing that rank;
       3. re-scan joined (broadcast — ≤6 rows/group) against the needed
          buckets: only rows inside those buckets survive the filter, and
-         a row_number sort within each needed bucket (≈n/64k rows each)
+         a row_number sort within each needed bucket (≈n/4096 rows each)
          yields the order statistics; linear interpolation at quarter
          fractions is exact in binary floating point, so the result
          hash-matches DuckDB's `quantile_cont` bit-for-bit.
@@ -798,7 +800,7 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = b.groupBy("l_returnflag", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
     wcum = Window.partitionBy("l_returnflag").orderBy("bkt")
-    # The histogram (≤|groups|·64k rows) feeds four downstream branches
+    # The histogram (≤|groups|·4k rows) feeds four downstream branches
     # (totals → ranks → needed, and the bucket lookup); localCheckpoint
     # materializes it once so the full-scan agg isn't re-run per branch.
     # On a real cluster use durable checkpoint for fault tolerance.

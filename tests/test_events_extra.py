@@ -140,13 +140,15 @@ def test_point_in_interval_join_matches_naive(spark):
     from imdbmapreduce_spark.operators.rangejoin import point_in_interval_join
 
     rng = random.Random(7)
+    # negative epochs included: bucket math must FLOOR, not truncate
     points = [
-        (rng.randrange(3), rng.randrange(0, 1000), i) for i in range(120)
+        (rng.randrange(3), rng.randrange(-500, 500), i) for i in range(120)
     ]
     intervals = []
     for j in range(40):
-        s = rng.randrange(0, 1000)
-        ln = rng.choice([0, 1, 7, 93, 250, 400])  # bucket=100: 0-4 buckets
+        s = rng.randrange(-500, 500)
+        # 0 = empty, -60 = reversed/corrupt (must match nothing)
+        ln = rng.choice([0, -60, 1, 7, 93, 250, 400])  # bucket=100
         intervals.append((rng.randrange(3), s, s + ln, j))
     p = spark.createDataFrame(points, "k long, ts long, pid long")
     i = spark.createDataFrame(intervals, "k long, s long, e long, iid long")
@@ -176,6 +178,40 @@ def test_point_in_interval_join_left_keeps_unmatched_points(spark):
     assert rows[(1, 500)] == (None, None)
     assert rows[(2, 50)] == (None, None)
     assert got.count() == 3
+    # a matched point carrying a NULL column must appear exactly once
+    # (the old anti-join formulation emitted a null-padded duplicate)
+    pn = spark.createDataFrame([(1, 50, None)], "k long, ts long, pid long")
+    i2 = spark.createDataFrame([(1, 0, 100, 7)], "k long, s long, e long, iid long")
+    got2 = point_in_interval_join(
+        pn, i2, keys=["k"], point_ts="ts", start="s", end="e", bucket=100, how="left"
+    ).collect()
+    assert len(got2) == 1 and got2[0].iid == 7
+
+
+def test_range_join_rejects_colliding_column_names(spark):
+    import pytest
+
+    from imdbmapreduce_spark.operators.rangejoin import point_in_interval_join
+
+    p = spark.createDataFrame([(1, 5, 1)], "k long, ts long, tag long")
+    i = spark.createDataFrame([(1, 0, 10, 2)], "k long, s long, e long, tag long")
+    with pytest.raises(ValueError, match="collision"):
+        point_in_interval_join(
+            p, i, keys=["k"], point_ts="ts", start="s", end="e", bucket=10
+        )
+
+
+def test_reversed_interval_replicates_nowhere(spark):
+    """Spark sequence() counts DOWN when stop < start; the guard must
+    turn end<=start rows into an empty bucket set, not a reversed-span
+    replication blowup."""
+    from imdbmapreduce_spark.operators.rangejoin import _interval_buckets
+
+    df = spark.createDataFrame(
+        [(100, 100), (1000, 0), (0, 100)], "s long, e long"
+    )
+    got = [list(r[0]) for r in df.select(_interval_buckets("s", "e", 100)).collect()]
+    assert got == [[], [], [0]]
 
 
 def test_attribution_window_plan_is_banded_not_theta(spark, sf_dir):
@@ -203,8 +239,10 @@ def test_interval_overlap_join_matches_naive(spark):
     def mk(n, tag):
         out = []
         for j in range(n):
-            s = rng.randrange(0, 1000)
-            out.append((rng.randrange(3), s, s + rng.choice([1, 5, 80, 170, 320]), j))
+            s = rng.randrange(-500, 500)  # negative epochs: floor, not trunc
+            out.append(
+                (rng.randrange(3), s, s + rng.choice([0, -40, 1, 5, 80, 170, 320]), j)
+            )
         return out
 
     L, R = mk(60, "l"), mk(60, "r")
@@ -221,7 +259,9 @@ def test_interval_overlap_join_matches_naive(spark):
         (lk, lid, rid)
         for lk, ls, le, lid in L
         for rk, rs, re, rid in R
-        if lk == rk and ls < re and rs < le
+        # the ls<re AND rs<le form presumes NONEMPTY intervals; empty or
+        # reversed rows (end <= start) have nothing to overlap
+        if lk == rk and le > ls and re > rs and ls < re and rs < le
     )
     assert got == want
     assert len(got) == len(set(got))
