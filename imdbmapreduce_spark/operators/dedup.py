@@ -772,13 +772,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles one row per doc on cluster_id; the giant-component skew case
     is AQE's skew-join territory, and cluster_id cardinality ~ n_docs.
     """
-    docs = table(spark, sf_dir, "documents")
-    edges = neardup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    assign = connected_components(docs.select(F.col("doc_id").alias("node")), edges)
-    return assign.select(
-        F.col("node").alias("doc_id"),
-        "cluster_id",
-        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
-    )
+    # The assignment is a shared artifact: neardup_cluster_keepers and
+    # split_leakage_audit consume it in the same sweep, and the component
+    # loop (log-diameter rounds of checkpointed joins) is the expensive
+    # part — cache the RESULT, not the recipe. Session-scoped only (not
+    # in the persisted "text" index group: it derives in O(pairs) from
+    # the persisted pair artifact, so disk would buy little).
+    def build() -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        edges = neardup_ngram_jaccard(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        assign = connected_components(docs.select(F.col("doc_id").alias("node")), edges)
+        return assign.select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+        )
+
+    return shared_cache(spark, ("dedup_cluster_assign", sf_dir, 3, _SHINGLE_DF_CAP, 0.6), build)

@@ -1762,11 +1762,17 @@ def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = neardup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
+    # deg feeds four branches (orientation ×2, n_vertices, n_wedges) and
+    # oriented feeds both sides of the wedge self-join; without a
+    # materialization each branch re-runs the upstream shuffle. Both are
+    # o(graph) rows — vertices and oriented edges — so checkpointing is
+    # bounded (the price_quartiles multi-branch pattern).
     deg = (
         edges.select(F.col("u").alias("s"))
         .unionAll(edges.select(F.col("v").alias("s")))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     du = deg.select(F.col("s").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("s").alias("v"), F.col("d").alias("dv"))
@@ -1780,6 +1786,7 @@ def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        .localCheckpoint()
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
