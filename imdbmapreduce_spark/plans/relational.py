@@ -492,6 +492,50 @@ def part_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_metrics_unpivot",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_returnflag,
+             SUM({_C.format(col='l_quantity')}) AS sum_qty,
+             SUM({_C.format(col='l_extendedprice')}) AS sum_base_price,
+             SUM({_C.format(col='l_discount')}) AS sum_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric,
+           CAST(sum_qty AS BIGINT) AS value_cents FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price', CAST(sum_base_price AS BIGINT) FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', CAST(sum_disc AS BIGINT) FROM a
+    """,
+)
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of part_type_pivot's wide
+    aggregation: wide per-flag metric columns reshape to long
+    (flag, metric, value) rows, the form metric stores and plotting
+    layers ingest.
+
+    Spark's native ``DataFrame.unpivot`` lowers to an Expand node — each
+    input row fans out to |metrics| output rows inside the same stage,
+    no join and no shuffle beyond the upstream aggregation's. The
+    aggregate runs FIRST, so the expand multiplies |groups| rows, not
+    the fact table. Values stay exact long cents.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(cents("l_quantity")).alias("sum_qty"),
+        F.sum(cents("l_extendedprice")).alias("sum_base_price"),
+        F.sum(cents("l_discount")).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value_cents",
+    )
+
+
+@query(
     "nation_customer_supplier_union",
     oracle="""
     SELECT n_nationkey, kind, n FROM (
