@@ -291,11 +291,19 @@ def events_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from imdbmapreduce_spark.operators.rangejoin import point_in_interval_join
 
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
-    )
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    def ev() -> DataFrame:
+        # independent scans per side: sharing one lineage makes the
+        # operator's p[k] == i[k] key a same-attribute comparison that
+        # Spark resolves via self-join dedup but warns about
+        # ("trivially true equals predicate"); two reads of the same
+        # parquet keep the join keys unambiguous and cost nothing (the
+        # scan would run once per side either way)
+        return table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+        )
+
+    views = ev().filter(F.col("event_type") == "view").select("user_id", "ts_us")
+    purchases = ev().filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
         F.col("ts_us").alias("purchase_ts_us"),
