@@ -246,6 +246,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
 
 
 @query(
@@ -325,6 +326,117 @@ def events_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "purchase_ts_us",
         F.coalesce(F.col("n_views_24h"), F.lit(0)).cast("long").alias("n_views_24h"),
+    )
+
+
+@query(
+    "sessions_during_error_spikes",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             MIN(ts_us) AS s_start, MAX(ts_us) + 1 AS s_end
+      FROM sessions GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT epoch_us(date_trunc('hour', ts)) AS h, COUNT(*) AS n_err
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    thr AS (SELECT 1.5 * AVG(n_err) AS t FROM hourly),
+    inc AS (SELECT h, n_err FROM hourly, thr WHERE n_err > t)
+    SELECT i.h AS incident_start_us,
+           CAST(i.n_err AS BIGINT) AS n_errors,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM inc i JOIN sess s
+      ON s.s_start < i.h + {_HOUR_US} AND i.h < s.s_end
+    GROUP BY 1, 2
+    """,
+)
+def sessions_during_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius analysis via the banded INTERVAL-OVERLAP join: which
+    user sessions were in flight during error-spike hours (hourly error
+    count > 1.5× the hourly average), and how many users each incident
+    touched.
+
+    Session intervals are [start, end+1) (half-open; single-event
+    sessions stay nonempty); incident intervals are the aligned error
+    hours, derived with the q11 scalar-threshold pattern (one-row
+    broadcast). The oracle states the overlap as DuckDB's native theta
+    join; the Spark plan goes through
+    operators/rangejoin.interval_overlap_join — both sides replicate
+    into 1-hour bands and pairs are emitted exactly once in the
+    overlap-start bucket, so the theta join is a hash join plus a
+    residual filter at ANY scale.
+
+    Scale: sessionization's one user_id exchange dominates; the overlap
+    join shuffles session intervals (one row per session) and a handful
+    of incident rows on the band key — keyless here, which is safe
+    precisely because one side is tiny (incident hours); with both sides
+    fact-sized you'd add a tenant/region key to the band. The session
+    CTE text is duplicated from events_sessionization's oracle — keep
+    them in lockstep if the gap rule changes.
+    """
+    from imdbmapreduce_spark.operators.rangejoin import interval_overlap_join
+
+    sess = events_sessionization(spark, sf_dir).select(
+        "user_id",
+        "session_id",
+        F.col("session_start_us").alias("s_start"),
+        (F.col("session_end_us") + 1).alias("s_end"),
+    )
+    hourly = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy(F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    thr = hourly.agg((F.avg("n_err") * 1.5).alias("t"))
+    inc = (
+        hourly.join(F.broadcast(thr))
+        .filter(F.col("n_err") > F.col("t"))
+        .select(
+            F.col("h").alias("h_start"),
+            (F.col("h") + F.lit(_HOUR_US)).alias("h_end"),
+            F.col("n_err").cast("long").alias("n_errors"),
+        )
+    )
+    pairs = interval_overlap_join(
+        sess,
+        inc,
+        keys=[],
+        lstart="s_start",
+        lend="s_end",
+        rstart="h_start",
+        rend="h_end",
+        bucket=_HOUR_US,
+    )
+    return pairs.groupBy("h_start", "n_errors").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        F.col("h_start").alias("incident_start_us"),
+        "n_errors",
+        "n_sessions",
+        "n_users",
     )
 
 

@@ -37,6 +37,8 @@ _BNLJ_ALLOWED = {
     "events_heavy_hitters_sketch",
     "neardup_graph_triangles",
     "price_band_assignment",
+    # scalar-threshold broadcast (1-row build side, the q11 pattern)
+    "sessions_during_error_spikes",
 }
 
 
