@@ -742,20 +742,40 @@ def _adc_shortlist(
     probe_ids = F.col("vec_id") < _N_PROBES
     cents = _pq_codebook_cached(spark, sf_dir)
     codes = _pq_codes_cached(spark, sf_dir)
-    cn2 = cents.groupBy("s", "code").agg(F.sum(F.col("cv") * F.col("cv")).alias("cn2"))
-    recon_n2 = (
-        codes.join(F.broadcast(cn2), ["s", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("cn2").alias("rn2"))
+    # The four scoring tables are corpus-constant and consumed by BOTH
+    # PQ lanes (pure ADC and IVFPQ) — session-cache them like the index
+    # artifacts they derive from, so each query's plan starts at the
+    # scoring join instead of rebuilding code norms and the probe LUT.
+    # Not persisted: all four derive in O(codes) from the persisted
+    # codebook/codes group.
+    cn2 = shared_cache(
+        spark,
+        ("pq_cn2", sf_dir),
+        lambda: cents.groupBy("s", "code").agg(
+            F.sum(F.col("cv") * F.col("cv")).alias("cn2")
+        ),
     )
-    lut = (
-        ex.filter(probe_ids)
+    recon_n2 = shared_cache(
+        spark,
+        ("pq_recon_n2", sf_dir),
+        lambda: codes.join(F.broadcast(cn2), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("cn2").alias("rn2")),
+    )
+    lut = shared_cache(
+        spark,
+        ("pq_lut", sf_dir),
+        lambda: ex.filter(probe_ids)
         .join(F.broadcast(cents), "pos")
         .groupBy(F.col("vec_id").alias("q_id"), "s", "code")
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("pdot"))
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("pdot")),
     )
-    qn2 = _norms(ex.filter(probe_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")
+    qn2 = shared_cache(
+        spark,
+        ("pq_qn2", sf_dir),
+        lambda: _norms(ex.filter(probe_ids)).select(
+            F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")
+        ),
     )
     if cand is None:
         scored_codes = codes.join(F.broadcast(lut), ["s", "code"])
