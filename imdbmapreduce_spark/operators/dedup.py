@@ -772,8 +772,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles one row per doc on cluster_id; the giant-component skew case
     is AQE's skew-join territory, and cluster_id cardinality ~ n_docs.
     """
-    # The assignment is a shared artifact: neardup_cluster_keepers and
-    # split_leakage_audit consume it in the same sweep, and the component
+    # The assignment is a shared artifact: neardup_cluster_keepers
+    # consumes it again in the same sweep, and the component
     # loop (log-diameter rounds of checkpointed joins) is the expensive
     # part — cache the RESULT, not the recipe. Session-scoped only (not
     # in the persisted "text" index group: it derives in O(pairs) from

@@ -524,25 +524,27 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per iteration (measured ~1 s/round at k=8, dim=64). As data,
         # the plan text is round-invariant and the compiled class is
         # reused; the semantics (exact integer distances, (dist, cluster)
-        # argmin) are identical.
+        # argmin) are identical. ALL centroids travel as ONE broadcast
+        # row holding array<struct<cluster, cent>>, and the argmin runs
+        # ROW-WISE (array_min over per-centroid (dist, cluster) structs
+        # — lexicographic struct order IS the tie-break) so assignment
+        # never shuffles the vectors; the k-row-join formulation would
+        # force a groupBy(vec_id) exchange carrying every xq per round.
         cent_df = spark.createDataFrame(
-            [(c, cents[c]) for c in sorted(cents)], "cluster int, cent array<bigint>"
+            [([(c, cents[c]) for c in sorted(cents)],)],
+            "cs array<struct<cluster: int, cent: array<bigint>>>",
         )
-        dists = feats.join(F.broadcast(cent_df)).withColumn(
-            "dist",
+        per_cent = lambda s: F.struct(  # noqa: E731
             F.aggregate(
-                F.zip_with(F.col("xq"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+                F.zip_with(F.col("xq"), s["cent"], lambda a, b: (a - b) * (a - b)),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
-            ),
+            ).alias("dist"),
+            s["cluster"].alias("cluster"),
         )
-        order = F.struct(F.col("dist"), F.col("cluster"))
         assigned = (
-            dists.groupBy("vec_id")
-            .agg(
-                F.min(order).alias("m"),
-                F.min_by("xq", order).alias("xq"),
-            )
+            feats.join(F.broadcast(cent_df))
+            .withColumn("m", F.array_min(F.transform(F.col("cs"), per_cent)))
             .select(F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"), "xq")
         )
         # ALL round statistics through one narrow (cluster, pos) agg:

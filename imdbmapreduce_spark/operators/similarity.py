@@ -750,21 +750,21 @@ def _adc_shortlist(
     # codebook/codes group.
     cn2 = shared_cache(
         spark,
-        ("pq_cn2", sf_dir),
+        ("pq_cn2", sf_dir, _PQ_M, _PQ_K),
         lambda: cents.groupBy("s", "code").agg(
             F.sum(F.col("cv") * F.col("cv")).alias("cn2")
         ),
     )
     recon_n2 = shared_cache(
         spark,
-        ("pq_recon_n2", sf_dir),
+        ("pq_recon_n2", sf_dir, _PQ_M, _PQ_K),
         lambda: codes.join(F.broadcast(cn2), ["s", "code"])
         .groupBy("vec_id")
         .agg(F.sum("cn2").alias("rn2")),
     )
     lut = shared_cache(
         spark,
-        ("pq_lut", sf_dir),
+        ("pq_lut", sf_dir, _PQ_M, _PQ_K, _N_PROBES),
         lambda: ex.filter(probe_ids)
         .join(F.broadcast(cents), "pos")
         .groupBy(F.col("vec_id").alias("q_id"), "s", "code")
@@ -772,7 +772,7 @@ def _adc_shortlist(
     )
     qn2 = shared_cache(
         spark,
-        ("pq_qn2", sf_dir),
+        ("pq_qn2", sf_dir, _N_PROBES),
         lambda: _norms(ex.filter(probe_ids)).select(
             F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q")
         ),
