@@ -405,3 +405,82 @@ def test_windowed_funnel_matches_python_simulator(spark, tmp_path_factory, event
         assert got["purchase"].conv_permille == n_purchase * 1000 // n_view
     else:
         assert got["view"].conv_permille is None
+
+
+# --- banded range joins vs naive reference (operators/rangejoin.py) -------
+
+_rj_point = st.tuples(
+    st.integers(0, 2),              # key
+    st.integers(-400, 400),         # ts
+)
+_rj_interval = st.tuples(
+    st.integers(0, 2),              # key
+    st.integers(-400, 400),         # start
+    st.integers(-120, 350),         # length (negative => degenerate)
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    points=st.lists(_rj_point, min_size=0, max_size=40),
+    intervals=st.lists(_rj_interval, min_size=0, max_size=25),
+    bucket=st.sampled_from([1, 7, 100, 1000]),
+)
+def test_point_in_interval_join_property(spark, points, intervals, bucket):
+    """For ANY keys/epochs (negative included), bucket width, and
+    degenerate intervals: banded join == naive filter, multiplicity 1."""
+    from imdbmapreduce_spark.operators.rangejoin import point_in_interval_join
+
+    p = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(points)] or [(0, 0, -1)],
+        "k long, ts long, pid long",
+    )
+    iv = spark.createDataFrame(
+        [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(intervals)] or [(0, 1, 0, -1)],
+        "k long, s long, e long, iid long",
+    )
+    got = sorted(
+        (r.k, r.pid, r.iid)
+        for r in point_in_interval_join(
+            p, iv, keys=["k"], point_ts="ts", start="s", end="e", bucket=bucket
+        ).collect()
+    )
+    pts = [(k, ts, i) for i, (k, ts) in enumerate(points)] or [(0, 0, -1)]
+    ivs = [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(intervals)] or [(0, 1, 0, -1)]
+    want = sorted(
+        (pk, pid, iid)
+        for pk, ts, pid in pts
+        for ik, s, e, iid in ivs
+        if pk == ik and s <= ts < e
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(_rj_interval, min_size=0, max_size=25),
+    right=st.lists(_rj_interval, min_size=0, max_size=25),
+    bucket=st.sampled_from([1, 7, 100, 1000]),
+)
+def test_interval_overlap_join_property(spark, left, right, bucket):
+    from imdbmapreduce_spark.operators.rangejoin import interval_overlap_join
+
+    L = [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(left)] or [(0, 1, 0, -1)]
+    R = [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(right)] or [(0, 1, 0, -1)]
+    ldf = spark.createDataFrame(L, "k long, ls long, le long, lid long")
+    rdf = spark.createDataFrame(R, "k long, rs long, re long, rid long")
+    got = sorted(
+        (r.k, r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, keys=["k"], lstart="ls", lend="le",
+            rstart="rs", rend="re", bucket=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (lk, lid, rid)
+        for lk, ls, le, lid in L
+        for rk, rs, re, rid in R
+        if lk == rk and le > ls and re > rs and ls < re and rs < le
+    )
+    assert got == want
+    assert len(got) == len(set(got))
