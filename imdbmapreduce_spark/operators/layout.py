@@ -172,3 +172,31 @@ def overwrite_partitions(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_with_metrics(
+    df: DataFrame, path: str, metrics: dict[str, Column] | None = None
+) -> dict:
+    """Parquet write that OBSERVES pipeline metrics during the write
+    itself — row count plus any caller-supplied aggregate expressions —
+    via Spark's Observation API. One pass: the metrics accumulate on the
+    executors as the rows stream to the sink, so there is no second scan
+    and no extra job (``df.count(); df.write...`` reads the source
+    twice — the naive form every pipeline starts with).
+
+    This is the freshness/volume check a production ingest job records
+    next to each output (rows written, sum of a value column, null
+    counts) and alerts on. Returns the observed metric dict.
+
+    Scale: observed aggregates must be commutative partial aggregates
+    (Spark enforces this — no distinct/order-dependent metrics); cost is
+    a few accumulator longs per task.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    exprs = [F.count(F.lit(1)).alias("rows_written")]
+    for name, col in (metrics or {}).items():
+        exprs.append(col.alias(name))
+    df.observe(obs, *exprs).write.mode("overwrite").parquet(path)
+    return obs.get

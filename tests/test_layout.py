@@ -201,3 +201,28 @@ def test_dynamic_partition_overwrite_replaces_only_incoming_days(spark, tmp_path
         (r.day, r.v) for r in spark.read.parquet(path).collect()
     }
     assert got == {("d1", 1), ("d2", 99), ("d2", 100), ("d3", 3)}
+
+
+def test_write_with_metrics_observes_in_one_pass(spark, tmp_path):
+    """Observed metrics must match the written data exactly — rows, a
+    conditional null count, and an exact cents sum — without a second
+    scan of the source (the metrics ride the write job's tasks)."""
+    from imdbmapreduce_spark.operators.layout import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 2.5)], "id long, v double"
+    )
+    path = str(tmp_path / "observed")
+    got = write_with_metrics(
+        df,
+        path,
+        {
+            "null_v": F.sum(F.isnull("v").cast("long")),
+            "sum_v_cents": F.sum(F.round(F.col("v") * 100).cast("long")),
+        },
+    )
+    assert got["rows_written"] == 3
+    assert got["null_v"] == 1
+    assert got["sum_v_cents"] == 1250
+    back = spark.read.parquet(path)
+    assert back.count() == 3
