@@ -506,8 +506,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is ONE aggregation whose shuffle carries k×(dim+2) longs per
     task after map-side combine, and driver state is k×dim ints. The
     per-point work is one zip_with/aggregate distance expression per
-    broadcast centroid row — all codegen, no UDF, and the plan text is
-    round-invariant so the compiled class is reused across rounds. This is the canonical reason k-means parallelizes
+    broadcast centroid row — JVM-side Catalyst expressions, no UDF and
+    NO assignment shuffle (higher-order functions are CodegenFallback:
+    per-row interpreted, which is the price of the shuffle-free row-wise
+    argmin; if assignment CPU ever dominates at extreme scale, the
+    posexplode + broadcast-centroid partial-agg form trades it for an
+    n×k-longs exchange, the IVF _cell_assignment shape). The plan text
+    is round-invariant so the compiled class is reused across rounds. This is the canonical reason k-means parallelizes
     on a DataFrame engine: the sufficient statistics (per-cluster sums
     and counts) are tiny and associative.
     """
