@@ -18,7 +18,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_interleave", "zorder_key", "zorder_layout"]
+__all__ = [
+    "morton_interleave",
+    "zorder_key",
+    "zorder_layout",
+    "compact_parquet",
+    "write_partitioned",
+    "overwrite_partitions",
+    "write_with_metrics",
+]
 
 _BITS = 16  # per-dimension resolution; 2 dims × 16 bits = 32-bit key
 
@@ -194,6 +202,11 @@ def write_with_metrics(
     """
     from pyspark.sql import Observation
 
+    if metrics and "rows_written" in metrics:
+        raise ValueError(
+            "metric name 'rows_written' is reserved for the built-in row "
+            "count — a duplicate observed column silently replaces it"
+        )
     obs = Observation("write_metrics")
     exprs = [F.count(F.lit(1)).alias("rows_written")]
     for name, col in (metrics or {}).items():

@@ -205,24 +205,37 @@ def test_dynamic_partition_overwrite_replaces_only_incoming_days(spark, tmp_path
 
 def test_write_with_metrics_observes_in_one_pass(spark, tmp_path):
     """Observed metrics must match the written data exactly — rows, a
-    conditional null count, and an exact cents sum — without a second
-    scan of the source (the metrics ride the write job's tasks)."""
+    conditional null count, and an exact cents sum — and the whole call
+    must run as ONE Spark job (a count-then-write regression would show
+    up as a second job in the job group)."""
+    import pytest
+
     from imdbmapreduce_spark.operators.layout import write_with_metrics
 
     df = spark.createDataFrame(
         [(1, 10.0), (2, None), (3, 2.5)], "id long, v double"
     )
     path = str(tmp_path / "observed")
-    got = write_with_metrics(
-        df,
-        path,
-        {
-            "null_v": F.sum(F.isnull("v").cast("long")),
-            "sum_v_cents": F.sum(F.round(F.col("v") * 100).cast("long")),
-        },
-    )
+    sc = spark.sparkContext
+    sc.setJobGroup("obs-one-pass", "write_with_metrics test")
+    try:
+        got = write_with_metrics(
+            df,
+            path,
+            {
+                "null_v": F.sum(F.isnull("v").cast("long")),
+                "sum_v_cents": F.sum(F.round(F.col("v") * 100).cast("long")),
+            },
+        )
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("obs-one-pass")
+        sc.setJobGroup(None, None)
     assert got["rows_written"] == 3
     assert got["null_v"] == 1
     assert got["sum_v_cents"] == 1250
+    assert len(jobs) == 1, f"expected ONE job (write+observe), saw {jobs}"
     back = spark.read.parquet(path)
     assert back.count() == 3
+    # the built-in count is reserved — a caller metric must not shadow it
+    with pytest.raises(ValueError, match="rows_written"):
+        write_with_metrics(df, path, {"rows_written": F.sum("v")})

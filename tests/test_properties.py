@@ -164,12 +164,13 @@ def test_hamming_pairs_complete_for_3_bits_on_random_fingerprints(spark, data):
     fps = list(bases)
     for b in bases:
         flips = data.draw(st.sets(st.integers(0, 63), min_size=0, max_size=3))
-        near = b
+        # flip in UNSIGNED space, then map back to signed int64 — xor on a
+        # negative Python int flips bits in an infinite two's-complement
+        # and can underflow below -2^63 (hypothesis found base=-1, bit 63)
+        u = b & (2**64 - 1)
         for bit in flips:
-            near ^= 1 << bit
-            if near >= 2**63:
-                near -= 2**64
-        fps.append(near)
+            u ^= 1 << bit
+        fps.append(u - 2**64 if u >= 2**63 else u)
     rows = [(i, fp) for i, fp in enumerate(fps)]
 
     def ham(a, b):
@@ -432,11 +433,11 @@ def test_point_in_interval_join_property(spark, points, intervals, bucket):
     from imdbmapreduce_spark.operators.rangejoin import point_in_interval_join
 
     p = spark.createDataFrame(
-        [(k, ts, i) for i, (k, ts) in enumerate(points)] or [(0, 0, -1)],
+        [(k, ts, i) for i, (k, ts) in enumerate(points)],
         "k long, ts long, pid long",
     )
     iv = spark.createDataFrame(
-        [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(intervals)] or [(0, 1, 0, -1)],
+        [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(intervals)],
         "k long, s long, e long, iid long",
     )
     got = sorted(
@@ -445,8 +446,8 @@ def test_point_in_interval_join_property(spark, points, intervals, bucket):
             p, iv, keys=["k"], point_ts="ts", start="s", end="e", bucket=bucket
         ).collect()
     )
-    pts = [(k, ts, i) for i, (k, ts) in enumerate(points)] or [(0, 0, -1)]
-    ivs = [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(intervals)] or [(0, 1, 0, -1)]
+    pts = [(k, ts, i) for i, (k, ts) in enumerate(points)]
+    ivs = [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(intervals)]
     want = sorted(
         (pk, pid, iid)
         for pk, ts, pid in pts
@@ -465,8 +466,8 @@ def test_point_in_interval_join_property(spark, points, intervals, bucket):
 def test_interval_overlap_join_property(spark, left, right, bucket):
     from imdbmapreduce_spark.operators.rangejoin import interval_overlap_join
 
-    L = [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(left)] or [(0, 1, 0, -1)]
-    R = [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(right)] or [(0, 1, 0, -1)]
+    L = [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(left)]
+    R = [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(right)]
     ldf = spark.createDataFrame(L, "k long, ls long, le long, lid long")
     rdf = spark.createDataFrame(R, "k long, rs long, re long, rid long")
     got = sorted(
