@@ -261,13 +261,32 @@ def _simhash_fp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sig_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh63): the 64-permutation MinHash signature table —
+    the MinHash analog of the persisted SimHash fingerprints (the 64-way
+    min aggregation over every hashed shingle is the expensive part of
+    the LSH pipeline; band/bucket derivation from it is cheap)."""
+    return _text_artifact(
+        spark,
+        sf_dir,
+        "minhash_sig",
+        ("minhash_sig", sf_dir, _N_PERM),
+        lambda: _shingle_hx_cached(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            *[F.min(F.xxhash64("hx", F.lit(i))).alias(f"mh{i}") for i in range(_N_PERM)]
+        ),
+    )
+
+
 def build_text_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All four text-dedup artifacts (cached; built or loaded)."""
+    """All five text-dedup artifacts (cached; built or loaded)."""
     return {
         "shingles_capped": _shingles_capped_cached(spark, sf_dir),
         "jaccard_pairs": _jaccard_pairs_cached(spark, sf_dir),
         "shingle_hx": _shingle_hx_cached(spark, sf_dir),
         "simhash_fp": _simhash_fp_cached(spark, sf_dir),
+        "minhash_sig": _minhash_sig_cached(spark, sf_dir),
     }
 
 
@@ -378,9 +397,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _shingle_hx_cached(spark, sf_dir)
     sh = ex.groupBy("doc_id").agg(F.collect_list("hx").alias("sh"))
     rows_per_band = _N_PERM // _N_BANDS
-    sig = ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("hx", F.lit(i))).alias(f"mh{i}") for i in range(_N_PERM)]
-    )
+    # signature table: persisted/cached index artifact (the 64-way min
+    # agg is the expensive stage; cold sessions load it from parquet)
+    sig = _minhash_sig_cached(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.explode(
