@@ -123,11 +123,20 @@ def persist_group(
     the manifest lands last so readers never see a torn index.
     """
     import shutil
+    import time
 
     if group not in GROUPS:
         raise ValueError(f"unknown artifact group {group!r}")
     if not artifacts:
         raise ValueError("no artifacts to persist")
+    # Stamp the source BEFORE materializing anything: the artifacts are
+    # about to be computed from the corpus as it exists NOW, so this is
+    # the stamp the manifest must carry. Re-stat after the writes and
+    # refuse to commit on mismatch — a corpus rebuilt mid-persist would
+    # otherwise get the NEW stamp glued onto artifacts of the OLD data,
+    # silently defeating the staleness guard.
+    src = _source_stamp(sf_dir, group)
+    t0 = time.monotonic()
     d = _group_dir(sf_dir, group)
     os.makedirs(d, exist_ok=True)
     # STAGE-THEN-SWAP: when a re-persist's artifacts were themselves
@@ -149,12 +158,22 @@ def persist_group(
         shutil.rmtree(final, ignore_errors=True)
         os.replace(os.path.join(stage, name), final)
     shutil.rmtree(stage, ignore_errors=True)
+    build_sec = time.monotonic() - t0
+    if _source_stamp(sf_dir, group) != src:
+        # Corpus changed while we were building — the artifacts on disk
+        # derive from the old corpus. Leave no manifest (readers fall
+        # back to building) rather than commit a lie.
+        raise RuntimeError(
+            f"source {GROUPS[group]} changed during persist_group({group!r}); "
+            "index not committed"
+        )
     with open(mpath, "w", encoding="utf-8") as f:
         json.dump(
             {
-                "source": _source_stamp(sf_dir, group),
+                "source": src,
                 "artifacts": sorted(artifacts),
                 "params": params or {},
+                "build_sec": round(build_sec, 3),
             },
             f,
             indent=1,

@@ -137,10 +137,18 @@ def compact_parquet(
         # self-overwrite failure mode) — stage beside the target, then
         # swap with driver-side renames
         stage = dst_dir.rstrip("/") + ".compact-stage"
+        old = dst_dir.rstrip("/") + ".compact-old"
         shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         df.write.parquet(stage)
-        shutil.rmtree(dst_dir)
+        # Swap via rename-aside, not delete-then-rename: between rmtree
+        # and os.replace the dataset would not exist at all, and a crash
+        # there would strand the ONLY copy in a hidden stage dir. Here
+        # the reader-visible gap is one rename, and a crash at any point
+        # leaves a recoverable full copy (.compact-old or .compact-stage).
+        os.replace(dst_dir, old)
         os.replace(stage, dst_dir)
+        shutil.rmtree(old)
     else:
         df.write.mode("overwrite").parquet(dst_dir)
     return n

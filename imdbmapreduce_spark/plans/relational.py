@@ -830,8 +830,14 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = parquet_column_minmax(sf_dir, "lineitem", "l_extendedprice")
     if stats is not None:
-        # F.round's HALF_UP, mirrored (Python round() is banker's)
-        lo, hi = (int(math.floor(v * 100 + 0.5)) for v in stats)
+        # F.round is half-away-from-zero (Python round() is banker's);
+        # floor(x+0.5) only matches for x>=0, so mirror the negative
+        # branch explicitly. Bounds only set pruning granularity here,
+        # but keep the helper honest for reuse on signed columns.
+        half_away = lambda v: int(math.floor(v * 100 + 0.5)) if v >= 0 else -int(
+            math.floor(-v * 100 + 0.5)
+        )
+        lo, hi = (half_away(v) for v in stats)
     else:
         lo, hi = li.agg(F.min("pc"), F.max("pc")).first()
     # 4k buckets, not 64k: map-side combine only compresses the

@@ -153,7 +153,12 @@ class Scd2Sink:
         # in-order-per-key contract (history is then quietly missing
         # those transitions). Per-batch counts make the second case
         # visible instead of silently absorbed.
+        # Bounded: only the LAST N offending batches are kept (a
+        # chronically out-of-order feed on a long-running stream would
+        # otherwise grow driver memory without limit); the running
+        # total_stale_dropped is the lossless aggregate.
         self.stale_dropped: dict[int, int] = {}  # batch_id -> rows dropped
+        self.stale_dropped_keep = 100  # most recent offending batches retained
         self.total_stale_dropped = 0
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -223,6 +228,8 @@ class Scd2Sink:
         if n_stale:
             self.stale_dropped[batch_id] = int(n_stale)
             self.total_stale_dropped += int(n_stale)
+            while len(self.stale_dropped) > self.stale_dropped_keep:
+                del self.stale_dropped[min(self.stale_dropped)]
             _LOG.warning(
                 "Scd2Sink %s batch %d: dropped %d stale row(s) at/below the "
                 "high-water mark (benign iff this is a crash redelivery)",
