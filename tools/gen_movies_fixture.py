@@ -5,8 +5,17 @@ reference defines (SURVEY.md §1.2, /root/reference/Code/dataAnalyze.erl:42-104,
 csv_to_ets.erl:19-60): quoted comma titles, ""-escaped quotes, Unicode and
 ASCII whitespace around actor tokens, stray quotes around tokens, empty
 lines, short (<3 field) rows, non-numeric ids, duplicate titles, an empty
-cast field, and a hub actor + a 5-shared-actor movie pair so every level
-bucket 1..4 of the two core queries is populated.
+cast field, and engineered probe structures so every level bucket 1..4 of
+the two core queries is populated.
+
+SAME-SCALE with the reference: 85,000 movie rows — the reference's own
+ingest cap (/root/reference/Code/csv_to_ets.erl:21) — so the BASELINE.md
+comparison (1.862 s actor / 3.988 s title on 85k rows across 5 PCs) is
+apples-to-apples. The actor pool (20,000 names, cast size 1..10) gives the
+hub-actor query a realistic level distribution: the hub joins every 30th
+cast (~2,833 movies), so a typical co-actor shares 1-3 movies with it and a
+Poisson tail reaches the >=4 cap — all four buckets materially populated
+rather than degenerate at the cap.
 
 Run from the repo root: ``python tools/gen_movies_fixture.py``. The output
 is committed; regeneration is bit-identical.
@@ -19,9 +28,10 @@ from pathlib import Path
 
 OUT = Path(__file__).resolve().parents[1] / "fixtures" / "movies_dirty.csv"
 
-N_MOVIES = 240
-N_ACTORS = 60
+N_MOVIES = 85_000  # the reference's ingest cap (csv_to_ets.erl:21)
+N_ACTORS = 20_000
 HUB = "Actor_0001"
+HUB_EVERY = 30  # hub joins every 30th cast
 NBSP = " "
 
 
@@ -42,14 +52,22 @@ def main() -> None:
         title = f"Movie {mid}"
         k = rng.randint(1, 10)
         cast = rng.sample(pool, k)
-        # hub actor joins ~1 in 3 casts (exercises the >=4 level cap)
-        if mid % 3 == 0 and HUB not in cast:
+        # hub actor joins every 30th cast (~2,833 movies) — enough traffic
+        # that co-actor counts 1,2,3 and the >=4 cap all occur, without the
+        # degenerate everything-at-cap distribution a denser hub would give
+        if mid % HUB_EVERY == 0 and HUB not in cast:
             cast[0] = HUB
-        # movies 10 and 11 share exactly 5 actors -> a level-4 title pair
+        # engineered probe-title neighbours ("Movie 10" is the probe):
+        # movie 11 shares 5 actors (level 4), movie 12 shares 2 (level 2),
+        # movie 13 shares 3 (level 3) -> every title-level bucket non-empty
         if mid == 10:
             cast = [actor(i) for i in (50, 51, 52, 53, 54, 2)]
         if mid == 11:
             cast = [actor(i) for i in (50, 51, 52, 53, 54, 3)]
+        if mid == 12:
+            cast = [actor(i) for i in (50, 51, 4)]
+        if mid == 13:
+            cast = [actor(i) for i in (50, 51, 52, 5)]
 
         toks = list(cast)
         if mid % 7 == 0:  # Unicode + ASCII whitespace padding (F2/F6)
@@ -62,16 +80,19 @@ def main() -> None:
             title = f'Movie "{mid}"'
 
         lines.append(f"{mid},{quote(title)},{quote(', '.join(toks))}")
-        if mid % 17 == 0:  # interspersed empty lines (dropped)
+        if mid % 1700 == 0:  # interspersed empty lines (dropped)
             lines.append("")
 
     # duplicate titles, distinct ids -> last-write-wins keeps the higher id
-    lines.append(f'301,{quote("Movie 5")},{quote(actor(40) + ", " + actor(41))}')
-    lines.append(f'302,{quote("Movie 8")},{quote(actor(42))}')
+    nid = N_MOVIES
+    lines.append(
+        f'{nid + 1},{quote("Movie 5")},{quote(actor(40) + ", " + actor(41))}'
+    )
+    lines.append(f'{nid + 2},{quote("Movie 8")},{quote(actor(42))}')
     # empty cast field -> kept with an empty actors array
-    lines.append(f'303,{quote("Castless")},')
+    lines.append(f'{nid + 3},{quote("Castless")},')
     # short row (<3 fields) -> dropped (csv_to_ets.erl:54-56)
-    lines.append("304,Only Two Fields")
+    lines.append(f"{nid + 4},Only Two Fields")
     # non-numeric id -> dropped by schema conversion
     lines.append(f'abc,Bad Id,{quote(actor(7))}')
 
