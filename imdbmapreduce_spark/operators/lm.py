@@ -40,7 +40,56 @@ from imdbmapreduce_spark.operators.text import _DUCK_TOKS
 from imdbmapreduce_spark.registry import query
 
 _BPE_TOP = 100
+_BPE_MERGES = 10
 _LP_SCALE = 1_000_000  # log-prob quantum: 1e-6 per token occurrence
+
+
+def _bpe_merge_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB CTE recurrence for :func:`bpe_merge_sequence`.
+
+    Same pattern as the kmeans/logreg oracles: each round is a
+    MATERIALIZED CTE chain (pair counts -> argmax -> apply-merge), and
+    the final SELECT unions the per-round winners. The symbol sequence
+    is a space-joined string (tokens are whitespace-split, so ' ' can
+    never occur inside a symbol) and apply-merge is a literal
+    ``replace`` — both engines implement left-to-right non-overlapping
+    replacement, which IS the greedy BPE merge semantics.
+    """
+    parts = [
+        f"""
+    WITH ex AS MATERIALIZED (
+      SELECT unnest(toks) AS tok
+      FROM (SELECT {_DUCK_TOKS} AS toks FROM documents)
+    ), v0 AS MATERIALIZED (
+      SELECT array_to_string(string_split(tok, ''), ' ') AS seq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY tok
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+      SELECT c1, c2, CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+        SELECT n, unnest(c[1:len(c)-1]) AS c1, unnest(c[2:len(c)]) AS c2
+        FROM (SELECT n, string_split(seq, ' ') AS c FROM v{r - 1})
+        WHERE len(c) >= 2
+      ) GROUP BY 1, 2
+    ), b{r} AS MATERIALIZED (
+      SELECT c1, c2, pair_count FROM p{r}
+      ORDER BY pair_count DESC, c1, c2 LIMIT 1
+    ), v{r} AS MATERIALIZED (
+      SELECT replace(seq, (SELECT c1 || ' ' || c2 FROM b{r}),
+                     (SELECT c1 || c2 FROM b{r})) AS seq, n
+      FROM v{r - 1}
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnk, c1, c2, c1 || c2 AS merged,"
+        f" pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({unions}) ORDER BY rnk")
+    return "".join(parts)
 
 
 @query(
@@ -109,6 +158,74 @@ def bpe_first_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cnt.orderBy(F.desc("pair_count"), "c1", "c2").limit(_BPE_TOP)
     w = Window.orderBy(F.desc("pair_count"), "c1", "c2")
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@query("bpe_merge_sequence", oracle=_bpe_merge_oracle(_BPE_MERGES))
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer induction: ``_BPE_MERGES`` (10) sequential
+    merges, each the
+    argmax of corpus-frequency-weighted adjacent-symbol-pair counts,
+    greedily applied (left-to-right, non-overlapping) to the vocabulary's
+    symbol sequences before the next round — the complete training loop
+    whose first step is :func:`bpe_first_merge_stats`.
+
+    Representation: a word's symbol sequence is a space-joined string
+    (tokens are whitespace-split, so ``' '`` can never appear inside a
+    symbol), which makes apply-merge a single literal ``replace(seq,
+    'c1 c2', 'c1c2')`` — string ``replace`` scans left-to-right and
+    never rescans replaced output, which is exactly greedy BPE merge
+    semantics (the merged symbol ``c1||c2`` can only equal ``c1`` if
+    ``c2`` were empty, so no false re-matches).
+
+    Plan: ONE corpus pass builds the word-frequency vocabulary
+    (localCheckpointed — every later round starts from |vocab| rows,
+    never the corpus). Per round: slide-zip the symbol arrays map-side,
+    one pair-count aggregation (character-pair keys — tiny, map-side
+    combined), collect the single argmax row, and extend the lineage
+    with one narrow ``replace``. Driver state is one (c1, c2, count)
+    triple per round; the result is a LocalRelation of the merge table.
+
+    Scale: this is WHY BPE trains in minutes on terabytes — after the
+    single corpus scan, every round touches |vocab| rows (~1e8 slim rows
+    at 100 TB, vs 1e12 corpus rows). Rounds are latency-bound (one
+    bounded-exchange agg + one driver round-trip each), the same
+    iterative shape as the kmeans/logreg trainers.
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.array_join(F.split("tok", ""), " ").alias("seq"), "n")
+        .localCheckpoint()  # bound lineage: rounds re-read this, not the corpus
+    )
+    rows: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, _BPE_MERGES + 1):
+        c = F.split("seq", " ")
+        sel = vocab.filter(F.size(c) >= 2).select(
+            "n",
+            F.slice(c, 1, F.size(c) - 1).alias("l"),
+            F.expr("slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1)").alias(
+                "r"
+            ),
+        )
+        best = (
+            sel.select("n", F.explode(F.arrays_zip("l", "r")).alias("p"))
+            .groupBy(F.col("p.l").alias("c1"), F.col("p.r").alias("c2"))
+            .agg(F.sum("n").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "c1", "c2")
+            .first()
+        )
+        if best is None:  # vocabulary fully merged (degenerate corpus)
+            break
+        c1, c2, cnt = best["c1"], best["c2"], int(best["pair_count"])
+        rows.append((r, c1, c2, c1 + c2, cnt))
+        vocab = vocab.withColumn(
+            "seq", F.replace(F.col("seq"), F.lit(c1 + " " + c2), F.lit(c1 + c2))
+        )
+    return spark.createDataFrame(
+        rows, "rnk long, c1 string, c2 string, merged string, pair_count long"
+    ).orderBy("rnk")
 
 
 @query(

@@ -38,6 +38,47 @@ def test_bpe_first_merge_stats_matches_python_replay(spark, sf_dir):
     )
 
 
+def test_bpe_merge_sequence_matches_python_replay(spark, sf_dir):
+    """Classic textbook BPE (greedy left-to-right merge application,
+    count-desc/lexicographic argmax) replayed in pure Python must produce
+    the identical merge table."""
+    docs = [r.text for r in table(spark, sf_dir, "documents").select("text").collect()]
+    vocab: dict[tuple[str, ...], int] = {}
+    for tok, n in Counter(t for d in docs for t in _toks(d)).items():
+        vocab[tuple(tok)] = n
+
+    def apply(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    want: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, 11):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((r, a, b, a + b, cnt))
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            key = apply(syms, a, b)
+            merged[key] = merged.get(key, 0) + n
+        vocab = merged
+
+    got = registry.get("bpe_merge_sequence").fn(spark, sf_dir).collect()
+    assert [(r.rnk, r.c1, r.c2, r.merged, r.pair_count) for r in got] == want
+
+
 def test_doc_unigram_logprob_matches_python_replay(spark, sf_dir):
     rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
     vocab: Counter = Counter()
