@@ -85,11 +85,26 @@ def main() -> None:
     # inline the slowest queries first (the informative ones) up to a char
     # budget, fold the rest into an "..." remainder entry, and commit the
     # complete per-query map to BENCH_LOCAL.json so no number is lost.
+    # Cold-vs-warm accounting: the timed sweep above is WARM (index-served
+    # queries answer from the persisted artifacts built during the warmup
+    # pass). The one-time build cost lives in each group manifest's
+    # build_sec — surface it beside the warm total so neither number
+    # hides the other.
+    from imdbmapreduce_spark import indexstore
+
+    index_build: dict[str, float] = {}
+    for group in indexstore.GROUPS:
+        m = indexstore.group_manifest(sf_dir, group)
+        if m is not None and "build_sec" in m:
+            index_build[group] = float(m["build_sec"])
+
     full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "index_build_total": round(sum(index_build.values()), 4),
+        "index_build": {g: round(s, 3) for g, s in sorted(index_build.items())},
         "sf": sf,
     }
     try:
