@@ -515,16 +515,49 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "events_distinct_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def events_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type — the oracle-checked twin the
+    HLL audit (:func:`events_approx_distinct`) measures itself against,
+    the same exact/sketch pairing as ``events_heavy_hitters_exact`` /
+    ``_sketch``.
+
+    Scale: exact distinct is the expand + two-shuffle plan (partial
+    distinct on (type, user), then the count per type) — correct at any
+    scale but the exchange carries |type × user| rows; the sketch twin's
+    exchange carries |types| fixed-size buffers. At 100 TB you pick per
+    query; this row is the ground truth that says what the sketch's 2%
+    rsd actually costs.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @query("events_approx_distinct")  # no SQL oracle: HLL sketch is engine-specific
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HyperLogLog++
-    (`approx_count_distinct`, rsd 2%) next to the exact count — the
-    sketch every 100 TB pipeline uses where exact distinct is a full
-    extra shuffle.
+    (`approx_count_distinct`, rsd 2%) audited against the exact count —
+    the sketch every 100 TB pipeline uses where exact distinct is a full
+    extra shuffle. The exact columns are the oracle-checked twin
+    :func:`events_distinct_exact` (same grouping, hash-verified by the
+    driver); this row adds the sketch estimate and its realized relative
+    error beside them.
 
-    No SQL oracle: HLL implementations differ per engine, so the driver
-    records rows-only; the error bound vs the exact count is locked by
-    tests/test_events_extra.py (within 5% on every type).
+    No SQL oracle on THIS row: HLL implementations differ per engine, so
+    the driver records rows-only; the error bound vs the exact count is
+    locked by tests/test_events_extra.py (within 5% on every type) and
+    the exact side is hash-verified via the twin.
 
     Scale: the sketch is a fixed few-KB buffer per group merged
     map-side — the exchange carries |groups| sketches instead of
@@ -536,6 +569,13 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    ).withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ),
     )
 
 

@@ -13,9 +13,17 @@ from imdbmapreduce_spark.catalog import normalize_events_ts
 def test_approx_distinct_within_error_bound(spark, sf_dir):
     rows = registry.get("events_approx_distinct").fn(spark, sf_dir).collect()
     assert rows
+    exact = {
+        r.event_type: (r.exact_users, r.n_events)
+        for r in registry.get("events_distinct_exact").fn(spark, sf_dir).collect()
+    }
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
+        # the audit's reported rel_err is the same quantity, rounded
+        assert abs(r.rel_err - rel_err) < 1e-6, r.event_type
+        # the exact columns equal the oracle-checked twin's
+        assert exact[r.event_type] == (r.exact_users, r.n_events), r.event_type
 
 
 def test_anomaly_z_consistent_with_gate(spark, sf_dir):
