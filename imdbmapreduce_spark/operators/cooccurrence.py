@@ -232,19 +232,42 @@ def to_dot(levels: DataFrame, root_label: str) -> str:
 
 class Engine:
     """Public query API mirroring the reference's ``#query`` record
-    (/root/reference/Code/clientGUI.erl:89): category ∈ {'Title','Actor'}.
+    (/root/reference/Code/clientGUI.erl:89): category ∈ {'Title','Actor'},
+    plus an ANSI-SQL door (:meth:`sql`) the reference never had
+    (additive — SURVEY.md §2.5 records it has no SQL surface either).
     """
 
-    def __init__(self, spark: SparkSession, movies: DataFrame):
+    def __init__(self, spark: SparkSession, movies: DataFrame | None = None):
         self.spark = spark
         self.movies = movies
 
     def query(self, category: str, search_val: str) -> DataFrame:
+        if self.movies is None:
+            raise ValueError("Engine built without a movies table; use sql()")
         if category == "Actor":
             return coactor_query(self.movies, search_val)
         if category == "Title":
             return title_query(self.movies, search_val)
         raise ValueError(f"unknown searchCategory {category!r} (expected Title|Actor)")
+
+    def sql(self, query: str, sf_dir: str | None = None) -> DataFrame:
+        """Run an ANSI-SQL string against the engine's catalog.
+
+        With ``sf_dir`` given, (re-)registers every catalog table as a
+        temp view first, so the standard table names (``lineitem``,
+        ``orders``, ``documents``, ...) resolve; without it the query
+        runs against whatever views the session already has. The string
+        goes straight to Catalyst — same optimizer, same physical
+        strategies, same pushdown as the DataFrame plans (validated in
+        tests/test_sql_door.py by running registered oracle SQL strings
+        VERBATIM through this door and through DuckDB and comparing
+        values exactly).
+        """
+        if sf_dir is not None:
+            from imdbmapreduce_spark.catalog import register_views
+
+            register_views(self.spark, sf_dir)
+        return self.spark.sql(query)
 
 
 # ---------------------------------------------------------------------------
