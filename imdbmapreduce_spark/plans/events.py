@@ -1428,6 +1428,120 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_col")
 
 
+_SKEW_JOIN_SALT = 16
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: list,
+    buckets: int,
+    fact_salt_col: str,
+) -> DataFrame:
+    """Skew-aware equi-join: salt the hot keys, union the remainder.
+
+    ``hot_keys`` (a driver-read list, typically from
+    :func:`events_key_skew_profile`'s counts) become an IN-list literal
+    on both sides — the broadcast-the-hot-key-list pattern. Hot fact
+    rows get a deterministic salt from ``fact_salt_col``; hot dim rows
+    are replicated ``buckets`` times (one per salt), so the join key
+    becomes (key, salt) and each hot key's rows spread over ``buckets``
+    reducers instead of landing on one. Cold keys join plain. Both
+    branches carry a shuffle_hash hint: the scenario this helper exists
+    for is a dim too big to broadcast (at 100 TB a 100M-row dim is not
+    broadcastable), so the plan modeled is the shuffle join.
+
+    Exactness: replicating a dim row across every salt value its fact
+    partner might carry is a pure rewrite of the equi-join — each
+    (fact row, dim row) match pairs exactly once, under exactly one
+    salt. The hash-match against the plain-join oracle
+    (events_skewed_join_salted) pins it.
+
+    Scale: dim-side cost is |hot dim rows| × buckets extra replicas —
+    bounded because hot keys are by definition few. Salt count scales
+    with executor count, not data volume; residual imbalance within a
+    salted key is AQE territory.
+    """
+    hot = F.col(key).isin(hot_keys)
+    fact_hot = fact.filter(hot).withColumn(
+        "_salt", F.pmod(F.hash(fact_salt_col), F.lit(buckets))
+    )
+    dim_hot = dim.filter(hot).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    joined_hot = fact_hot.join(dim_hot.hint("shuffle_hash"), [key, "_salt"]).drop(
+        "_salt"
+    )
+    joined_cold = fact.filter(~hot).join(dim.filter(~hot).hint("shuffle_hash"), key)
+    return joined_hot.unionByName(joined_cold)
+
+
+@query(
+    "events_skewed_join_salted",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) // COUNT(*) AS BIGINT)
+               AS type_avg_cents
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(round(e.value*100) AS BIGINT) AS cents,
+           d.type_avg_cents,
+           CAST(round(e.value*100) AS BIGINT) - d.type_avg_cents AS delta_cents
+    FROM events e JOIN d USING (event_type)
+    """,
+)
+def events_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-driven salted join — the consumer that closes the loop on
+    :func:`events_key_skew_profile`: the profiler MEASURES the skew,
+    this query ACTS on it. Enriches every event with its type's average
+    value (the fact ⨝ per-key-dim shape), but the join key is
+    event_type — 5 distinct values, so a plain shuffle join lands 100%
+    of a 100 TB fact table on ≤5 reducer tasks no matter how many
+    executors exist.
+
+    The hot-key list is read from the same per-key counts the profiler
+    reports: a key is hot when its row count exceeds 2× the per-task
+    target (n_rows / shuffle partitions) — the exact condition under
+    which one task becomes the straggler. Hot keys route through
+    :func:`salted_join` (key spread over {salt} salt buckets); the
+    remainder joins plain. The ORACLE is the unsalted join — hash
+    equality proves the rewrite is lossless. tests/test_events_extra.py
+    pins the distribution claim: after salting, the hottest (key, salt)
+    group carries ~1/{salt} of the hottest key's rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    fact = ev.select("event_id", "event_type", vc.alias("cents"))
+    dim = fact.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(1)").cast("long").alias("type_avg_cents")
+    )
+    # driver-side profile read: per-key counts (the profiler's `u`/`t`
+    # tables), hot = would overflow one reducer's fair share
+    counts = fact.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    n_rows = sum(r.c for r in counts)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    target = max(n_rows // width, 1)
+    hot_keys = [r.event_type for r in counts if r.c > 2 * target]
+    joined = salted_join(
+        fact, dim, "event_type", hot_keys, _SKEW_JOIN_SALT, "event_id"
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        "cents",
+        "type_avg_cents",
+        (F.col("cents") - F.col("type_avg_cents")).alias("delta_cents"),
+    )
+
+
+events_skewed_join_salted.__doc__ = events_skewed_join_salted.__doc__.replace(
+    "{salt}", str(_SKEW_JOIN_SALT)
+)
+
+
 @query(
     "events_rollup_incremental",
     oracle=f"""
