@@ -486,6 +486,116 @@ def _km_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_assign_rowwise(feats: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Row-wise argmin: centroids broadcast as ONE array<struct> row,
+    per-point distance via zip_with/aggregate, array_min tie-break on
+    (dist, cluster). NO shuffle of vectors; HOFs are CodegenFallback
+    (per-row interpreted) — CPU-bound trade."""
+    spark = feats.sparkSession
+    cent_df = spark.createDataFrame(
+        [([(c, cents[c]) for c in sorted(cents)],)],
+        "cs array<struct<cluster: int, cent: array<bigint>>>",
+    )
+    per_cent = lambda s: F.struct(  # noqa: E731
+        F.aggregate(
+            F.zip_with(F.col("xq"), s["cent"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+        s["cluster"].alias("cluster"),
+    )
+    return (
+        feats.join(F.broadcast(cent_df))
+        .withColumn("m", F.array_min(F.transform(F.col("cs"), per_cent)))
+        .select(
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.dist").alias("dist"),
+            "xq",
+        )
+    )
+
+
+def _km_assign_exploded(feats: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Exploded argmin (the IVF _cell_assignment shape): components join
+    a broadcast (cluster, pos, c) table, distances come out of ONE
+    codegen'd hash-agg over (vec_id, cluster), argmin is a second tiny
+    agg via min(struct(dist, cluster)). Everything whole-stage codegen
+    (no HOF interpretation); the price is an n×k-row exchange per round
+    — the documented CPU-vs-exchange trade the row-wise form avoids."""
+    spark = feats.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, i, v) for c in sorted(cents) for i, v in enumerate(cents[c])],
+        "cluster int, pos int, c long",
+    )
+    comps = feats.select("vec_id", F.posexplode("xq").alias("pos", "x"))
+    dist = (
+        comps.join(F.broadcast(cent_df), "pos")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+    )
+    argmin = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.dist").alias("dist"),
+        )
+    )
+    # join back for the vectors the stats stage needs — the extra
+    # vec_id-keyed exchange this form pays that rowwise doesn't
+    return argmin.join(feats, "vec_id").select("cluster", "dist", "xq")
+
+
+def _kmeans(spark: SparkSession, sf_dir: str, assignment: str) -> DataFrame:
+    """Lloyd loop shared by both registered forms; ``assignment`` ∈
+    {'rowwise', 'exploded'} picks the argmin physical strategy. Both are
+    exact integer fixed-point over identical math, so their outputs are
+    bit-identical (pinned in test_ml.py) and share one oracle."""
+    feats = shared_cache(
+        spark, ("kmeans_xq", sf_dir), lambda: _km_features(spark, sf_dir)
+    )
+    assign_fn = {"rowwise": _km_assign_rowwise, "exploded": _km_assign_exploded}[
+        assignment
+    ]
+    init = feats.orderBy("vec_id").limit(_KM_K).collect()
+    cents: dict[int, list[int]] = {i: list(r.xq) for i, r in enumerate(init)}
+    out_rows = []
+    for t in range(_KM_ROUNDS):
+        assigned = assign_fn(feats, cents)
+        # ALL round statistics through one narrow (cluster, pos) agg:
+        # positions 0..dim-1 carry the component sums, dim carries the
+        # point's min-distance (-> per-cluster SSE), dim+1 carries 1
+        # (-> member count). One small expression tree instead of dim+2
+        # wide aggregate columns — measured ~40% per-round wall win; the
+        # exchange is |clusters|x(dim+2) longs either way.
+        stat_rows = (
+            assigned.select(
+                "cluster",
+                F.posexplode(
+                    F.concat("xq", F.array(F.col("dist"), F.lit(1).cast("long")))
+                ),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"))
+            .collect()
+        )
+        stats: dict[int, dict[int, int]] = {}
+        for r in stat_rows:
+            stats.setdefault(r.cluster, {})[r.pos] = r.s
+        for c in sorted(stats):
+            out_rows.append(
+                (t, c, stats[c][_KM_DIM + 1], stats[c][_KM_DIM], cents[c][0])
+            )
+        cents = {
+            c: [_trunc_div(s[i], s[_KM_DIM + 1]) for i in range(_KM_DIM)]
+            for c, s in stats.items()
+        }
+    return spark.createDataFrame(
+        out_rows, "round int, cluster int, n_points long, sse_q long, cent0_q long"
+    )
+
+
 @query("kmeans_embeddings", oracle=_kmeans_oracle_sql(), bench=True)
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means by Lloyd iterations over the embeddings table, exact
@@ -511,76 +621,32 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row interpreted, which is the price of the shuffle-free row-wise
     argmin; if assignment CPU ever dominates at extreme scale, the
     posexplode + broadcast-centroid partial-agg form trades it for an
-    n×k-longs exchange, the IVF _cell_assignment shape). The plan text
-    is round-invariant so the compiled class is reused across rounds. This is the canonical reason k-means parallelizes
-    on a DataFrame engine: the sufficient statistics (per-cluster sums
-    and counts) are tiny and associative.
+    n×k-longs exchange, the IVF _cell_assignment shape — registered as
+    the selectable twin :func:`kmeans_embeddings_exploded`, same oracle,
+    bit-identical output, both benched so the trade is measured). The
+    plan text is round-invariant so the compiled class is reused across
+    rounds (centroids ride in as a broadcast DATAFRAME, not literals —
+    k×dim literal arrays would force a fresh codegen compile per round,
+    measured ~1 s/round at k=8, dim=64). This is the canonical reason
+    k-means parallelizes on a DataFrame engine: the sufficient
+    statistics (per-cluster sums and counts) are tiny and associative.
     """
-    feats = shared_cache(
-        spark, ("kmeans_xq", sf_dir), lambda: _km_features(spark, sf_dir)
-    )
-    init = feats.orderBy("vec_id").limit(_KM_K).collect()
-    cents: dict[int, list[int]] = {i: list(r.xq) for i, r in enumerate(init)}
-    out_rows = []
-    for t in range(_KM_ROUNDS):
-        # Centroids ride in as a broadcast DATAFRAME, not as literals:
-        # embedding k×dim literal arrays in the plan changes the
-        # generated codegen source every round, forcing a fresh compile
-        # per iteration (measured ~1 s/round at k=8, dim=64). As data,
-        # the plan text is round-invariant and the compiled class is
-        # reused; the semantics (exact integer distances, (dist, cluster)
-        # argmin) are identical. ALL centroids travel as ONE broadcast
-        # row holding array<struct<cluster, cent>>, and the argmin runs
-        # ROW-WISE (array_min over per-centroid (dist, cluster) structs
-        # — lexicographic struct order IS the tie-break) so assignment
-        # never shuffles the vectors; the k-row-join formulation would
-        # force a groupBy(vec_id) exchange carrying every xq per round.
-        cent_df = spark.createDataFrame(
-            [([(c, cents[c]) for c in sorted(cents)],)],
-            "cs array<struct<cluster: int, cent: array<bigint>>>",
-        )
-        per_cent = lambda s: F.struct(  # noqa: E731
-            F.aggregate(
-                F.zip_with(F.col("xq"), s["cent"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            s["cluster"].alias("cluster"),
-        )
-        assigned = (
-            feats.join(F.broadcast(cent_df))
-            .withColumn("m", F.array_min(F.transform(F.col("cs"), per_cent)))
-            .select(F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist"), "xq")
-        )
-        # ALL round statistics through one narrow (cluster, pos) agg:
-        # positions 0..dim-1 carry the component sums, dim carries the
-        # point's min-distance (-> per-cluster SSE), dim+1 carries 1
-        # (-> member count). One small expression tree instead of dim+2
-        # wide aggregate columns — measured ~40% per-round wall win; the
-        # exchange is |clusters|x(dim+2) longs either way.
-        stat_rows = (
-            assigned.select(
-                "cluster",
-                F.posexplode(F.concat("xq", F.array(F.col("dist"), F.lit(1).cast("long")))),
-            )
-            .groupBy("cluster", "pos")
-            .agg(F.sum("col").alias("s"))
-            .collect()
-        )
-        stats: dict[int, dict[int, int]] = {}
-        for r in stat_rows:
-            stats.setdefault(r.cluster, {})[r.pos] = r.s
-        for c in sorted(stats):
-            out_rows.append(
-                (t, c, stats[c][_KM_DIM + 1], stats[c][_KM_DIM], cents[c][0])
-            )
-        cents = {
-            c: [_trunc_div(s[i], s[_KM_DIM + 1]) for i in range(_KM_DIM)]
-            for c, s in stats.items()
-        }
-    return spark.createDataFrame(
-        out_rows, "round int, cluster int, n_points long, sse_q long, cent0_q long"
-    )
+    return _kmeans(spark, sf_dir, "rowwise")
+
+
+@query("kmeans_embeddings_exploded", oracle=_kmeans_oracle_sql(), bench=True)
+def kmeans_embeddings_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`kmeans_embeddings` with the OTHER assignment strategy: the
+    posexplode + broadcast-centroid partial-agg form (_km_assign_exploded
+    — the IVF _cell_assignment shape). Distances come out of a fully
+    codegen'd hash-agg (no CodegenFallback higher-order functions), at
+    the price of an n×k-row distance exchange plus a vec_id join-back
+    per round. Identical math → identical output → same unrolled-CTE
+    oracle; equality with the rowwise form is pinned in test_ml.py and
+    both forms are benched, so the HOF-CPU-vs-exchange trade-off is a
+    measured number, not prose.
+    """
+    return _kmeans(spark, sf_dir, "exploded")
 
 
 def kmeans_replay(

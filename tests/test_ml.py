@@ -111,6 +111,23 @@ def test_kmeans_matches_pure_python_replay(spark, sf_dir):
     assert set(totals.values()) == {n}
 
 
+def test_kmeans_assignment_forms_identical(spark, sf_dir):
+    """The rowwise (HOF, shuffle-free) and exploded (codegen'd,
+    n×k-exchange) assignment strategies are physical alternatives over
+    identical exact-integer math — their training curves must be
+    bit-identical, row for row."""
+    rowwise = sorted(
+        tuple(r)
+        for r in registry.get("kmeans_embeddings").fn(spark, sf_dir).collect()
+    )
+    exploded = sorted(
+        tuple(r)
+        for r in registry.get("kmeans_embeddings_exploded").fn(spark, sf_dir).collect()
+    )
+    assert rowwise == exploded
+    assert rowwise  # non-degenerate
+
+
 def test_trunc_div_matches_engines_on_negatives():
     """Centroid update must truncate toward zero (Spark div / DuckDB //),
     not floor like Python's // — a negative component sum is the case
