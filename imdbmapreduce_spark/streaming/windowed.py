@@ -50,6 +50,42 @@ _SESSION_GAP = "30 minutes"
 _run_counter = itertools.count()
 
 
+def watermark_from_disorder(
+    spark: SparkSession, sf_dir: str, quantile: float = 0.99
+) -> str:
+    """Size a watermark delay from the corpus's MEASURED lateness tail —
+    the consumer that closes the loop on
+    :func:`~imdbmapreduce_spark.plans.events.events_disorder_profile`:
+    the profiler reports how out-of-order the feed actually is; this
+    turns its lateness distribution (same per-user running-high-water
+    definition, event_id = arrival order) into the ``withWatermark``
+    delay string. Delay = ceil(p{quantile} lateness) seconds, so events
+    later than the profiled bound are, by construction, the ONLY rows a
+    watermarked aggregation can lose — pinned by
+    tests/test_streaming.py::test_watermark_sized_from_disorder_profile.
+
+    Exact percentile here (one window + one 1-row agg, same plan shape
+    as the profiler); at 100 TB swap in approx_percentile — sizing
+    tolerates sketch error, correctness does not depend on it.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select((F.max("ts_us").over(w) - F.col("ts_us")).alias("late_us"))
+    p = late.agg(F.expr(f"percentile(late_us, {quantile})").alias("p")).first().p
+    secs = max(int(math.ceil(float(p or 0) / 1_000_000)), 1)
+    return f"{secs} seconds"
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet with the shared ts normalization.
 

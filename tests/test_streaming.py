@@ -355,3 +355,109 @@ def test_hamming_pairs_rejects_radius_beyond_banding_guarantee(spark):
         hamming_pairs(members, max_hamming=4)
     # the guaranteed radius still works
     assert hamming_pairs(members, max_hamming=3).count() == 0
+
+
+def test_watermark_sized_from_disorder_profile(spark, tmp_path):
+    """The disorder→watermark loop closed: size the watermark from the
+    profiled lateness tail (watermark_from_disorder = ceil(p99)), replay
+    the SAME feed through a watermarked streaming aggregation in arrival
+    order, and pin that the ONLY lost rows are the ones later than the
+    profiled bound (here: one 300 s straggler vs a ≤25 s p99 tail)."""
+    import datetime
+    import os
+
+    from imdbmapreduce_spark.streaming.windowed import watermark_from_disorder
+
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def ts(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    # arrival order = event_id. batch1: 180 in-order events, 3 s apart
+    # (high-water 537 s). batch2: 16 late rows (lateness 10..25 s),
+    # one 300 s straggler, 3 on-time rows.
+    rows = [(i, 1, ts(3 * i)) for i in range(180)]
+    late = [(180 + j, 1, ts(537 - (10 + j))) for j in range(16)]
+    straggler = [(196, 1, ts(537 - 300))]
+    ontime = [(197, 1, ts(600)), (198, 1, ts(620)), (199, 1, ts(640))]
+    batch2 = late + straggler + ontime
+
+    all_df = spark.createDataFrame(
+        rows + batch2, "event_id long, user_id long, ts timestamp"
+    )
+    all_df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    # profile-driven sizing: p99 of the lateness distribution is inside
+    # the 10..25 s tail (the straggler is past the 99th percentile), so
+    # the watermark covers every late row EXCEPT the straggler
+    wm = watermark_from_disorder(spark, str(tmp_path))
+    delay_s = int(wm.split()[0])
+    assert 25 <= delay_s < 300, wm
+    prof = registry.get("events_disorder_profile").fn(spark, str(tmp_path)).first()
+    assert prof.max_late_us == 300 * 1_000_000  # straggler IS beyond the bound
+
+    # replay in arrival order: one file per micro-batch, shared checkpoint
+    # (foreachBatch sink — the memory sink cannot recover from a
+    # checkpoint across the two drains)
+    src, ckpt, out = f"{tmp_path}/src", f"{tmp_path}/ckpt", f"{tmp_path}/out"
+    os.makedirs(src)
+    schema = all_df.schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*.parquet")
+        )
+        agg = (
+            stream.withWatermark("ts", wm)
+            .groupBy(F.window("ts", "60 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: df.select(F.col("w.start").alias("wstart"), "n")
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # coalesce(1): each arrival batch must be ONE file = ONE micro-batch,
+    # or the file source splits it and the watermark advances mid-batch
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/b1.parquet")
+    drain()  # commits the watermark = high_water(batch1) - delay
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(f"{src}/b2.parquet")
+    drain()
+
+    # update-mode emissions: counts per window only grow, so the final
+    # state is the max emitted row per window
+    emitted = spark.read.parquet(out).collect()
+    finals = {}
+    for r in emitted:
+        k = r.wstart
+        finals[k] = max(finals.get(k, 0), r.n)
+    survived = sum(finals.values())
+    # every event survived EXCEPT the one straggler beyond the bound
+    assert survived == len(rows) + len(batch2) - 1
+    # and the loss is precisely the straggler's window
+    strag_window = base + datetime.timedelta(seconds=(537 - 300) // 60 * 60)
+    batch_counts = {
+        r.wstart: r.n
+        for r in all_df.groupBy(
+            F.window("ts", "60 seconds").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+        .collect()
+    }
+    lost = {
+        k.replace(tzinfo=None) if k.tzinfo else k
+        for k, v in batch_counts.items()
+        if finals.get(k, 0) != v
+    }
+    assert lost == {strag_window.replace(tzinfo=None)}
