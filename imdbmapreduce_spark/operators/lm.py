@@ -191,6 +191,18 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-exchange agg + one driver round-trip each), the same
     iterative shape as the kmeans/logreg trainers.
     """
+    _, rows = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "rnk long, c1 string, c2 string, merged string, pair_count long"
+    ).orderBy("rnk")
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """The shared BPE training loop: returns (post-merge vocabulary
+    DataFrame with columns (seq, n), merge-table rows). See
+    :func:`bpe_merge_sequence` for the plan-shape discussion."""
     docs = table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(tokens("text")).alias("tok"))
@@ -200,7 +212,7 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # bound lineage: rounds re-read this, not the corpus
     )
     rows: list[tuple[int, str, str, str, int]] = []
-    for r in range(1, _BPE_MERGES + 1):
+    for r in range(1, n_merges + 1):
         c = F.split("seq", " ")
         sel = vocab.filter(F.size(c) >= 2).select(
             "n",
@@ -223,9 +235,207 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = vocab.withColumn(
             "seq", F.replace(F.col("seq"), F.lit(c1 + " " + c2), F.lit(c1 + c2))
         )
-    return spark.createDataFrame(
-        rows, "rnk long, c1 string, c2 string, merged string, pair_count long"
-    ).orderBy("rnk")
+    return vocab, rows
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode-side oracle: the same unrolled chain as
+    :func:`_bpe_merge_oracle`, continued past the last merge into the
+    post-merge symbol statistics."""
+    chain = _bpe_merge_oracle(n_merges)
+    chain = chain[: chain.rindex("\n    SELECT * FROM (")]
+    return (
+        chain
+        + f""", occ AS (
+      SELECT n, unnest(string_split(seq, ' ')) AS symbol FROM v{n_merges}
+    ), cnt AS (
+      SELECT symbol, CAST(SUM(n) AS BIGINT) AS n_occ FROM occ GROUP BY 1
+    ), rankedsym AS (
+      SELECT symbol, n_occ,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, symbol) AS BIGINT)
+               AS rnk
+      FROM cnt
+    )
+    SELECT symbol, n_occ, rnk FROM rankedsym WHERE rnk <= {_BPE_TOP}"""
+    )
+
+
+@query("bpe_encode_stats", oracle=_bpe_encode_oracle(_BPE_MERGES))
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the other half of the tokenizer lifecycle: apply the
+    learned merge sequence (:func:`bpe_merge_sequence`) to the corpus
+    vocabulary and report the resulting subword distribution (top
+    ``_BPE_TOP`` symbols by corpus occurrence, weighted by word
+    frequency).
+    This is what the trained tokenizer actually does to the corpus —
+    the symbol table a token-budget estimate or a vocabulary-coverage
+    audit reads.
+
+    Plan: the training loop's final vocabulary (|vocab| rows, merges
+    already applied as narrow ``replace`` steps) explodes to one row
+    per symbol occurrence and aggregates — still vocab-sized, never
+    corpus-sized; top-k lowers to TakeOrderedAndProject. Oracle = the
+    merge chain's CTE recurrence continued into the symbol stats.
+
+    Scale: identical corpus-once/vocab-many asymmetry as training; the
+    final agg keys on symbols (|alphabet| + merges groups), map-side
+    combined.
+    """
+    vocab, _ = _bpe_learn(spark, sf_dir)
+    cnt = (
+        vocab.select("n", F.explode(F.split("seq", " ")).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("n_occ"))
+    )
+    top = cnt.orderBy(F.desc("n_occ"), "symbol").limit(_BPE_TOP)
+    w = Window.orderBy(F.desc("n_occ"), "symbol")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+
+
+_MIX2 = 0.7  # interpolation weight on the bigram MLE (0.3 on unigram)
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH ex AS MATERIALIZED (
+      SELECT doc_id, toks FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), uni AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(toks) AS tok FROM ex) GROUP BY tok
+    ), t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total FROM uni),
+    bg AS MATERIALIZED (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM ex WHERE len(toks) >= 2
+      ) GROUP BY 1, 2, 3
+    ), big AS (
+      SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+    ), pre AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS n1 FROM big GROUP BY 1
+    ), model AS (
+      SELECT b.w1, b.w2,
+             CAST(round(ln({_MIX2} * (CAST(b.c12 AS DOUBLE) / p.n1)
+                           + {1.0 - _MIX2} * (CAST(u.c1 AS DOUBLE)
+                                              / (SELECT total FROM t)))
+                        * {_LP_SCALE}) AS BIGINT) AS lp_q
+      FROM big b JOIN pre p ON b.w1 = p.w1 JOIN uni u ON b.w2 = u.tok
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.k * m.lp_q) AS BIGINT) AS logprob_q,
+           CAST(SUM(d.k * m.lp_q) AS DOUBLE) / SUM(d.k) / {_LP_SCALE}
+             AS avg_logprob
+    FROM bg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+    GROUP BY d.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: per document, the total and mean
+    per-bigram log-probability under an INTERPOLATED bigram model
+    (0.7·P(w2|w1) + 0.3·P(w2)) trained on the corpus itself — one rung
+    up the n-gram ladder from :func:`doc_unigram_logprob`, and the exact
+    plan shape of a KenLM-scored CCNet filter: build the model table
+    once, join each document's n-gram counts against it, aggregate per
+    doc. Interpolation (not backoff) keeps every probability defined
+    without a conditional path, the standard Jelinek-Mercer smoothing.
+
+    Determinism: P(w2|w1) uses the PREFIX count (Σ_w c(w1,w)) so the
+    conditional distribution sums to 1; the interpolated log-prob is
+    quantized to 1e-6 at the MODEL level (one rounding per distinct
+    corpus bigram), making every cross-row reduction an exact integer
+    sum both engines replay bit-for-bit.
+
+    Plan: one corpus pass builds per-(doc, bigram) counts (map-side
+    combine bounds hot bigrams at |docs| rows, same Zipf argument as
+    the unigram op); corpus bigram/prefix/unigram tables all derive
+    from those counts — no second scan. Two model-build joins key on
+    w1/w2 (vocab-sized); the scoring join keys on the bigram pair and
+    the final agg on doc_id.
+
+    Scale: the model table is |distinct bigrams| slim rows (~1e9-1e10
+    at 100 TB — a shuffle join, which AQE picks over broadcast
+    automatically); per-doc pre-combine caps skew; everything else is
+    vocab-sized. No UDFs, no driver state.
+    """
+    from imdbmapreduce_spark.cache import shared_cache
+
+    dg = shared_cache(
+        spark,
+        ("bigram_doc_counts", sf_dir),
+        lambda: _doc_bigram_counts(spark, sf_dir),
+    )
+    big = dg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    pre = big.groupBy("w1").agg(F.sum("c12").alias("n1"))
+    uni = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    total_row = uni.agg(F.sum("c1")).first()[0]
+    if total_row is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_bigrams long, logprob_q long, avg_logprob double"
+        )
+    total = float(total_row)
+    model = (
+        big.join(pre, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    F.lit(_MIX2) * (F.col("c12").cast("double") / F.col("n1"))
+                    + F.lit(1.0 - _MIX2)
+                    * (F.col("c1").cast("double") / F.lit(total))
+                )
+                * _LP_SCALE
+            )
+            .cast("long")
+            .alias("lp_q"),
+        )
+    )
+    return (
+        dg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("lp_q")).alias("logprob_q"),
+            (
+                F.sum(F.col("k") * F.col("lp_q")).cast("double")
+                / F.sum("k")
+                / F.lit(_LP_SCALE)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def _doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, adjacent-token-pair) counts — the single corpus pass
+    the bigram scorer builds everything from."""
+    docs = table(spark, sf_dir, "documents")
+    c = tokens("text")
+    return (
+        docs.select("doc_id", c.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
 
 
 @query(

@@ -79,6 +79,53 @@ def test_bpe_merge_sequence_matches_python_replay(spark, sf_dir):
     assert [(r.rnk, r.c1, r.c2, r.merged, r.pair_count) for r in got] == want
 
 
+def test_bpe_encode_stats_matches_python_replay(spark, sf_dir):
+    """Encode side: replay the merge loop in pure Python, apply all
+    learned merges, and compare the resulting frequency-weighted symbol
+    distribution (top-100, count-desc/lexicographic)."""
+    docs = [r.text for r in table(spark, sf_dir, "documents").select("text").collect()]
+    vocab: dict[tuple[str, ...], int] = {}
+    for tok, n in Counter(t for d in docs for t in _toks(d)).items():
+        vocab[tuple(tok)] = n
+
+    def apply(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    for _ in range(10):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (a, b), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            key = apply(syms, a, b)
+            merged[key] = merged.get(key, 0) + n
+        vocab = merged
+
+    sym_counts: Counter = Counter()
+    for syms, n in vocab.items():
+        for s in syms:
+            sym_counts[s] += n
+    want = sorted(sym_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+
+    got = registry.get("bpe_encode_stats").fn(spark, sf_dir).collect()
+    got_sorted = sorted(got, key=lambda r: r.rnk)
+    assert [(r.symbol, r.n_occ) for r in got_sorted] == want
+    assert [r.rnk for r in got_sorted] == list(range(1, len(want) + 1))
+
+
 def test_doc_unigram_logprob_matches_python_replay(spark, sf_dir):
     rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
     vocab: Counter = Counter()
