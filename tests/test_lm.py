@@ -154,3 +154,47 @@ def test_doc_unigram_logprob_matches_python_replay(spark, sf_dir):
         assert (r.n_tokens, r.logprob_q) == (n_tokens, logprob_q), doc_id
         assert r.avg_logprob == logprob_q / n_tokens / _LP_SCALE
         assert r.avg_logprob < 0  # probabilities < 1 -> negative log-prob
+
+
+def test_doc_bigram_logprob_matches_python_replay(spark, sf_dir):
+    """Interpolated bigram model (0.7·c12/n1 + 0.3·c1/T), log-prob
+    quantized at the model level, exact integer sums per doc."""
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    uni: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for r in rows:
+        ts = _toks(r.text)
+        uni.update(ts)
+        if len(ts) >= 2:
+            per_doc[r.doc_id] = Counter(zip(ts, ts[1:]))
+    total = float(sum(uni.values()))
+    big: Counter = Counter()
+    for c in per_doc.values():
+        big.update(c)
+    pre: Counter = Counter()
+    for (w1, _), n in big.items():
+        pre[w1] += n
+
+    def q(v: float) -> int:  # Spark round(): half away from zero
+        s = v * _LP_SCALE
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    lp_q = {
+        (w1, w2): q(math.log(0.7 * (n / pre[w1]) + 0.3 * (uni[w2] / total)))
+        for (w1, w2), n in big.items()
+    }
+    got = {
+        r.doc_id: r
+        for r in registry.get("doc_bigram_logprob").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, c in per_doc.items():
+        n_bigrams = sum(c.values())
+        logprob_q = sum(k * lp_q[p] for p, k in c.items())
+        r = got[doc_id]
+        assert (r.n_bigrams, r.logprob_q) == (n_bigrams, logprob_q), doc_id
+        assert r.avg_logprob == logprob_q / n_bigrams / _LP_SCALE
+        # interpolated probs < 1 -> negative mean log-prob; and the bigram
+        # model (knowing the previous word) should beat the unigram model
+        # on average for at least most docs -- spot-check sign only here.
+        assert r.avg_logprob < 0
