@@ -515,6 +515,141 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BM25: the ranking-function extension of TF-IDF -----------------------
+
+# Fixed keyword query for the registered ranking run (present in the
+# synthetic corpus vocabulary); the operator itself takes any term list.
+BM25_QUERY_TERMS = ("spark", "join", "fast")
+_BM25_TOPK = 20
+_BM25_SCALE = 1_000_000  # score quantum: 1e-6, same contract as lm.py
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=f"""
+    WITH ex AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS t FROM ex
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM ex
+    ), tf AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM ex)
+      WHERE tok IN {BM25_QUERY_TERMS!r}
+      GROUP BY 1, 2
+    ), idf AS (
+      SELECT term,
+             CAST(round(ln((((SELECT n_docs FROM stats) - df + 0.5)
+                            / (df + 0.5)) + 1.0) * {_BM25_SCALE}) AS BIGINT)
+               AS idf_q
+      FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+    ), sc AS (
+      SELECT tf.doc_id,
+             CAST(round(CAST(idf_q AS DOUBLE) * (22 * tf * t)
+                        / (10 * t * tf + 3 * t + 9 * dl.dl * n_docs))
+                  AS BIGINT) AS s_q
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(s_q) AS BIGINT) AS score_q FROM sc GROUP BY 1
+    )
+    SELECT doc_id, score_q,
+           CAST(score_q AS DOUBLE) / {_BM25_SCALE} AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM tot
+    ORDER BY rank LIMIT {_BM25_TOPK}
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed keyword query — the ranking
+    function a retrieval/curation pipeline actually uses where
+    :func:`tfidf_top_terms` stops at raw term weights. Okapi BM25 with
+    k1=1.2, b=0.75; idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Determinism: idf quantizes to 1e-6 once per query term; the
+    tf-saturation factor tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) is
+    cleared of floats by multiplying through by 10·T (avgdl = T/N):
+    num = 22·tf·T, den = 10·T·tf + 3·T + 9·dl·N — all int64, so the
+    one double multiply-divide is over exactly-representable operands
+    and both engines round identically; the per-(doc,term) score
+    re-quantizes to 1e-6 and per-doc totals are exact integer sums.
+    (Int64 headroom: 22·tf·T stays under 2^63 for T·tf < 4e17 — holds
+    through ~1e13-token corpora with realistic tf; past that, switch
+    the rational to a pre-rounded avgdl.)
+
+    Plan: term filter is pushed INSIDE the explode pass (only query
+    terms survive the first agg — the tf table is ≤|terms|·|docs|
+    rows); df/idf derive from tf (no second scan); the dl join keys on
+    doc_id; top-k lowers to TakeOrderedAndProject. Corpus stats ride a
+    broadcast 1-row crossJoin, keeping the plan data-driven.
+
+    Scale: one corpus pass; every later table is query-term-bounded.
+    The dl side is |docs| slim rows — at 100 TB that join shuffles on
+    doc_id (AQE decides); no UDFs, no driver literals.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ex = parallelize_scan(docs).select("doc_id", tokens("text").alias("toks"))
+    stats = ex.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("t"),
+    )
+    dl = ex.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tf = (
+        ex.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                (
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                + F.lit(1.0)
+            )
+            * _BM25_SCALE
+        )
+        .cast("long")
+        .alias("idf_q"),
+    )
+    sc = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_q").cast("double")
+                * (F.lit(22) * F.col("tf") * F.col("t"))
+                / (
+                    F.lit(10) * F.col("t") * F.col("tf")
+                    + F.lit(3) * F.col("t")
+                    + F.lit(9) * F.col("dl") * F.col("n_docs")
+                )
+            )
+            .cast("long")
+            .alias("s_q"),
+        )
+    )
+    tot = sc.groupBy("doc_id").agg(F.sum("s_q").alias("score_q"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        tot.orderBy(F.desc("score_q"), "doc_id")
+        .limit(_BM25_TOPK)
+        .withColumn("score", F.col("score_q").cast("double") / _BM25_SCALE)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "score_q", "score", "rank")
+    )
+
+
 # --- readability: the UDF extension surface, measured ---------------------
 
 _READ_ORACLE = """

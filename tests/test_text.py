@@ -72,3 +72,43 @@ def test_readability_twins_agree_and_use_their_claimed_surfaces(spark, sf_dir):
     plan_b = b._jdf.queryExecution().sparkPlan().toString()
     assert "EvalPython" not in plan_a
     assert "ArrowEvalPython" in plan_b and "BatchEvalPython" not in plan_b
+
+
+def test_bm25_matches_python_replay(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75, idf=ln(1+(N-df+.5)/(df+.5))) replayed
+    in pure Python over the same corpus must produce the identical
+    top-20 (doc, quantized-score) ranking."""
+    import math
+    from collections import Counter
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.text import BM25_QUERY_TERMS
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: [t for t in r.text.strip().split() if t] for r in rows}
+    n_docs = len(toks)
+    t_total = sum(len(v) for v in toks.values())
+
+    def rnd(v: float) -> int:  # half away from zero, Spark round()
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    score_q: Counter = Counter()
+    for term in BM25_QUERY_TERMS:
+        tf = {d: c for d, ts in toks.items() if (c := ts.count(term))}
+        df = len(tf)
+        if not df:
+            continue
+        idf_q = rnd(math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+        for d, f in tf.items():
+            num = 22 * f * t_total
+            den = 10 * t_total * f + 3 * t_total + 9 * len(toks[d]) * n_docs
+            score_q[d] += rnd(float(idf_q) * num / den)
+    want = sorted(score_q.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = registry.get("doc_bm25_topk").fn(spark, sf_dir).collect()
+    got_sorted = sorted(got, key=lambda r: r.rank)
+    assert [(r.doc_id, r.score_q) for r in got_sorted] == want
+    for r in got_sorted:
+        assert r.score == r.score_q / 1e6
+    assert [r.rank for r in got_sorted] == list(range(1, len(want) + 1))
