@@ -735,3 +735,75 @@ def eval_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= _HOLDOUT_PER_LANG)
     )
+
+
+# --- deterministic training-order shard manifest --------------------------
+
+_SHARD_SEED = "epoch0"  # the epoch seed: change it, get a fresh permutation
+_N_SHARDS = 16
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(CONCAT('{_SHARD_SEED}', ':', CAST(doc_id AS VARCHAR)))
+               AS shuffle_key
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, shuffle_key,
+             CAST(CONCAT('0x', substr(shuffle_key, 1, 8)) AS BIGINT)
+               % {_N_SHARDS} AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM sharded
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard striping — the manifest a
+    training job reads to stream the corpus in a reproducible random
+    order: every document gets a seeded shuffle key (md5 of
+    ``seed:doc_id``), a shard by hash-mod on the key's leading 32 bits,
+    and a position within its shard by key order. Changing the seed
+    string permutes the whole corpus afresh (a new epoch); the same
+    seed always reproduces the same order on any cluster layout.
+
+    Determinism: md5 is bit-identical everywhere; shard and position
+    derive only from (seed, doc_id) — no partition-dependent state, no
+    RNG. Epochs via seed strings beat ``DataFrame.sample``-style
+    per-partition RNG, whose draw order changes with the physical
+    layout.
+
+    Plan: map-only keying (md5 + hex-prefix conv are codegen
+    expressions), then ONE window partitioned by shard ordered by key —
+    a single shuffle on shard; each shard sorts independently in
+    parallel. No global ROW_NUMBER (the classic single-partition
+    bottleneck): order within a shard plus the shard id IS the training
+    order, so no operator ever sees a total order.
+
+    Scale: at 100 TB with n_shards sized to the reader fleet (e.g. 4k),
+    each shard's sort is corpus/4k — executor-local with
+    spill; the manifest (doc_id, key, shard, pos) is slim enough to
+    write per-shard sorted parquet a data loader range-reads. The hash
+    striping also balances shard sizes to ±O(√n) without any skew
+    handling.
+    """
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_SHARD_SEED), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long") % _N_SHARDS),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return sharded.withColumn(
+        "pos_in_shard", F.row_number().over(w).cast("long")
+    )

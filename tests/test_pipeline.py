@@ -201,3 +201,55 @@ def test_eval_holdout_quota_and_nesting(spark, sf_dir):
         # nesting: the rnk<=10 prefix is the 10 smallest hashes
         inner = {r.doc_id for r in got if r.rnk <= 10}
         assert inner == {doc for _, doc in sorted(pop[lang])[:10]}
+
+
+def test_shard_manifest_invariants(spark, sf_dir):
+    """The shard manifest must be a permutation: every doc exactly once,
+    positions contiguous per shard, shards balanced, order independent
+    of physical layout, and seed-sensitive."""
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+
+    rows = registry.get("corpus_shard_manifest").fn(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs  # a true permutation
+
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(16))
+    sizes = [len(v) for v in by_shard.values()]
+    # hash striping balances to a few x sqrt(n/16); generous bound
+    assert max(sizes) - min(sizes) < 6 * (n_docs / 16) ** 0.5 + 8
+    for shard_rows in by_shard.values():
+        srt = sorted(shard_rows, key=lambda r: (r.shuffle_key, r.doc_id))
+        assert [r.pos_in_shard for r in srt] == list(range(1, len(srt) + 1))
+
+    # layout independence: same result when the scan arrives pre-shuffled
+    again = sorted(
+        registry.get("corpus_shard_manifest").fn(spark, sf_dir)
+        .repartition(7)
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert again == sorted(rows, key=lambda r: r.doc_id)
+
+    # a different seed is a genuinely different permutation
+    import imdbmapreduce_spark.operators.pipeline as P
+
+    old = P._SHARD_SEED
+    try:
+        P.__dict__["_SHARD_SEED"] = "epoch1"
+        other = registry.get("corpus_shard_manifest").fn(spark, sf_dir).collect()
+    finally:
+        P.__dict__["_SHARD_SEED"] = old
+    same = sum(
+        1
+        for a, b in zip(
+            sorted(rows, key=lambda r: r.doc_id),
+            sorted(other, key=lambda r: r.doc_id),
+        )
+        if (a.shard, a.pos_in_shard) == (b.shard, b.pos_in_shard)
+    )
+    assert same < n_docs / 4  # essentially re-dealt
