@@ -810,3 +810,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return shared_cache(spark, ("dedup_cluster_assign", sf_dir, 3, _SHINGLE_DF_CAP, 0.6), build)
+
+
+# --- exact repeated-substring detection (cross-document n-grams) ----------
+
+_REPEAT_N = 8  # word n-gram length; Lee et al. use 50-token spans at web scale
+_REPEAT_TOP = 200
+
+
+@query(
+    "crossdoc_ngram_repeats",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(toks[i:i+{_REPEAT_N - 1}], ' ') AS ngram
+      FROM t, unnest(generate_series(1, len(toks) - {_REPEAT_N - 1})) AS u(i)
+      WHERE len(toks) >= {_REPEAT_N}
+    ), agg AS (
+      SELECT ngram,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM g GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT ngram, n_docs, n_occ,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, ngram)
+                AS BIGINT) AS rnk
+    FROM agg
+    ORDER BY rnk LIMIT {_REPEAT_TOP}
+    """,
+)
+def crossdoc_ngram_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection: the top word-{n}-grams that
+    appear in ≥2 distinct documents — the statistic behind exact
+    substring deduplication (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better": memorized spans repeat VERBATIM
+    across crawls, so cross-document repeated n-grams locate boilerplate
+    and templated text that near-dup doc-level methods miss). The output
+    is the removal worklist: each surviving n-gram is a span a scrubber
+    masks or a dupe cluster shares.
+
+    Plan: one corpus pass slides an {n}-token window per doc via
+    ``transform(sequence(...))`` over the token array (array ops,
+    map-side), explodes, then ONE aggregation keyed on the n-gram
+    computing distinct-doc and occurrence counts together; ``HAVING
+    n_docs >= 2`` prunes before the top-k, which lowers to
+    TakeOrderedAndProject.
+
+    Scale: the exploded stream is ~|tokens| rows — the same volume the
+    tokenizer pass already handles; the agg keys on n-grams, whose
+    count-distinct runs as a two-phase partial (doc-dedup within
+    partition first). At 100 TB, hash the n-gram to int64 first (the
+    string key's width dominates the exchange; collisions at 1e12 grams
+    are handled by a verify pass) and raise n to 50 — same plan. A
+    suffix-array build (the paper's exact method) is the escape hatch
+    when spans must be maximal, not fixed-length.
+    """
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        parallelize_scan(docs)
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= _REPEAT_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_REPEAT_N - 1}),"
+                    f" i -> array_join(slice(toks, i, {_REPEAT_N}), ' '))"
+                )
+            ).alias("ngram"),
+        )
+    )
+    agg = (
+        grams.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("ngram"))
+    return (
+        agg.orderBy(F.desc("n_docs"), F.desc("n_occ"), "ngram")
+        .limit(_REPEAT_TOP)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )

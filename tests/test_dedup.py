@@ -244,3 +244,35 @@ def test_repersist_over_loaded_index_does_not_destroy_it(spark, sf_dir, tmp_path
         indexstore.drop_group(sf_dir, "text")
     finally:
         release_shared_caches()
+
+
+def test_crossdoc_ngram_repeats_matches_python_replay(spark, sf_dir):
+    """Sliding-window replay: every word-8-gram seen in >=2 distinct
+    docs, ranked (n_docs desc, n_occ desc, ngram), top-200."""
+    from collections import Counter
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    occ: Counter = Counter()
+    docs_per: dict[str, set] = {}
+    for r in rows:
+        ts = [t for t in r.text.strip().split() if t]
+        for i in range(len(ts) - 7):
+            g = " ".join(ts[i : i + 8])
+            occ[g] += 1
+            docs_per.setdefault(g, set()).add(r.doc_id)
+    want = sorted(
+        (
+            (g, len(ds), occ[g])
+            for g, ds in docs_per.items()
+            if len(ds) >= 2
+        ),
+        key=lambda x: (-x[1], -x[2], x[0]),
+    )[:200]
+
+    got = registry.get("crossdoc_ngram_repeats").fn(spark, sf_dir).collect()
+    got_sorted = sorted(got, key=lambda r: r.rnk)
+    assert [(r.ngram, r.n_docs, r.n_occ) for r in got_sorted] == want
+    assert [r.rnk for r in got_sorted] == list(range(1, len(want) + 1))
