@@ -61,7 +61,7 @@ def _bpe_merge_oracle(n_merges: int) -> str:
       SELECT unnest(toks) AS tok
       FROM (SELECT {_DUCK_TOKS} AS toks FROM documents)
     ), v0 AS MATERIALIZED (
-      SELECT array_to_string(string_split(tok, ''), ' ') AS seq,
+      SELECT tok, array_to_string(string_split(tok, ''), ' ') AS seq,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM ex GROUP BY tok
     )"""
@@ -78,8 +78,8 @@ def _bpe_merge_oracle(n_merges: int) -> str:
       SELECT c1, c2, pair_count FROM p{r}
       ORDER BY pair_count DESC, c1, c2 LIMIT 1
     ), v{r} AS MATERIALIZED (
-      SELECT replace(seq, (SELECT c1 || ' ' || c2 FROM b{r}),
-                     (SELECT c1 || c2 FROM b{r})) AS seq, n
+      SELECT tok, replace(seq, (SELECT c1 || ' ' || c2 FROM b{r}),
+                          (SELECT c1 || c2 FROM b{r})) AS seq, n
       FROM v{r - 1}
     )"""
         )
@@ -201,14 +201,16 @@ def _bpe_learn(
     spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
 ) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
     """The shared BPE training loop: returns (post-merge vocabulary
-    DataFrame with columns (seq, n), merge-table rows). See
+    DataFrame with columns (tok, seq, n), merge-table rows). See
     :func:`bpe_merge_sequence` for the plan-shape discussion."""
     docs = table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.array_join(F.split("tok", ""), " ").alias("seq"), "n")
+        .select(
+            "tok", F.array_join(F.split("tok", ""), " ").alias("seq"), "n"
+        )
         .localCheckpoint()  # bound lineage: rounds re-read this, not the corpus
     )
     rows: list[tuple[int, str, str, str, int]] = []
@@ -290,6 +292,79 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cnt.orderBy(F.desc("n_occ"), "symbol").limit(_BPE_TOP)
     w = Window.orderBy(F.desc("n_occ"), "symbol")
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def _bpe_budget_oracle(n_merges: int) -> str:
+    """Per-doc token-budget oracle: the merge chain's final vocabulary
+    joined back to per-(doc, word) counts."""
+    chain = _bpe_merge_oracle(n_merges)
+    chain = chain[: chain.rindex("\n    SELECT * FROM (")]
+    return (
+        chain
+        + f""", dt AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, unnest(toks) AS tok
+            FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+      GROUP BY 1, 2
+    ), nsym AS (
+      SELECT tok, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+      FROM v{n_merges}
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_words,
+           CAST(SUM(d.k * s.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(d.k * s.n_sym) AS DOUBLE) / SUM(d.k) AS tokens_per_word
+    FROM dt d JOIN nsym s USING (tok)
+    GROUP BY d.doc_id"""
+    )
+
+
+@query("doc_bpe_token_budget", oracle=_bpe_budget_oracle(_BPE_MERGES))
+def doc_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budget under the TRAINED tokenizer: how many
+    BPE tokens each document costs after the learned merge sequence is
+    applied — the number a context-window packer, a data-mixing
+    token accountant, or a training-cost estimate actually needs
+    (whitespace word counts systematically under-bill long/rare words).
+
+    Plan: the trained vocabulary (tok → post-merge symbol count,
+    |vocab| slim rows) joins per-(doc, word) counts — the corpus is
+    never re-tokenized per document; the tokenizer is APPLIED via one
+    vocab-keyed join, which is exactly how a production pipeline
+    amortizes an expensive tokenizer over a corpus (tokenize the
+    vocabulary once, join everywhere). Final agg keys on doc_id; all
+    sums are exact integers, the ratio a single int→double division.
+
+    Scale: dt is the same per-(doc,word) table the unigram scorer
+    shared-caches; the vocab join's model side is |vocab| rows (AQE
+    broadcasts it locally, shuffles at 100 TB); Zipf skew bounded by
+    the per-doc pre-combine as in :func:`doc_unigram_logprob`.
+    """
+    from imdbmapreduce_spark.cache import shared_cache
+
+    vocab, _ = _bpe_learn(spark, sf_dir)
+    nsym = vocab.select(
+        "tok", F.size(F.split("seq", " ")).cast("long").alias("n_sym")
+    )
+    dt = shared_cache(
+        spark,
+        ("unigram_doc_tokens", sf_dir),
+        lambda: table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k")),
+    )
+    return (
+        dt.join(nsym, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.sum(F.col("k") * F.col("n_sym")).alias("n_bpe_tokens"),
+            (
+                F.sum(F.col("k") * F.col("n_sym")).cast("double") / F.sum("k")
+            ).alias("tokens_per_word"),
+        )
+    )
 
 
 

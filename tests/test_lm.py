@@ -198,3 +198,52 @@ def test_doc_bigram_logprob_matches_python_replay(spark, sf_dir):
         # model (knowing the previous word) should beat the unigram model
         # on average for at least most docs -- spot-check sign only here.
         assert r.avg_logprob < 0
+
+
+def test_doc_bpe_token_budget_matches_python_replay(spark, sf_dir):
+    """Replay the merge loop, then per doc: words and post-merge symbol
+    counts summed exactly."""
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    word_counts: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for r in rows:
+        c = Counter(_toks(r.text))
+        if c:
+            per_doc[r.doc_id] = c
+            word_counts.update(c)
+    vocab: dict[str, tuple[str, ...]] = {w: tuple(w) for w in word_counts}
+
+    def apply(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    for _ in range(10):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += word_counts[w]
+        if not pairs:
+            break
+        (a, b), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        vocab = {w: apply(s, a, b) for w, s in vocab.items()}
+
+    got = {
+        r.doc_id: r
+        for r in registry.get("doc_bpe_token_budget").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, c in per_doc.items():
+        n_words = sum(c.values())
+        n_bpe = sum(k * len(vocab[w]) for w, k in c.items())
+        r = got[doc_id]
+        assert (r.n_words, r.n_bpe_tokens) == (n_words, n_bpe), doc_id
+        assert r.tokens_per_word == n_bpe / n_words
+        assert 1.0 <= r.tokens_per_word  # merges never split below 1/word
