@@ -197,8 +197,27 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rnk")
 
 
+# One trained tokenizer per (session, corpus, merges): the three
+# consumers (merge table, encode stats, token budget) share a single run
+# of the training loop instead of re-training each — the same
+# build-once/serve-many contract as cache.shared_cache, with the merge
+# table rows memoized alongside the vocabulary DataFrame.
+_LEARN_MEMO: dict[tuple, tuple[DataFrame, list]] = {}
+
+
 def _bpe_learn(
     spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    hit = _LEARN_MEMO.get(key)
+    if hit is None:
+        hit = _bpe_learn_uncached(spark, sf_dir, n_merges)
+        _LEARN_MEMO[key] = hit
+    return hit
+
+
+def _bpe_learn_uncached(
+    spark: SparkSession, sf_dir: str, n_merges: int
 ) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
     """The shared BPE training loop: returns (post-merge vocabulary
     DataFrame with columns (tok, seq, n), merge-table rows). See
