@@ -39,6 +39,8 @@ _BNLJ_ALLOWED = {
     "price_band_assignment",
     # scalar-threshold broadcast (1-row build side, the q11 pattern)
     "sessions_during_error_spikes",
+    # 1-row corpus-stats build side (N, total tokens), the tfidf pattern
+    "doc_bm25_topk",
 }
 
 
