@@ -179,11 +179,14 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE corpus pass builds the word-frequency vocabulary
     (localCheckpointed — every later round starts from |vocab| rows,
-    never the corpus). Per round: slide-zip the symbol arrays map-side,
-    one pair-count aggregation (character-pair keys — tiny, map-side
-    combined), collect the single argmax row, and extend the lineage
-    with one narrow ``replace``. Driver state is one (c1, c2, count)
-    triple per round; the result is a LocalRelation of the merge table.
+    never the corpus). The rounds then run in a size-gated venue
+    (``_BPE_LOCAL_VOCAB_CAP``): a vocabulary that fits on the driver
+    collects once and merges in memory (the HuggingFace-tokenizers
+    shape); a larger one runs each round distributed — slide-zip the
+    symbol arrays map-side, one pair-count aggregation (character-pair
+    keys — tiny, map-side combined), collect the single argmax row,
+    extend the lineage with one narrow ``replace``. Both venues compute
+    the identical greedy recurrence (equality pinned in test_lm.py).
 
     Scale: this is WHY BPE trains in minutes on terabytes — after the
     single corpus scan, every round touches |vocab| rows (~1e8 slim rows
@@ -216,6 +219,16 @@ def _bpe_learn(
     return hit
 
 
+# Vocabulary-size gate for the merge loop's execution venue: at or
+# below the cap the aggregated vocabulary collects to the driver and
+# the rounds run locally (the HuggingFace-tokenizers shape — ONE
+# distributed corpus pass, then in-memory merges); above it, rounds run
+# as distributed aggregations. Both venues compute the identical greedy
+# recurrence (pinned by test_lm.py forcing each path); the gate is the
+# same fits-in-memory judgment AQE makes for broadcast joins.
+_BPE_LOCAL_VOCAB_CAP = 200_000
+
+
 def _bpe_learn_uncached(
     spark: SparkSession, sf_dir: str, n_merges: int
 ) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
@@ -232,6 +245,43 @@ def _bpe_learn_uncached(
         )
         .localCheckpoint()  # bound lineage: rounds re-read this, not the corpus
     )
+    if vocab.count() <= _BPE_LOCAL_VOCAB_CAP:
+        return _bpe_merge_rounds_local(spark, vocab, n_merges)
+    return _bpe_merge_rounds_distributed(vocab, n_merges)
+
+
+def _bpe_merge_rounds_local(
+    spark: SparkSession, vocab: DataFrame, n_merges: int
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """Driver-local merge rounds over the collected vocabulary — the
+    small-vocab venue. Each round is the same pair-count → argmax →
+    left-to-right non-overlapping replace recurrence as the distributed
+    venue (Python ``str.replace`` and Spark/DuckDB ``replace`` share
+    those semantics exactly), so results are bit-identical."""
+    local = [(r["tok"], r["seq"], int(r["n"])) for r in vocab.collect()]
+    rows: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for _tok, seq, n in local:
+            syms = seq.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (c1, c2), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((r, c1, c2, c1 + c2, cnt))
+        pat, rep = c1 + " " + c2, c1 + c2
+        local = [(tok, seq.replace(pat, rep), n) for tok, seq, n in local]
+    out = spark.createDataFrame(local, "tok string, seq string, n long")
+    return out, rows
+
+
+def _bpe_merge_rounds_distributed(
+    vocab: DataFrame, n_merges: int
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """Distributed merge rounds — the large-vocab venue (per round: one
+    map-side-combined pair aggregation over |vocab| rows, one driver
+    argmax row-trip, one narrow ``replace``)."""
     rows: list[tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):
         c = F.split("seq", " ")

@@ -247,3 +247,19 @@ def test_doc_bpe_token_budget_matches_python_replay(spark, sf_dir):
         assert (r.n_words, r.n_bpe_tokens) == (n_words, n_bpe), doc_id
         assert r.tokens_per_word == n_bpe / n_words
         assert 1.0 <= r.tokens_per_word  # merges never split below 1/word
+
+
+def test_bpe_merge_venues_identical(spark, sf_dir, monkeypatch):
+    """The driver-local and distributed merge venues must produce the
+    SAME merge table and the SAME post-merge vocabulary — the local fast
+    path may never drift from the 100 TB path."""
+    from imdbmapreduce_spark.operators import lm
+
+    vocab_l, rows_l = lm._bpe_learn_uncached(spark, sf_dir, 6)
+    monkeypatch.setattr(lm, "_BPE_LOCAL_VOCAB_CAP", 0)
+    vocab_d, rows_d = lm._bpe_learn_uncached(spark, sf_dir, 6)
+    assert rows_l == rows_d
+    as_set = lambda df: {
+        (r["tok"], r["seq"], r["n"]) for r in df.select("tok", "seq", "n").collect()
+    }
+    assert as_set(vocab_l) == as_set(vocab_d)
