@@ -1755,3 +1755,167 @@ def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("late_us").alias("max_late_us"),
         F.sum("late_us").alias("sum_late_us"),
     )
+
+
+# --- user-journey Markov chain: transition matrix + steady state ----------
+
+_MC_SCALE = 1_000_000_000_000  # stationary mass in 1e-12 units (pagerank's)
+_MC_ITERS = 12
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+    FROM pairs
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the user journey: for
+    each ordered pair of event types, how often type B directly follows
+    type A within a user's stream, and the row-normalized transition
+    probability — the structure behind next-action prediction, journey
+    visualization, and the steady-state analysis in
+    :func:`events_type_stationary`.
+
+    Determinism: event order within a user is (epoch_us, event_id) —
+    total and engine-independent; probabilities are one double division
+    of exact integers.
+
+    Scale: one window partitioned by user_id (the same single exchange
+    every per-user plan here shares; per-user streams are
+    human-bounded), then an aggregation whose key space is
+    |event_types|² — tiny, map-side combined. The probability window
+    runs over that tiny matrix, not the facts.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(wm).alias("row_total"),
+        (F.col("n").cast("double") / F.sum("n").over(wm)).alias("p"),
+    )
+
+
+def _stationary_oracle_sql(iters: int = _MC_ITERS) -> str:
+    """Unrolled exact fixed-point power iteration over the event-type
+    transition matrix — the PageRank oracle pattern (graph.py:202) on a
+    row-stochastic chain: per round, pi_{t+1}(j) = Σ_i (pi_t(i)·n_ij) //
+    n_i, every term an exact int64 multiply + truncating division."""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""r{t} AS (
+      SELECT m.next_type AS event_type,
+             CAST(SUM((r.pi_fp * m.n) // m.row_total) AS BIGINT) AS pi_fp
+      FROM m JOIN r{t - 1} r ON m.prev_type = r.event_type
+      GROUP BY m.next_type
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+      SELECT prev_type, next_type, n,
+             CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total
+      FROM pairs
+    ), states AS (
+      SELECT DISTINCT prev_type AS event_type FROM m
+    ), r0 AS (
+      SELECT event_type,
+             CAST({_MC_SCALE} // (SELECT COUNT(*) FROM states) AS BIGINT)
+               AS pi_fp
+      FROM states
+    ),
+    {chain}
+    SELECT event_type, pi_fp FROM r{iters}
+    """
+
+
+@query("events_type_stationary", oracle=_stationary_oracle_sql())
+def events_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state distribution of the user-journey Markov chain: where
+    a user's session settles in the long run — the "gravity" of each
+    event type, read directly off the transition matrix by exact
+    fixed-point power iteration (the third iterative-algorithm instance
+    after PageRank and k-means, reusing PageRank's determinism
+    contract: mass in 1e-12 int64 units, truncating division per edge,
+    order-independent integer sums, bit-identical on any partitioning
+    and in DuckDB's unrolled CTE recurrence).
+
+    Plan: the transition matrix (|types|² rows) is computed ONCE from
+    one user_id-partitioned window pass, then each of the {iters}
+    rounds is a join + agg over that tiny matrix — the round cost is
+    scheduling latency, not data. The chain on event types is
+    irreducible in practice (every type follows every type somewhere),
+    so no teleport term is needed; if a row were absorbing, its mass
+    simply accumulates — still exact.
+
+    Scale: the expensive part is the single fact-table window (shared
+    shape with sessionization); the iteration itself is O(|types|²) per
+    round — constant for any corpus size. Driver holds nothing but the
+    loop counter.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    m = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "row_total", F.sum("n").over(Window.partitionBy("prev_type"))
+        )
+        .localCheckpoint()  # tiny matrix; rounds must not re-run the window
+    )
+    states = m.select(F.col("prev_type").alias("event_type")).distinct()
+    n_states = states.count()
+    pi = states.withColumn(
+        "pi_fp", F.lit(_MC_SCALE // n_states).cast("long")
+    )
+    for _ in range(_MC_ITERS):
+        pi = (
+            m.join(pi, m.prev_type == pi.event_type)
+            .select(
+                F.col("next_type").alias("event_type"),
+                F.expr("(pi_fp * n) div row_total").alias("contrib"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("contrib").cast("long").alias("pi_fp"))
+        )
+    return pi

@@ -338,3 +338,52 @@ def test_salted_join_helper_exact_on_synthetic_skew(spark):
     )
     want = sorted((r.k, r.v, r.dim_n) for r in fact.join(dim, "k").collect())
     assert got == want
+
+
+def test_markov_chain_matches_python_replay(spark, sf_dir):
+    """Transition matrix and exact fixed-point stationary distribution
+    replayed in pure Python (int64 semantics: truncating division)."""
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.plans.events import _MC_ITERS, _MC_SCALE
+
+    ev = sorted(
+        table(spark, sf_dir, "events")
+        .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) ts_us")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts_us, r.event_id),
+    )
+    pairs: dict[tuple[str, str], int] = {}
+    prev_by_user: dict[int, str] = {}
+    for r in ev:
+        p = prev_by_user.get(r.user_id)
+        if p is not None:
+            pairs[(p, r.event_type)] = pairs.get((p, r.event_type), 0) + 1
+        prev_by_user[r.user_id] = r.event_type
+    row_tot: dict[str, int] = {}
+    for (a, _), n in pairs.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+
+    got = registry.get("events_type_transitions").fn(spark, sf_dir).collect()
+    assert {(r.prev_type, r.next_type): (r.n, r.row_total) for r in got} == {
+        k: (n, row_tot[k[0]]) for k, n in pairs.items()
+    }
+    for r in got:
+        assert r.p == r.n / r.row_total
+
+    # stationary: exact integer power iteration (// truncates toward
+    # zero for the non-negative values here, matching Spark div)
+    states = sorted(row_tot)
+    pi = {s: _MC_SCALE // len(states) for s in states}
+    for _ in range(_MC_ITERS):
+        nxt: dict[str, int] = {}
+        for (a, b), n in pairs.items():
+            nxt[b] = nxt.get(b, 0) + (pi[a] * n) // row_tot[a]
+        pi = nxt
+    out = {
+        r.event_type: r.pi_fp
+        for r in registry.get("events_type_stationary").fn(spark, sf_dir).collect()
+    }
+    assert out == pi
+    # mass conservation up to truncation loss (one unit per matrix cell
+    # per round at worst)
+    assert 0 <= _MC_SCALE - sum(out.values()) <= _MC_ITERS * len(pairs)
