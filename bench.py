@@ -57,6 +57,21 @@ def main() -> None:
 
     queries = registry.bench_queries()
 
+    # Ensure the persisted index groups exist BEFORE the sweep so (a) the
+    # index-served queries genuinely answer from prebuilt artifacts and
+    # (b) index_build_total below reports the real measured build+persist
+    # cost (each group manifest's build_sec) instead of silently 0. A
+    # valid manifest (source-stamp still matching) is reused as-is — the
+    # build is one-time per corpus, exactly the lifecycle it models.
+    from imdbmapreduce_spark import indexstore
+    from imdbmapreduce_spark.operators.dedup import persist_text_index
+    from imdbmapreduce_spark.operators.similarity import persist_vector_index
+
+    if indexstore.group_manifest(sf_dir, "vector") is None:
+        persist_vector_index(spark, sf_dir)
+    if indexstore.group_manifest(sf_dir, "text") is None:
+        persist_text_index(spark, sf_dir)
+
     def materialize(name: str) -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
@@ -90,8 +105,6 @@ def main() -> None:
     # pass). The one-time build cost lives in each group manifest's
     # build_sec — surface it beside the warm total so neither number
     # hides the other.
-    from imdbmapreduce_spark import indexstore
-
     index_build: dict[str, float] = {}
     for group in indexstore.GROUPS:
         m = indexstore.group_manifest(sf_dir, group)

@@ -35,6 +35,12 @@ __all__ = ["shared_cache", "release_shared_caches"]
 
 _CACHE: dict[tuple, DataFrame] = {}
 
+# Index-served observability (tools/plan_report.py): keys whose build
+# read a persisted index artifact, and a monotone counter of accesses
+# to such keys. Counters/sets only — no per-access log to grow.
+_INDEX_BACKED: set[tuple] = set()
+index_hit_count = 0
+
 
 def shared_cache(
     spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
@@ -44,11 +50,19 @@ def shared_cache(
     ``key`` must determine the result fully (include the sf_dir and any
     parameters of the derivation).
     """
+    from imdbmapreduce_spark import indexstore
+
+    global index_hit_count
     full_key = (spark.sparkContext.applicationId, *key)
     df = _CACHE.get(full_key)
     if df is None:
+        loads_before = indexstore.load_count
         df = build().cache()
+        if indexstore.load_count > loads_before:
+            _INDEX_BACKED.add(full_key)
         _CACHE[full_key] = df
+    if full_key in _INDEX_BACKED:
+        index_hit_count += 1
     return df
 
 

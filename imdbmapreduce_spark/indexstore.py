@@ -46,6 +46,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 # group -> (source parquet file used for the staleness stamp)
 GROUPS = {"vector": "embeddings.parquet", "text": "documents.parquet"}
+
+# Monotone count of successful artifact loads this process — tooling
+# (tools/plan_report.py) snapshots it around a query to attribute
+# index-served status even when the scan hides behind a shared-cache
+# InMemoryRelation. A counter, not a log: zero growth.
+load_count = 0
 # the vector group's artifact set (fixed — persist_group checks it)
 INDEX_ARTIFACTS = ("ivf_codebook", "ivf_lists", "pq_codebook", "pq_codes")
 _MANIFEST = "_INDEX_MANIFEST.json"
@@ -108,6 +114,8 @@ def load_group_artifact(
     m = group_manifest(sf_dir, group, params)
     if m is None or name not in m.get("artifacts", []):
         return None
+    global load_count
+    load_count += 1
     return spark.read.parquet(os.path.join(_group_dir(sf_dir, group), name))
 
 

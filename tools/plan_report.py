@@ -76,7 +76,16 @@ def main() -> None:
     spark = get_spark(app_name="plan-report")
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    from imdbmapreduce_spark import indexstore
+    from imdbmapreduce_spark import cache, indexstore
+    from imdbmapreduce_spark.operators.dedup import persist_text_index
+    from imdbmapreduce_spark.operators.similarity import persist_vector_index
+
+    # Persist both index groups first (cheap at sf0.001) so index-served
+    # queries exercise their warm path — the lifecycle bench.py models.
+    if indexstore.group_manifest(sf_dir, "vector") is None:
+        persist_vector_index(spark, sf_dir)
+    if indexstore.group_manifest(sf_dir, "text") is None:
+        persist_text_index(spark, sf_dir)
 
     iroot = os.path.abspath(indexstore.index_root())
     rows: list[tuple[str, dict]] = []
@@ -84,6 +93,7 @@ def main() -> None:
         if name.startswith("streaming_"):
             continue
         try:
+            loads0, hits0 = indexstore.load_count, cache.index_hit_count
             df = fn(spark, sf_dir)
             # collect() executes THIS DataFrame's QueryExecution (a noop
             # write would run a separate one and leave df's adaptive plan
@@ -96,11 +106,17 @@ def main() -> None:
             rows.append((name, {"error": re.sub(r"\s+", " ", str(e))[:80]}))
             continue
         counts = {col: sum(c[m] for m in marks) for col, marks in _COLS}
-        # cold-vs-warm flag: a scan rooted under the persisted index dir
-        # means this query is served from prebuilt artifacts (warm path);
-        # its one-time build cost is the manifest's build_sec, surfaced
-        # by bench.py as index_build_total.
-        counts["index-served"] = 1 if iroot in formatted else 0
+        # cold-vs-warm flag: the query is served from prebuilt artifacts
+        # (warm path) when its plan scans under the index dir, when it
+        # loaded an artifact during construction, or when it touched a
+        # shared-cache entry whose build read one (the InMemoryRelation
+        # case the path grep can't see). One-time build cost is the
+        # manifest's build_sec, surfaced by bench.py as index_build_total.
+        counts["index-served"] = int(
+            iroot in formatted
+            or indexstore.load_count > loads0
+            or cache.index_hit_count > hits0
+        )
         rows.append((name, counts))
     spark.stop()
 
