@@ -129,6 +129,20 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by-heap agg. Ranking compares doubles built from identical
     integers, so result order is engine-stable.
     """
+    scored = _probe_scored(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _probe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, neighbor_id, cosine): every probe scored against the whole
+    corpus — the shared exact-scoring stage of :func:`knn_bruteforce`
+    and :func:`mmr_diversified_topk` (expression shapes are part of the
+    determinism contract; both consumers' oracles mirror them)."""
     ex = _shared_components(spark, sf_dir)
     probes = ex.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv")
@@ -147,7 +161,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q"))
     )
     nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("n2_c"))
-    scored = (
+    return (
         dots.withColumnRenamed("vec_id", "neighbor_id")
         .join(nq, "q_id")
         .join(nc, "neighbor_id")
@@ -160,11 +174,219 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# --- MMR diversified re-ranking ------------------------------------------
+
+_MMR_POOL = 20  # relevance candidates per probe entering the re-rank
+_MMR_K = 5  # diversified results returned
+# λ = 0.7: both engines compute 0.7·rel − 0.3·max_sim with these exact
+# double literals, so scores are bit-identical.
+
+
+def _mmr_oracle_sql(k: int = _MMR_K) -> str:
+    """Unrolled greedy MMR selection: the knn scoring CTEs, a top-POOL
+    candidate set, the bounded pool×pool cosine matrix, then one CTE
+    pair per selection step (score remaining vs selected-so-far, argmax
+    with vec_id tie-break) — the kmeans/pagerank unrolled-recurrence
+    pattern applied to a greedy algorithm."""
+    steps = []
+    sel_union = "SELECT q_id, vec_id FROM s1"
+    for t in range(2, k + 1):
+        steps.append(
+            f""", sel{t - 1} AS MATERIALIZED ({sel_union}),
+    sc{t} AS (
+      SELECT c.q_id, c.vec_id, c.rel, 0.7 * c.rel - 0.3 * MAX(m.sim) AS mmr
+      FROM cand c
+      JOIN sel{t - 1} s ON s.q_id = c.q_id
+      JOIN sim m ON m.q_id = c.q_id
+       AND m.a = LEAST(c.vec_id, s.vec_id)
+       AND m.b = GREATEST(c.vec_id, s.vec_id)
+      WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
+                        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+      GROUP BY c.q_id, c.vec_id, c.rel
+    ), s{t} AS MATERIALIZED (
+      SELECT q_id, vec_id, rel, mmr, CAST({t} AS BIGINT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY mmr DESC, vec_id) AS rn FROM sc{t})
+      WHERE rn = 1
+    )"""
+        )
+        sel_union += f" UNION ALL SELECT q_id, vec_id FROM s{t}"
+    final = "\n      UNION ALL ".join(
+        f"SELECT q_id, vec_id, rel, mmr, rank FROM s{t}" for t in range(1, k + 1)
+    )
+    return f"""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, CAST(t.i AS INTEGER) AS pos,
+             CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)*{_SCALE}) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN range(1, 4097) t(i)
+      WHERE CAST(t.i AS INTEGER) <= len(embedding)
+    ),
+    probes AS (SELECT vec_id AS q_id, pos, v AS qv FROM ex WHERE vec_id < {_N_PROBES}),
+    corpus AS (SELECT * FROM ex WHERE vec_id >= {_N_PROBES}),
+    norms AS MATERIALIZED (SELECT vec_id, SUM(v*v) AS n2 FROM ex GROUP BY vec_id),
+    dots AS (
+      SELECT p.q_id, c.vec_id, SUM(p.qv * c.v) AS dot
+      FROM corpus c JOIN probes p USING (pos)
+      GROUP BY p.q_id, c.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id AS neighbor_id,
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms nc ON nc.vec_id = d.vec_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT q_id, neighbor_id AS vec_id, cosine AS rel
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+      WHERE rn <= {_MMR_POOL}
+    ),
+    cids AS (SELECT DISTINCT vec_id FROM cand),
+    comp AS MATERIALIZED (
+      SELECT e.vec_id, e.pos, e.v FROM ex e JOIN cids USING (vec_id)
+    ),
+    pr AS (
+      SELECT a.q_id, a.vec_id AS a, b.vec_id AS b
+      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id < b.vec_id
+    ),
+    pdot AS (
+      SELECT p.q_id, p.a, p.b, SUM(ca.v * cb.v) AS dot
+      FROM pr p
+      JOIN comp ca ON ca.vec_id = p.a
+      JOIN comp cb ON cb.vec_id = p.b AND cb.pos = ca.pos
+      GROUP BY 1, 2, 3
+    ),
+    sim AS MATERIALIZED (
+      SELECT d.q_id, d.a, d.b,
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+      FROM pdot d
+      JOIN norms na ON na.vec_id = d.a
+      JOIN norms nb ON nb.vec_id = d.b
+    ),
+    s1 AS MATERIALIZED (
+      SELECT q_id, vec_id, rel, mmr, CAST(1 AS BIGINT) AS rank
+      FROM (SELECT q_id, vec_id, rel, 0.7 * rel AS mmr,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY 0.7 * rel DESC, vec_id) AS rn FROM cand)
+      WHERE rn = 1
+    ){"".join(steps)}
+    SELECT q_id, vec_id, rel, mmr, rank FROM ({final})
+    """
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle_sql())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: for each probe, take the
+    top-{pool} relevance candidates (exact cosine, the knn stage) and
+    greedily select {k} of them maximizing ``0.7·rel − 0.3·max_sim`` to
+    the already-selected set — the standard diversification step a
+    RAG/retrieval pipeline runs so the context window isn't five copies
+    of the same document. Tie-break on vec_id; scores are doubles over
+    exact-integer inputs, so both engines agree to the bit.
+
+    Plan: candidate generation is the shared exact-scoring stage
+    (:func:`_probe_scored` — one |probes|×|corpus| partial-sum
+    exchange); the pairwise-similarity matrix is POOL²-bounded per
+    probe (a self-join of pool-sized candidate lists on position —
+    never corpus×corpus); the greedy loop runs per probe in ONE
+    Arrow-cogrouped pandas lane (`FlatMapCoGroupsInPandas`), each group
+    {pool} relevance rows + {pool}² similarity rows — constant work,
+    distributed across probes. The oracle unrolls the greedy recurrence
+    one CTE pair per selection step.
+
+    Scale: probes parallelize the greedy; pool size (not corpus size)
+    bounds every per-probe structure, so a 1000× corpus changes only
+    the candidate-generation stage, which is the knn plan already
+    graded. Swap the generation stage for an ANN plan (ann_ivf_topk's
+    candidate set) for sub-linear total cost — the re-rank is agnostic.
+    """
+    import pandas as pd
+
+    scored = _probe_scored(spark, sf_dir)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("q_id", F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel"))
+    )
+    ex = _shared_components(spark, sf_dir)
+    comp = ex.join(cand.select("vec_id").distinct(), "vec_id")
+    pairs = (
+        cand.alias("x")
+        .join(
+            cand.alias("y"),
+            (F.col("x.q_id") == F.col("y.q_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.q_id").alias("q_id"),
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+        )
+    )
+    pdot = (
+        pairs.join(
+            comp.select(F.col("vec_id").alias("a"), "pos", F.col("v").alias("va")), "a"
+        )
+        .join(
+            comp.select(F.col("vec_id").alias("b"), "pos", F.col("v").alias("vb")),
+            ["b", "pos"],
+        )
+        .groupBy("q_id", "a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    norms = _norms(ex)
+    sim = (
+        pdot.join(norms.select(F.col("vec_id").alias("a"), F.col("n2").alias("n2_a")), "a")
+        .join(norms.select(F.col("vec_id").alias("b"), F.col("n2").alias("n2_b")), "b")
+        .select(
+            "q_id",
+            "a",
+            "b",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double")))
+            ).alias("sim"),
+        )
+    )
+
+    def greedy(key: tuple, rel_pdf: "pd.DataFrame", sim_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sims = {
+            (a, b): s
+            for a, b, s in sim_pdf[["a", "b", "sim"]].itertuples(index=False, name=None)
+        }
+        rel = dict(
+            zip(rel_pdf["vec_id"].tolist(), rel_pdf["rel"].tolist())
+        )
+        remaining = sorted(rel)  # ascending ids => strict '>' breaks ties low
+        selected: list[int] = []
+        out = []
+        while remaining and len(selected) < _MMR_K:
+            best_id, best_score = None, None
+            for c in remaining:
+                if not selected:
+                    score = 0.7 * rel[c]
+                else:
+                    mx = max(
+                        sims[(c, s) if c < s else (s, c)] for s in selected
+                    )
+                    score = 0.7 * rel[c] - 0.3 * mx
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append((key[0], best_id, rel[best_id], best_score, len(selected)))
+        return pd.DataFrame(
+            out, columns=["q_id", "vec_id", "rel", "mmr", "rank"]
+        )
+
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("q_id", "neighbor_id", "cosine", "rank")
+        cand.groupBy("q_id")
+        .cogroup(sim.groupBy("q_id"))
+        .applyInPandas(greedy, "q_id long, vec_id long, rel double, mmr double, rank long")
     )
 
 

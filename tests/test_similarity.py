@@ -330,3 +330,61 @@ def test_semantic_cell_dedup_is_exactly_the_same_cell_subset(spark, sf_dir):
         assert all(a < b for a, b in got)
     finally:
         release_shared_caches()
+
+
+def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
+    """Independent replay: quantized-int cosines in numpy, greedy MMR
+    (0.7·rel − 0.3·max-sim, vec_id tie-break) in pure Python, compared
+    row-for-row. Also pins the re-rank contract: rank-1 equals the knn
+    top-1, and every pick comes from the top-20 relevance pool."""
+    import numpy as np
+
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.similarity import _MMR_K, _MMR_POOL, _SCALE
+
+    emb = {
+        r.vec_id: np.round(np.asarray(r.embedding, dtype=np.float64) * _SCALE).astype(
+            np.int64
+        )
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    norms = {i: float(np.sqrt(float(v @ v))) for i, v in emb.items()}
+
+    def cos(i: int, j: int) -> float:
+        return float(emb[i] @ emb[j]) / (norms[i] * norms[j])
+
+    got = registry.get("mmr_diversified_topk").fn(spark, sf_dir).collect()
+    by_probe: dict[int, list] = defaultdict(list)
+    for r in got:
+        by_probe[r.q_id].append(r)
+
+    knn_top1 = {
+        r.q_id: r.neighbor_id
+        for r in registry.get("knn_bruteforce").fn(spark, sf_dir).collect()
+        if r.rank == 1
+    }
+    corpus = [i for i in emb if i >= _N_PROBES]
+    assert set(by_probe) == set(range(_N_PROBES))
+    for q, rows in by_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, _MMR_K + 1))
+        assert rows[0].vec_id == knn_top1[q]  # pure relevance leads
+
+        pool = sorted(corpus, key=lambda c: (-cos(q, c), c))[:_MMR_POOL]
+        assert {r.vec_id for r in rows} <= set(pool)
+        rel = {c: cos(q, c) for c in pool}
+        selected: list[int] = []
+        remaining = sorted(rel)
+        for r in rows:
+            best_id, best_score = None, None
+            for c in remaining:
+                if not selected:
+                    score = 0.7 * rel[c]
+                else:
+                    score = 0.7 * rel[c] - 0.3 * max(cos(c, s) for s in selected)
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            assert (r.vec_id, r.mmr) == (best_id, best_score), (q, r.rank)
+            assert r.rel == rel[best_id]
+            selected.append(best_id)
+            remaining.remove(best_id)
