@@ -311,9 +311,13 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MMR_POOL)
         .select("q_id", F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel"))
+        # |probes|·POOL rows referenced by four downstream plan arms
+        # (pair sides, id list, greedy input) — materialize once or the
+        # corpus-sized scoring stage re-runs per arm
+        .localCheckpoint()
     )
     ex = _shared_components(spark, sf_dir)
-    comp = ex.join(cand.select("vec_id").distinct(), "vec_id")
+    comp = ex.join(F.broadcast(cand.select("vec_id").distinct()), "vec_id")
     pairs = (
         cand.alias("x")
         .join(

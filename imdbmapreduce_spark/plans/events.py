@@ -1877,17 +1877,23 @@ def events_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     and in DuckDB's unrolled CTE recurrence).
 
     Plan: the transition matrix (|types|² rows) is computed ONCE from
-    one user_id-partitioned window pass, then each of the {iters}
-    rounds is a join + agg over that tiny matrix — the round cost is
-    scheduling latency, not data. The chain on event types is
-    irreducible in practice (every type follows every type somewhere),
-    so no teleport term is needed; if a row were absorbing, its mass
-    simply accumulates — still exact.
+    one user_id-partitioned window pass — that distributed pass is the
+    only data-sized work. The matrix is then PROVABLY tiny (event-type
+    vocabularies are bounded by product design, not corpus size), so it
+    collects to the driver and the {iters} rounds iterate in memory —
+    the same fits-on-driver venue judgment as the BPE merge loop and
+    k-means centroids; paying 12 cluster-wide job round-trips to
+    multiply a 5×5 matrix would be scheduling theater. Python's ``//``
+    on the non-negative operands here matches Spark's ``div`` and
+    DuckDB's ``//``, so the unrolled-CTE oracle reproduces every unit.
+    The chain on event types is irreducible in practice; if a row were
+    absorbing, its mass simply accumulates — still exact.
 
-    Scale: the expensive part is the single fact-table window (shared
-    shape with sessionization); the iteration itself is O(|types|²) per
-    round — constant for any corpus size. Driver holds nothing but the
-    loop counter.
+    Scale: the fact window is the whole cost (shared shape with
+    sessionization); the iteration is O(|types|²) per round — constant
+    for any corpus size. For state spaces that DO grow with the data
+    (e.g. per-page chains), the distributed form is
+    :func:`imdbmapreduce_spark.operators.graph.pagerank`'s loop shape.
     """
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
@@ -1901,21 +1907,18 @@ def events_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "row_total", F.sum("n").over(Window.partitionBy("prev_type"))
         )
-        .localCheckpoint()  # tiny matrix; rounds must not re-run the window
+        .collect()
     )
-    states = m.select(F.col("prev_type").alias("event_type")).distinct()
-    n_states = states.count()
-    pi = states.withColumn(
-        "pi_fp", F.lit(_MC_SCALE // n_states).cast("long")
-    )
+    states = sorted({r.prev_type for r in m})
+    pi = {s: _MC_SCALE // len(states) for s in states}
     for _ in range(_MC_ITERS):
-        pi = (
-            m.join(pi, m.prev_type == pi.event_type)
-            .select(
-                F.col("next_type").alias("event_type"),
-                F.expr("(pi_fp * n) div row_total").alias("contrib"),
-            )
-            .groupBy("event_type")
-            .agg(F.sum("contrib").cast("long").alias("pi_fp"))
-        )
-    return pi
+        nxt: dict[str, int] = {}
+        for r in m:
+            if r.prev_type in pi:
+                nxt[r.next_type] = (
+                    nxt.get(r.next_type, 0) + (pi[r.prev_type] * r.n) // r.row_total
+                )
+        pi = nxt
+    return spark.createDataFrame(
+        sorted(pi.items()), "event_type string, pi_fp long"
+    )
