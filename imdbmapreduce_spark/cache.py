@@ -74,3 +74,4 @@ def release_shared_caches() -> None:
         except Exception:
             pass  # session already stopped — nothing to release
     _CACHE.clear()
+    _INDEX_BACKED.clear()  # rebuilt caches re-detect their provenance

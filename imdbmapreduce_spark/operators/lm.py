@@ -409,20 +409,13 @@ def doc_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it locally, shuffles at 100 TB); Zipf skew bounded by
     the per-doc pre-combine as in :func:`doc_unigram_logprob`.
     """
-    from imdbmapreduce_spark.cache import shared_cache
+    from imdbmapreduce_spark.operators.text import _doc_token_counts
 
     vocab, _ = _bpe_learn(spark, sf_dir)
     nsym = vocab.select(
         "tok", F.size(F.split("seq", " ")).cast("long").alias("n_sym")
     )
-    dt = shared_cache(
-        spark,
-        ("unigram_doc_tokens", sf_dir),
-        lambda: table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("k")),
-    )
+    dt = _doc_token_counts(spark, sf_dir)
     return (
         dt.join(nsym, "tok")
         .groupBy("doc_id")
@@ -506,6 +499,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized. No UDFs, no driver state.
     """
     from imdbmapreduce_spark.cache import shared_cache
+    from imdbmapreduce_spark.operators.text import _doc_token_counts
 
     dg = shared_cache(
         spark,
@@ -515,10 +509,9 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = dg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     pre = big.groupBy("w1").agg(F.sum("c12").alias("n1"))
     uni = (
-        table(spark, sf_dir, "documents")
-        .select(F.explode(tokens("text")).alias("tok"))
+        _doc_token_counts(spark, sf_dir)
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        .agg(F.sum("k").alias("c1"))
     )
     total_row = uni.agg(F.sum("c1")).first()[0]
     if total_row is None:
@@ -632,19 +625,11 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     model would instead be a broadcast/bucketed model table — same
     join, different build.
     """
-    from imdbmapreduce_spark.cache import shared_cache
+    from imdbmapreduce_spark.operators.text import _doc_token_counts
 
     # the per-(doc, token) counts feed the vocabulary build, the eager
-    # total, and the scoring join — shared-cache them so the corpus is
-    # tokenized ONCE per session, not once per consumer (review r5)
-    dt = shared_cache(
-        spark,
-        ("unigram_doc_tokens", sf_dir),
-        lambda: table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("k")),
-    )
+    # total, and the scoring join — the shared tokenize-once artifact
+    dt = _doc_token_counts(spark, sf_dir)
     vocab = dt.groupBy("tok").agg(F.sum("k").alias("cnt"))
     total_row = vocab.agg(F.sum("cnt")).first()[0]
     if total_row is None:  # every document tokenized empty

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from imdbmapreduce_spark.catalog import parallelize_scan, table
+from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.functions import tokens
 from imdbmapreduce_spark.registry import query
 
@@ -40,6 +40,25 @@ LANG_MARKERS = {
 STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws} | {"a", "an"})
 
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(doc_id, tok) count table, tokenized ONCE per session and
+    shared by every term-level consumer (TF-IDF, BM25, the unigram and
+    bigram LM scorers, the BPE token budget) — the "tokenize once,
+    consume many" artifact a production corpus pipeline materializes.
+    Cache key kept as ``unigram_doc_tokens`` (its first consumer)."""
+    from imdbmapreduce_spark.cache import shared_cache
+    from imdbmapreduce_spark.catalog import table as _table
+
+    return shared_cache(
+        spark,
+        ("unigram_doc_tokens", sf_dir),
+        lambda: _table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k")),
+    )
 
 
 @query(
@@ -482,16 +501,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands is correctly rounded IEEE in JVM and DuckDB alike. Ties break
     on term, making the top-5 set fully deterministic.
 
-    Scale: tf is one shuffle on (doc_id, term); df reuses tf (one more
-    exchange on term, vocab-sized). The tf⋈df join carries NO broadcast
-    hint: a web-scale corpus's vocabulary is unbounded (billions of
-    terms), so AQE decides broadcast vs shuffle from the df table's actual
-    runtime size — broadcast locally, shuffle join at 100 TB. The final
-    window shuffles on doc_id. No UDFs, no collects.
+    Scale: tf IS the shared per-(doc, token) count artifact every LM
+    scorer reads (`unigram_doc_tokens` — tokenize once, consume many);
+    df reuses tf (one more exchange on term, vocab-sized). The tf⋈df
+    join carries NO broadcast hint: a web-scale corpus's vocabulary is
+    unbounded (billions of terms), so AQE decides broadcast vs shuffle
+    from the df table's actual runtime size — broadcast locally, shuffle
+    join at 100 TB. The final window shuffles on doc_id. No UDFs, no
+    collects.
     """
     docs = table(spark, sf_dir, "documents")
-    tok = parallelize_scan(docs).select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _doc_token_counts(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("term"), F.col("k").alias("tf")
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -579,28 +601,30 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ~1e13-token corpora with realistic tf; past that, switch
     the rational to a pre-rounded avgdl.)
 
-    Plan: term filter is pushed INSIDE the explode pass (only query
-    terms survive the first agg — the tf table is ≤|terms|·|docs|
-    rows); df/idf derive from tf (no second scan); the dl join keys on
-    doc_id; top-k lowers to TakeOrderedAndProject. Corpus stats ride a
-    broadcast 1-row crossJoin, keeping the plan data-driven.
+    Plan: tf, dl, and the corpus totals ALL derive from the shared
+    per-(doc, token) count artifact (`_doc_token_counts` — tokenize
+    once, consume many); the term filter restricts tf to query terms
+    before any join (≤|terms|·|docs| rows); df/idf derive from tf;
+    the dl join keys on doc_id; top-k lowers to
+    TakeOrderedAndProject. Corpus stats ride a broadcast 1-row
+    crossJoin, keeping the plan data-driven. (n_docs counts docs from
+    the base table — a zero-token doc has dl=0 but can never match a
+    query term, so it affects only N and avgdl, identically in both
+    engines.)
 
-    Scale: one corpus pass; every later table is query-term-bounded.
-    The dl side is |docs| slim rows — at 100 TB that join shuffles on
-    doc_id (AQE decides); no UDFs, no driver literals.
+    Scale: one corpus tokenize per session; every later table is
+    query-term-bounded. The dl side is |docs| slim rows — at 100 TB
+    that join shuffles on doc_id (AQE decides); no UDFs, no driver
+    literals.
     """
     docs = table(spark, sf_dir, "documents")
-    ex = parallelize_scan(docs).select("doc_id", tokens("text").alias("toks"))
-    stats = ex.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("toks")).cast("long").alias("t"),
+    dt = _doc_token_counts(spark, sf_dir)
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dt.agg(F.sum("k").cast("long").alias("t"))
     )
-    dl = ex.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    tf = (
-        ex.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    dl = dt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("dl"))
+    tf = dt.filter(F.col("tok").isin(*BM25_QUERY_TERMS)).select(
+        "doc_id", F.col("tok").alias("term"), F.col("k").alias("tf")
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df.crossJoin(F.broadcast(stats)).select(

@@ -82,10 +82,15 @@ def main() -> None:
 
     # Persist both index groups first (cheap at sf0.001) so index-served
     # queries exercise their warm path — the lifecycle bench.py models.
+    # Then drop the session caches: they were populated by the BUILD
+    # path (no index existed yet), and the point of the census flag is
+    # the cold-session-with-index resolution order (disk artifact →
+    # cache), so consumers must re-resolve through the index.
     if indexstore.group_manifest(sf_dir, "vector") is None:
         persist_vector_index(spark, sf_dir)
     if indexstore.group_manifest(sf_dir, "text") is None:
         persist_text_index(spark, sf_dir)
+    cache.release_shared_caches()
 
     iroot = os.path.abspath(indexstore.index_root())
     rows: list[tuple[str, dict]] = []
