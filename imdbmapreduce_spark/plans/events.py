@@ -1922,3 +1922,101 @@ def events_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(pi.items()), "event_type string, pi_fp long"
     )
+
+
+# --- CUSUM drift detection (sequential per-user state) --------------------
+
+_CUSUM_K = 7_500  # reference value (cents): drift accumulates above this
+_CUSUM_H = 20_000  # alarm threshold (cents); detector resets after firing
+
+
+@query(
+    "events_cusum_alarms",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS r
+      FROM events
+    ), cus AS (
+      SELECT user_id, event_id, r,
+             GREATEST(0, cents - {_CUSUM_K}) AS cusum,
+             GREATEST(0, cents - {_CUSUM_K}) >= {_CUSUM_H} AS alarm,
+             CASE WHEN GREATEST(0, cents - {_CUSUM_K}) >= {_CUSUM_H}
+                  THEN 0 ELSE GREATEST(0, cents - {_CUSUM_K}) END AS carry
+      FROM seq WHERE r = 1
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.r,
+             GREATEST(0, c.carry + n.cents - {_CUSUM_K}) AS cusum,
+             GREATEST(0, c.carry + n.cents - {_CUSUM_K}) >= {_CUSUM_H} AS alarm,
+             CASE WHEN GREATEST(0, c.carry + n.cents - {_CUSUM_K}) >= {_CUSUM_H}
+                  THEN 0
+                  ELSE GREATEST(0, c.carry + n.cents - {_CUSUM_K}) END AS carry
+      FROM cus c JOIN seq n ON n.user_id = c.user_id AND n.r = c.r + 1
+    )
+    SELECT user_id, event_id, r, cusum, alarm FROM cus
+    """,
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user: the classic sequential
+    statistic S_t = max(0, S_(t-1) + x_t − K) with an alarm at S ≥ H
+    and restart after firing — the change-point detector a spend/abuse
+    monitor runs per account. This is the genuinely ORDER-DEPENDENT
+    per-key recurrence (unlike sums/windows) that motivates the
+    ``applyInPandas`` escape hatch: no built-in window expresses it.
+
+    Determinism: x is the engine-wide cents quantization (exact int64);
+    event order per user is the total (epoch_us, event_id) order; the
+    whole recurrence is integer max/add — bit-identical in the Arrow
+    lane, in pure Python, and in DuckDB's RECURSIVE CTE (the oracle —
+    recursion depth = the per-user stream length, each step one
+    integer-keyed join).
+
+    Plan: cents computed JVM-side (codegen); ONE shuffle on user_id
+    into an Arrow-cogrouped pandas lane whose groups are human-bounded
+    event streams (≤ a few hundred rows); the Python loop is O(events)
+    integer ops over already-batched columns. A robot user (the skew
+    case) is one oversized group — cap or bisect-by-session upstream;
+    AQE cannot split a single key.
+
+    Scale: state is one int per live key — the streaming twin would be
+    ``applyInPandasWithState`` with identical per-batch code (the batch
+    form here IS the backfill/replay path a production detector needs
+    for reprocessing); output is one row per event, written alongside
+    the fact table as a derived column family.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def cusum(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        out_r, out_s, out_a = [], [], []
+        s = 0
+        for r, cents in enumerate(pdf["cents"].tolist(), start=1):
+            s = max(0, s + int(cents) - _CUSUM_K)
+            alarm = s >= _CUSUM_H
+            out_r.append(r)
+            out_s.append(s)
+            out_a.append(alarm)
+            if alarm:
+                s = 0
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "r": out_r,
+                "cusum": out_s,
+                "alarm": out_a,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        cusum, "user_id long, event_id long, r long, cusum long, alarm boolean"
+    )

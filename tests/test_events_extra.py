@@ -387,3 +387,32 @@ def test_markov_chain_matches_python_replay(spark, sf_dir):
     # mass conservation up to truncation loss (one unit per matrix cell
     # per round at worst)
     assert 0 <= _MC_SCALE - sum(out.values()) <= _MC_ITERS * len(pairs)
+
+
+def test_cusum_fires_on_planted_drift_and_resets(spark, tmp_path):
+    """A user whose spend jumps sustains S above H -> alarm fires, state
+    resets, and quiet users never alarm."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: quiet (values near 50 << K=75) — never alarms
+    for i in range(20):
+        rows.append(Row(event_id=i, ts=base + dt.timedelta(minutes=i),
+                        user_id=1, event_type="click", value=50.0, props="{}"))
+    # user 2: drift — 300/event accumulates (300-75)*100=22500 >= H first hit
+    for i in range(6):
+        rows.append(Row(event_id=100 + i, ts=base + dt.timedelta(minutes=i),
+                        user_id=2, event_type="click", value=300.0, props="{}"))
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    out = registry.get("events_cusum_alarms").fn(spark, sf).collect()
+    u1 = [r for r in out if r.user_id == 1]
+    u2 = sorted((r for r in out if r.user_id == 2), key=lambda r: r.r)
+    assert len(u1) == 20 and not any(r.alarm for r in u1)
+    # every drift event individually crosses: alarm + reset each step
+    assert [r.alarm for r in u2] == [True] * 6
+    assert [r.cusum for r in u2] == [22500] * 6
