@@ -1930,9 +1930,7 @@ _CUSUM_K = 7_500  # reference value (cents): drift accumulates above this
 _CUSUM_H = 20_000  # alarm threshold (cents); detector resets after firing
 
 
-@query(
-    "events_cusum_alarms",
-    oracle=f"""
+_CUSUM_ORACLE = f"""
     WITH RECURSIVE seq AS (
       SELECT user_id, event_id,
              CAST(round(value * 100) AS BIGINT) AS cents,
@@ -1956,8 +1954,10 @@ _CUSUM_H = 20_000  # alarm threshold (cents); detector resets after firing
       FROM cus c JOIN seq n ON n.user_id = c.user_id AND n.r = c.r + 1
     )
     SELECT user_id, event_id, r, cusum, alarm FROM cus
-    """,
-)
+    """
+
+
+@query("events_cusum_alarms", oracle=_CUSUM_ORACLE)
 def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detection per user: the classic sequential
     statistic S_t = max(0, S_(t-1) + x_t − K) with an alarm at S ≥ H

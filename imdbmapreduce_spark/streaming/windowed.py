@@ -477,3 +477,97 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
     )
+
+
+from imdbmapreduce_spark.plans.events import _CUSUM_ORACLE as _CUSUM_SQL
+
+
+@query(
+    "streaming_cusum_alarms",
+    bench=False,
+    # The batch query's recursive-CTE oracle verbatim: on the driver's
+    # event-time-ordered feed the stream folds every row exactly once,
+    # so the sequential recurrence reproduces row-for-row.
+    oracle=_CUSUM_SQL,
+)
+def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`imdbmapreduce_spark.plans.events.
+    events_cusum_alarms`: the same one-sided CUSUM recurrence carried in
+    explicit group state (``applyInPandasWithState``), folding each
+    micro-batch's rows in (ts, event_id) order into (s, n, last_ts_us,
+    last_event_id, dropped).
+
+    ORDERED-FEED CONTRACT (same stance as the SCD-2 upsert sink): a
+    sequential detector is order-dependent, so rows at or before the
+    per-key high-water mark (last_ts_us, last_event_id) are DROPPED and
+    counted in state, never folded out of order — on an event-time-
+    ordered feed (a backfill replay, a per-key-sorted log) the stream
+    output equals the batch query row-for-row (pinned in
+    test_streaming.py, which also pins the disordered-feed drop
+    accounting). A full late-data treatment would buffer behind a
+    watermark before folding; that reordering stage is deliberately out
+    of scope here.
+
+    Scale: state is five longs per live key, shuffled once on user_id;
+    batches move through Arrow whole; emission is one row per folded
+    event in append mode.
+    """
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return _run_to_table(cusum_stateful(ev), "append")
+
+
+def cusum_stateful(ev: DataFrame) -> DataFrame:
+    """The stateful CUSUM transform over a (user_id, event_id, ts_us,
+    cents) stream — factored so tests can drive it with their own
+    micro-batch slicing (maxFilesPerTrigger=1 feeds)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from imdbmapreduce_spark.plans.events import _CUSUM_H, _CUSUM_K
+
+    def update(key: tuple, pdfs, state: GroupState):
+        s, n, last_ts, last_eid, dropped = (
+            state.get if state.exists else (0, 0, -(1 << 62), -(1 << 62), 0)
+        )
+        out_eid, out_r, out_s, out_a = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+            for eid, ts_us, cents in zip(
+                pdf["event_id"].tolist(), pdf["ts_us"].tolist(), pdf["cents"].tolist()
+            ):
+                if (ts_us, eid) <= (last_ts, last_eid):
+                    dropped += 1  # ordered-feed contract violation: observable, never folded
+                    continue
+                last_ts, last_eid = ts_us, eid
+                n += 1
+                s = max(0, s + int(cents) - _CUSUM_K)
+                alarm = s >= _CUSUM_H
+                out_eid.append(eid)
+                out_r.append(n)
+                out_s.append(s)
+                out_a.append(alarm)
+                if alarm:
+                    s = 0
+        state.update((s, n, last_ts, last_eid, dropped))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_eid),
+                "event_id": out_eid,
+                "r": out_r,
+                "cusum": out_s,
+                "alarm": out_a,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, event_id bigint, r bigint, cusum bigint, alarm boolean",
+        stateStructType="s bigint, n bigint, last_ts_us bigint, last_event_id bigint, dropped bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

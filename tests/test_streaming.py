@@ -461,3 +461,88 @@ def test_watermark_sized_from_disorder_profile(spark, tmp_path):
         if finals.get(k, 0) != v
     }
     assert lost == {strag_window.replace(tzinfo=None)}
+
+
+def test_streaming_cusum_multi_batch_parity_and_drop_discipline(spark, tmp_path):
+    """State must carry across micro-batches: an ordered two-batch feed
+    reproduces the batch CUSUM row-for-row; re-feeding already-folded
+    rows (an out-of-order/duplicate tail) folds NOTHING twice — per-user
+    r stays contiguous and no extra rows appear."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from imdbmapreduce_spark.streaming.windowed import cusum_stateful
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            user_id=1 + (i % 2),
+            event_id=i,
+            ts=base + dt.timedelta(minutes=i),
+            value=float(40 + 60 * (i % 5)),
+        )
+        for i in range(40)
+    ]
+    sf = str(tmp_path / "corpus")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ckpt"
+    schema = "user_id bigint, event_id bigint, ts_us bigint, cents bigint"
+
+    def to_feed(rs):
+        return spark.createDataFrame(
+            [
+                (
+                    r.user_id,
+                    r.event_id,
+                    int(r.ts.timestamp() * 1_000_000),
+                    int(round(r.value * 100)),
+                )
+                for r in rs
+            ],
+            schema,
+        )
+
+    out_dir = f"{tmp_path}/out"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*.parquet")
+        )
+
+        def emit(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            cusum_stateful(stream)
+            .writeStream.foreachBatch(emit)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # batch 1: first half (time-ordered); batch 2: second half
+    to_feed(rows[:20]).coalesce(1).write.parquet(f"{src}/b1.parquet")
+    to_feed(rows[20:]).coalesce(1).write.parquet(f"{src}/b2.parquet")
+    drain()
+    got = {
+        (r.user_id, r.event_id): (r.r, r.cusum, r.alarm)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.event_id): (r.r, r.cusum, r.alarm)
+        for r in registry.get("events_cusum_alarms").fn(spark, sf).collect()
+    }
+    assert got == batch  # state carried across the batch boundary exactly
+
+    # batch 3: a disordered tail — replays of already-folded rows must be
+    # dropped (counted in state), never folded twice
+    to_feed(rows[10:16]).coalesce(1).write.parquet(f"{src}/b3.parquet")
+    drain()
+    after = [r for r in spark.read.parquet(out_dir).collect()]
+    assert len(after) == len(rows)  # incremental drain emitted 0 new rows
