@@ -60,17 +60,25 @@ def main() -> None:
     # Ensure the persisted index groups exist BEFORE the sweep so (a) the
     # index-served queries genuinely answer from prebuilt artifacts and
     # (b) index_build_total below reports the real measured build+persist
-    # cost (each group manifest's build_sec) instead of silently 0. A
-    # valid manifest (source-stamp still matching) is reused as-is — the
-    # build is one-time per corpus, exactly the lifecycle it models.
+    # cost (each group manifest's build_sec) instead of silently 0. The
+    # gate checks the SAME params the consumers check — a params-stale
+    # manifest would be refused by every load, so it must be rebuilt, not
+    # reused. After persisting, drop the session caches: they were
+    # populated by the BUILD path, and the sweep should exercise the
+    # artifact-read path a warm production session actually runs.
     from imdbmapreduce_spark import indexstore
-    from imdbmapreduce_spark.operators.dedup import persist_text_index
-    from imdbmapreduce_spark.operators.similarity import persist_vector_index
+    from imdbmapreduce_spark.cache import release_shared_caches
+    from imdbmapreduce_spark.operators.dedup import _text_params, persist_text_index
+    from imdbmapreduce_spark.operators.similarity import (
+        _vector_params,
+        persist_vector_index,
+    )
 
-    if indexstore.group_manifest(sf_dir, "vector") is None:
+    if indexstore.group_manifest(sf_dir, "vector", _vector_params()) is None:
         persist_vector_index(spark, sf_dir)
-    if indexstore.group_manifest(sf_dir, "text") is None:
+    if indexstore.group_manifest(sf_dir, "text", _text_params()) is None:
         persist_text_index(spark, sf_dir)
+    release_shared_caches()
 
     def materialize(name: str) -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -31,9 +31,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["shared_cache", "release_shared_caches"]
+__all__ = ["shared_cache", "release_shared_caches", "register_release_hook"]
 
 _CACHE: dict[tuple, DataFrame] = {}
+
+# Extra teardown callbacks run by release_shared_caches — lets modules
+# with their own session-scoped memos (e.g. the BPE trained-tokenizer
+# memo in operators.lm) honor the same releasable-cache contract
+# without cache.py importing them.
+_RELEASE_HOOKS: list = []
+
+
+def register_release_hook(fn) -> None:
+    _RELEASE_HOOKS.append(fn)
 
 # Index-served observability (tools/plan_report.py): keys whose build
 # read a persisted index artifact, and a monotone counter of accesses
@@ -75,3 +85,8 @@ def release_shared_caches() -> None:
             pass  # session already stopped — nothing to release
     _CACHE.clear()
     _INDEX_BACKED.clear()  # rebuilt caches re-detect their provenance
+    for hook in _RELEASE_HOOKS:
+        try:
+            hook()
+        except Exception:
+            pass  # teardown best-effort, same stance as unpersist above

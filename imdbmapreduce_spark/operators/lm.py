@@ -44,16 +44,20 @@ _BPE_MERGES = 10
 _LP_SCALE = 1_000_000  # log-prob quantum: 1e-6 per token occurrence
 
 
-def _bpe_merge_oracle(n_merges: int) -> str:
-    """Unrolled DuckDB CTE recurrence for :func:`bpe_merge_sequence`.
+def _bpe_chain_prefix(n_merges: int) -> str:
+    """The shared CTE prefix of every BPE oracle: the unrolled merge
+    recurrence up to (and including) the post-merge vocabulary
+    ``v{n_merges}``. The three oracles (merge table, encode stats,
+    token budget) each append their own final CTEs/SELECT — no caller
+    re-parses generated SQL.
 
     Same pattern as the kmeans/logreg oracles: each round is a
-    MATERIALIZED CTE chain (pair counts -> argmax -> apply-merge), and
-    the final SELECT unions the per-round winners. The symbol sequence
-    is a space-joined string (tokens are whitespace-split, so ' ' can
-    never occur inside a symbol) and apply-merge is a literal
-    ``replace`` — both engines implement left-to-right non-overlapping
-    replacement, which IS the greedy BPE merge semantics.
+    MATERIALIZED CTE chain (pair counts -> argmax -> apply-merge). The
+    symbol sequence is a space-joined string (tokens are
+    whitespace-split, so ' ' can never occur inside a symbol) and
+    apply-merge is a literal ``replace`` — both engines implement
+    left-to-right non-overlapping replacement, which IS the greedy BPE
+    merge semantics.
     """
     parts = [
         f"""
@@ -83,13 +87,21 @@ def _bpe_merge_oracle(n_merges: int) -> str:
       FROM v{r - 1}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_merge_oracle(n_merges: int) -> str:
+    """Merge-table oracle: the chain prefix plus a UNION of the
+    per-round argmax winners."""
     unions = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rnk, c1, c2, c1 || c2 AS merged,"
         f" pair_count FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    parts.append(f"\n    SELECT * FROM ({unions}) ORDER BY rnk")
-    return "".join(parts)
+    return (
+        _bpe_chain_prefix(n_merges)
+        + f"\n    SELECT * FROM ({unions}) ORDER BY rnk"
+    )
 
 
 @query(
@@ -204,8 +216,14 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # consumers (merge table, encode stats, token budget) share a single run
 # of the training loop instead of re-training each — the same
 # build-once/serve-many contract as cache.shared_cache, with the merge
-# table rows memoized alongside the vocabulary DataFrame.
+# table rows memoized alongside the vocabulary DataFrame. Registered
+# with the cache's release hooks so release_shared_caches() clears it
+# like every other session artifact.
 _LEARN_MEMO: dict[tuple, tuple[DataFrame, list]] = {}
+
+from imdbmapreduce_spark.cache import register_release_hook  # noqa: E402
+
+register_release_hook(_LEARN_MEMO.clear)
 
 
 def _bpe_learn(
@@ -310,13 +328,10 @@ def _bpe_merge_rounds_distributed(
 
 
 def _bpe_encode_oracle(n_merges: int) -> str:
-    """Encode-side oracle: the same unrolled chain as
-    :func:`_bpe_merge_oracle`, continued past the last merge into the
-    post-merge symbol statistics."""
-    chain = _bpe_merge_oracle(n_merges)
-    chain = chain[: chain.rindex("\n    SELECT * FROM (")]
+    """Encode-side oracle: the shared chain prefix continued past the
+    last merge into the post-merge symbol statistics."""
     return (
-        chain
+        _bpe_chain_prefix(n_merges)
         + f""", occ AS (
       SELECT n, unnest(string_split(seq, ' ')) AS symbol FROM v{n_merges}
     ), cnt AS (
@@ -366,10 +381,8 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_budget_oracle(n_merges: int) -> str:
     """Per-doc token-budget oracle: the merge chain's final vocabulary
     joined back to per-(doc, word) counts."""
-    chain = _bpe_merge_oracle(n_merges)
-    chain = chain[: chain.rindex("\n    SELECT * FROM (")]
     return (
-        chain
+        _bpe_chain_prefix(n_merges)
         + f""", dt AS (
       SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k
       FROM (SELECT doc_id, unnest(toks) AS tok

@@ -49,12 +49,15 @@ def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume many" artifact a production corpus pipeline materializes.
     Cache key kept as ``unigram_doc_tokens`` (its first consumer)."""
     from imdbmapreduce_spark.cache import shared_cache
+    from imdbmapreduce_spark.catalog import parallelize_scan
     from imdbmapreduce_spark.catalog import table as _table
 
+    # parallelize_scan: a single-row-group file would otherwise make
+    # this hottest shared stage (tokenize + partial agg) a 1-task scan
     return shared_cache(
         spark,
         ("unigram_doc_tokens", sf_dir),
-        lambda: _table(spark, sf_dir, "documents")
+        lambda: parallelize_scan(_table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("k")),

@@ -1762,11 +1762,10 @@ def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MC_SCALE = 1_000_000_000_000  # stationary mass in 1e-12 units (pagerank's)
 _MC_ITERS = 12
 
-
-@query(
-    "events_type_transitions",
-    oracle="""
-    WITH seq AS (
+# Shared CTE text: per-user lag pairs → transition counts. Both Markov
+# oracles build on this one definition so the ordering key and pair
+# filter can never silently diverge between them.
+_TRANSITION_CTES = """seq AS (
       SELECT user_id, event_type,
              LAG(event_type) OVER (
                PARTITION BY user_id
@@ -1776,7 +1775,29 @@ _MC_ITERS = 12
       SELECT prev_type, event_type AS next_type,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )"""
+
+
+def _transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type, next_type, n): the transition-count matrix both
+    Markov queries derive from — ONE user_id-partitioned lag window over
+    the facts, then a |types|²-keyed aggregation."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
     )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "events_type_transitions",
+    oracle=f"""
+    WITH {_TRANSITION_CTES}
     SELECT prev_type, next_type, n,
            CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
            CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
@@ -1801,16 +1822,7 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_types|² — tiny, map-side combined. The probability window
     runs over that tiny matrix, not the facts.
     """
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    pairs = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    pairs = _transition_pairs(spark, sf_dir)
     wm = Window.partitionBy("prev_type")
     return pairs.select(
         "prev_type",
@@ -1838,17 +1850,7 @@ def _stationary_oracle_sql(iters: int = _MC_ITERS) -> str:
         )
     chain = ",\n    ".join(rounds)
     return f"""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             LAG(event_type) OVER (
-               PARTITION BY user_id
-               ORDER BY epoch_us(ts), event_id) AS prev_type
-      FROM events
-    ), pairs AS (
-      SELECT prev_type, event_type AS next_type,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
-    ), m AS (
+    WITH {_TRANSITION_CTES}, m AS (
       SELECT prev_type, next_type, n,
              CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total
       FROM pairs
@@ -1895,15 +1897,8 @@ def events_type_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e.g. per-page chains), the distributed form is
     :func:`imdbmapreduce_spark.operators.graph.pagerank`'s loop shape.
     """
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     m = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        _transition_pairs(spark, sf_dir)
         .withColumn(
             "row_total", F.sum("n").over(Window.partitionBy("prev_type"))
         )

@@ -535,24 +535,35 @@ def cusum_stateful(ev: DataFrame) -> DataFrame:
             state.get if state.exists else (0, 0, -(1 << 62), -(1 << 62), 0)
         )
         out_eid, out_r, out_s, out_a = [], [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-            for eid, ts_us, cents in zip(
-                pdf["event_id"].tolist(), pdf["ts_us"].tolist(), pdf["cents"].tolist()
-            ):
-                if (ts_us, eid) <= (last_ts, last_eid):
-                    dropped += 1  # ordered-feed contract violation: observable, never folded
-                    continue
-                last_ts, last_eid = ts_us, eid
-                n += 1
-                s = max(0, s + int(cents) - _CUSUM_K)
-                alarm = s >= _CUSUM_H
-                out_eid.append(eid)
-                out_r.append(n)
-                out_s.append(s)
-                out_a.append(alarm)
-                if alarm:
-                    s = 0
+        # A large group arrives as SEVERAL Arrow chunks (one per
+        # maxRecordsPerBatch slice / shuffle-read part) whose relative
+        # order is arbitrary — sorting chunk-by-chunk would fold later
+        # chunks first and mis-drop the earlier ones. Gather the whole
+        # micro-batch's group, sort ONCE, then fold.
+        chunks = list(pdfs)
+        whole = (
+            pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"], kind="mergesort"
+            )
+            if chunks
+            else pd.DataFrame({"event_id": [], "ts_us": [], "cents": []})
+        )
+        for eid, ts_us, cents in zip(
+            whole["event_id"].tolist(), whole["ts_us"].tolist(), whole["cents"].tolist()
+        ):
+            if (ts_us, eid) <= (last_ts, last_eid):
+                dropped += 1  # ordered-feed contract violation: observable, never folded
+                continue
+            last_ts, last_eid = ts_us, eid
+            n += 1
+            s = max(0, s + int(cents) - _CUSUM_K)
+            alarm = s >= _CUSUM_H
+            out_eid.append(eid)
+            out_r.append(n)
+            out_s.append(s)
+            out_a.append(alarm)
+            if alarm:
+                s = 0
         state.update((s, n, last_ts, last_eid, dropped))
         yield pd.DataFrame(
             {

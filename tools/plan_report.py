@@ -86,9 +86,12 @@ def main() -> None:
     # path (no index existed yet), and the point of the census flag is
     # the cold-session-with-index resolution order (disk artifact →
     # cache), so consumers must re-resolve through the index.
-    if indexstore.group_manifest(sf_dir, "vector") is None:
+    from imdbmapreduce_spark.operators.dedup import _text_params
+    from imdbmapreduce_spark.operators.similarity import _vector_params
+
+    if indexstore.group_manifest(sf_dir, "vector", _vector_params()) is None:
         persist_vector_index(spark, sf_dir)
-    if indexstore.group_manifest(sf_dir, "text") is None:
+    if indexstore.group_manifest(sf_dir, "text", _text_params()) is None:
         persist_text_index(spark, sf_dir)
     cache.release_shared_caches()
 
