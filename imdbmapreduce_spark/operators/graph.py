@@ -284,3 +284,153 @@ def pagerank_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pagerank_adjacency(nodes, adj, iters=COSUPPLIER_ITERS)
+
+
+# --- personalized PageRank -------------------------------------------------
+
+PPR_ITERS = 6
+# Seed set: suppliers of the corpus's MINIMUM nation key — data-defined
+# and non-empty at every scale factor (nation 0 is absent at sf0.001).
+
+
+def _ppr_oracle_sql(iters: int = PPR_ITERS) -> str:
+    """Unrolled exact fixed-point recurrence for
+    :func:`ppr_supplier_neighborhood` — :func:`_pagerank_oracle_sql`
+    with the teleport mass concentrated on the seed set (seed rows get
+    base = 0.15·mass/|seeds|, others 0; initial mass likewise)."""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""c{t} AS (
+      SELECT e.dst AS node, SUM(r.rank_fp // e.out_deg) AS inbound
+      FROM ed e JOIN r{t - 1} r ON e.src = r.node GROUP BY e.dst
+    ), r{t} AS (
+      SELECT nd.node,
+             CAST(CASE WHEN s.node IS NULL THEN 0
+                       ELSE (SELECT base FROM params) END
+                  + ({PR_DAMP_NUM} * COALESCE(c.inbound, 0)) // {PR_DAMP_DEN}
+                  AS BIGINT) AS rank_fp
+      FROM nodes nd
+      LEFT JOIN c{t} c ON nd.node = c.node
+      LEFT JOIN seeds s ON nd.node = s.node
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    teleport = PR_DAMP_DEN - PR_DAMP_NUM
+    return f"""
+    WITH ds AS (
+      SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM ds a JOIN ds b ON a.k = b.k WHERE a.s <> b.s
+    ), ed AS (
+      SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS out_deg FROM edges
+    ), nodes AS (
+      SELECT s_suppkey AS node FROM supplier
+    ), seeds AS (
+      SELECT s_suppkey AS node FROM supplier
+      WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+    ), params AS (
+      SELECT ({teleport} * {PR_SCALE} // {PR_DAMP_DEN}) // COUNT(*) AS base,
+             {PR_SCALE} // COUNT(*) AS r_init
+      FROM seeds
+    ), r0 AS (
+      SELECT nd.node,
+             CAST(CASE WHEN s.node IS NULL THEN 0
+                       ELSE (SELECT r_init FROM params) END AS BIGINT)
+               AS rank_fp
+      FROM nodes nd LEFT JOIN seeds s ON nd.node = s.node
+    ),
+    {chain}
+    SELECT r.node, r.rank_fp, s.node IS NOT NULL AS is_seed
+    FROM r{iters} r LEFT JOIN seeds s ON r.node = s.node
+    """
+
+
+@query("ppr_supplier_neighborhood", oracle=_ppr_oracle_sql())
+def ppr_supplier_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: teleport mass concentrated on a seed set
+    (the min-nation suppliers) instead of spread uniformly — the
+    neighborhood-expansion / recommendation primitive ("which suppliers
+    sit closest to THIS group's co-shipping orbit"). Same exact
+    fixed-point contract as :func:`pagerank_cosuppliers` (1e-12 int64
+    mass units, truncating division, order-independent sums); only the
+    teleport vector changes, so the oracle is the same unrolled CTE
+    recurrence with seed-conditional base/init terms.
+
+    Plan: reuses BOTH shared-cached graph artifacts (nodes, adjacency)
+    — the edge build is paid once per session across plain and
+    personalized runs; the seed flag rides a broadcast join of the
+    supplier dimension. Per round: O(nodes) adjacency join, map-side
+    exploded contributions, one narrow agg — identical to the plain
+    loop.
+
+    Scale: unchanged from pagerank_adjacency (bounded-degree adjacency
+    rows, O(nodes) per-round shuffle). Seed-set size only shifts
+    integer teleport constants; a 1-node seed is the pure
+    random-walk-with-restart proximity ranking.
+    """
+    nodes = shared_cache(
+        spark,
+        ("cosupplier_nodes", sf_dir),
+        lambda: table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("node")
+        ),
+    )
+    adj = shared_cache(
+        spark,
+        ("cosupplier_adj", sf_dir),
+        lambda: cosupplier_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(
+            F.collect_list("dst").alias("dsts"),
+            F.count(F.lit(1)).alias("out_deg"),
+        ),
+    )
+    supp = table(spark, sf_dir, "supplier")
+    min_nation = supp.agg(F.min("s_nationkey")).first()[0]
+    seeds = supp.filter(F.col("s_nationkey") == F.lit(min_nation)).select(
+        F.col("s_suppkey").alias("node")
+    )
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_fp"),
+            F.lit(False).alias("is_seed"),
+        )
+    teleport = PR_DAMP_DEN - PR_DAMP_NUM
+    base = (teleport * PR_SCALE) // PR_DAMP_DEN // n_seeds
+    seed_marked = nodes.join(
+        F.broadcast(seeds.withColumn("is_seed", F.lit(True))), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    ranks = seed_marked.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(PR_SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_fp"),
+    )
+    for _ in range(PPR_ITERS):
+        contribs = (
+            adj.join(ranks, adj.src == ranks.node)
+            .select(
+                F.explode("dsts").alias("dst"),
+                F.expr("rank_fp div out_deg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = seed_marked.join(
+            contribs, seed_marked.node == contribs.dst, "left"
+        ).select(
+            "node",
+            (
+                F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                + F.expr(f"({PR_DAMP_NUM} * coalesce(inbound, 0)) div {PR_DAMP_DEN}")
+            ).cast("long").alias("rank_fp"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.join(F.broadcast(seeds.withColumn("s", F.lit(True))), "node", "left").select(
+        "node", "rank_fp", F.coalesce("s", F.lit(False)).alias("is_seed")
+    )

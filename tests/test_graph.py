@@ -130,3 +130,71 @@ def test_pagerank_cache_key_routes_edge_table_through_shared_cache(spark):
         assert any("pagerank_ed" in k for k in C._CACHE), list(C._CACHE)
     finally:
         C.release_shared_caches()
+
+
+def test_ppr_matches_python_reference_and_localizes(spark, sf_dir):
+    """Personalized PageRank: exact-integer replay (seed-conditional
+    teleport), plus the localization property — seed-set mass share
+    must exceed its uniform share under plain PageRank."""
+    import duckdb
+
+    from imdbmapreduce_spark.operators.graph import (
+        PPR_ITERS,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    con = duckdb.connect()
+    nodes = [
+        r[0]
+        for r in con.execute(
+            f"SELECT s_suppkey FROM read_parquet('{sf_dir}/supplier.parquet')"
+        ).fetchall()
+    ]
+    seeds = {
+        r[0]
+        for r in con.execute(
+            f"""SELECT s_suppkey FROM read_parquet('{sf_dir}/supplier.parquet')
+                WHERE s_nationkey = (SELECT MIN(s_nationkey)
+                                     FROM read_parquet('{sf_dir}/supplier.parquet'))"""
+        ).fetchall()
+    }
+    edges = con.execute(
+        f"""WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey
+                       FROM read_parquet('{sf_dir}/lineitem.parquet'))
+            SELECT DISTINCT a.l_suppkey, b.l_suppkey
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey"""
+    ).fetchall()
+    out_deg: dict[int, int] = {}
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        out_deg[s] = out_deg.get(s, 0) + 1
+    n_seeds = len(seeds)
+    teleport = PR_DAMP_DEN - PR_DAMP_NUM
+    base = (teleport * PR_SCALE) // PR_DAMP_DEN // n_seeds
+    rank = {v: (PR_SCALE // n_seeds if v in seeds else 0) for v in nodes}
+    for _ in range(PPR_ITERS):
+        inbound = {v: 0 for v in nodes}
+        for s in adj:
+            c = rank[s] // out_deg[s]
+            for d in adj[s]:
+                inbound[d] += c
+        rank = {
+            v: (base if v in seeds else 0)
+            + (PR_DAMP_NUM * inbound[v]) // PR_DAMP_DEN
+            for v in nodes
+        }
+
+    got = {
+        r.node: (r.rank_fp, r.is_seed)
+        for r in get("ppr_supplier_neighborhood").fn(spark, sf_dir).collect()
+    }
+    assert got == {v: (rank[v], v in seeds) for v in nodes}
+
+    # localization: the seed set holds more than its uniform share
+    seed_mass = sum(rank[v] for v in seeds)
+    total = sum(rank.values())
+    assert seed_mass / total > len(seeds) / len(nodes)
