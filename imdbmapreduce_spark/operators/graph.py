@@ -434,3 +434,136 @@ def ppr_supplier_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(F.broadcast(seeds.withColumn("s", F.lit(True))), "node", "left").select(
         "node", "rank_fp", F.coalesce("s", F.lit(False)).alias("is_seed")
     )
+
+
+# --- k-core decomposition --------------------------------------------------
+
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle_sql(rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peel recurrence: per round, recompute each survivor's
+    degree WITHIN the surviving subgraph and drop nodes below k. k is
+    data-defined (directed |edges| // |nodes| + 1 — just above the mean
+    degree) so the query is meaningful at every scale factor."""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f""", d{t} AS (
+      SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges e
+      JOIN s{t - 1} a ON e.src = a.node
+      JOIN s{t - 1} b ON e.dst = b.node
+      GROUP BY e.src
+    ), s{t} AS MATERIALIZED (
+      SELECT node FROM d{t} WHERE deg >= (SELECT k FROM params)
+    )"""
+        )
+    return f"""
+    WITH ds AS (
+      SELECT DISTINCT l_orderkey AS kk, l_suppkey AS s FROM lineitem
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM ds a JOIN ds b ON a.kk = b.kk WHERE a.s <> b.s
+    ), nodes AS (
+      SELECT s_suppkey AS node FROM supplier
+    ), params AS (
+      SELECT (SELECT COUNT(*) FROM edges) // (SELECT COUNT(*) FROM nodes) + 1
+               AS k
+    ), s0 AS MATERIALIZED (
+      SELECT node FROM nodes
+    ){"".join(steps)}
+    SELECT n.node,
+           s.node IS NOT NULL AS in_core,
+           COALESCE(d.deg, 0) AS core_deg,
+           (SELECT k FROM params) AS k
+    FROM nodes n
+    LEFT JOIN s{rounds} s ON n.node = s.node
+    LEFT JOIN (
+      SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges e
+      JOIN s{rounds} a ON e.src = a.node
+      JOIN s{rounds} b ON e.dst = b.node
+      GROUP BY e.src
+    ) d ON n.node = d.node
+    """
+
+
+@query("kcore_suppliers", oracle=_kcore_oracle_sql())
+def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-supplier graph: iteratively peel
+    nodes whose degree WITHIN the surviving subgraph falls below k
+    until stable — the standard dense-substructure extractor (fraud
+    rings, community cores, spam clusters) and the fourth iterative
+    shape in the engine (after PageRank's fixed-iteration power method,
+    k-means' assignment loop, and connected components' pointer
+    jumping). k is data-defined (mean directed degree + 1), so the
+    peel bites at every scale factor.
+
+    Determinism: pure set/integer recurrence — no floats anywhere; the
+    oracle unrolls the same {rounds} peel rounds (enough for this
+    graph's measured peel depth; parity holds at ANY fixed count
+    because both engines run the same rounds).
+
+    Plan: the distinct edge table is the shared-cached artifact; per
+    round, two semi-joins restrict edges to survivors and one agg
+    recomputes degrees — survivor lists are node-sized and
+    localCheckpointed so round lineage stays flat.
+
+    Scale: each round is O(surviving edges) with node-sized exchanges;
+    rounds needed = peel depth (small for real graphs). At 100 TB the
+    classic optimization is delta-peeling (only recompute degrees of
+    neighbors of removed nodes) — same plan shape with a smaller
+    frontier join, worth it once rounds × edges dominates.
+    """
+    nodes = shared_cache(
+        spark,
+        ("cosupplier_nodes", sf_dir),
+        lambda: table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("node")
+        ),
+    )
+    edges = shared_cache(
+        spark,
+        ("cosupplier_edges_flat", sf_dir),
+        lambda: cosupplier_edges(spark, sf_dir),
+    )
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(False).alias("in_core"),
+            F.lit(0).cast("long").alias("core_deg"),
+            F.lit(0).cast("long").alias("k"),
+        )
+    k = n_edges // n_nodes + 1
+    surv = nodes
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(surv.withColumnRenamed("node", "src"), "src")
+            .join(surv.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        surv = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    core_deg = (
+        edges.join(surv.withColumnRenamed("node", "src"), "src")
+        .join(surv.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        nodes.join(surv.withColumn("in_core", F.lit(True)), "node", "left")
+        .join(core_deg.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("in_core", F.lit(False)).alias("in_core"),
+            F.coalesce("deg", F.lit(0)).cast("long").alias("core_deg"),
+            F.lit(k).cast("long").alias("k"),
+        )
+    )

@@ -198,3 +198,58 @@ def test_ppr_matches_python_reference_and_localizes(spark, sf_dir):
     seed_mass = sum(rank[v] for v in seeds)
     total = sum(rank.values())
     assert seed_mass / total > len(seeds) / len(nodes)
+
+
+def test_kcore_matches_python_replay_and_is_stable(spark, sf_dir):
+    """Pure-Python peel replay, plus the fixpoint property: one more
+    peel round changes nothing (KCORE_ROUNDS suffices on this graph),
+    and every core member keeps degree >= k inside the core."""
+    import duckdb
+
+    from imdbmapreduce_spark.operators.graph import KCORE_ROUNDS
+
+    con = duckdb.connect()
+    nodes = [
+        r[0]
+        for r in con.execute(
+            f"SELECT s_suppkey FROM read_parquet('{sf_dir}/supplier.parquet')"
+        ).fetchall()
+    ]
+    edges = [
+        tuple(e)
+        for e in con.execute(
+            f"""WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey
+                           FROM read_parquet('{sf_dir}/lineitem.parquet'))
+                SELECT DISTINCT a.l_suppkey, b.l_suppkey
+                FROM d a JOIN d b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey"""
+        ).fetchall()
+    ]
+    k = len(edges) // len(nodes) + 1
+
+    def peel(surv: set) -> set:
+        deg: dict[int, int] = {}
+        for s, d in edges:
+            if s in surv and d in surv:
+                deg[s] = deg.get(s, 0) + 1
+        return {v for v, dg in deg.items() if dg >= k}
+
+    surv = set(nodes)
+    for _ in range(KCORE_ROUNDS):
+        surv = peel(surv)
+    assert peel(surv) == surv  # fixpoint reached within KCORE_ROUNDS
+
+    deg_in_core: dict[int, int] = {}
+    for s, d in edges:
+        if s in surv and d in surv:
+            deg_in_core[s] = deg_in_core.get(s, 0) + 1
+
+    got = {r.node: r for r in get("kcore_suppliers").fn(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        r = got[v]
+        assert r.k == k
+        assert r.in_core == (v in surv), v
+        assert r.core_deg == deg_in_core.get(v, 0) if v in surv else r.core_deg == 0
+        if r.in_core:
+            assert r.core_deg >= k
