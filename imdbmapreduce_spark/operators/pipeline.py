@@ -807,3 +807,107 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.withColumn(
         "pos_in_shard", F.row_number().over(w).cast("long")
     )
+
+
+# --- per-source distribution drift (KL divergence) ------------------------
+
+_KL_SCALE = 1_000_000  # per-term log-ratio quantum: 1e-6 nats
+
+
+@query(
+    "corpus_source_divergence",
+    oracle=f"""
+    WITH dt AS MATERIALIZED (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ), ds AS (
+      SELECT d.source, t.tok, CAST(SUM(t.k) AS BIGINT) AS kst
+      FROM dt t JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ), st AS (
+      SELECT source, CAST(SUM(kst) AS BIGINT) AS ts FROM ds GROUP BY 1
+    ), ct AS (
+      SELECT tok, CAST(SUM(kst) AS BIGINT) AS c FROM ds GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t FROM ct
+    ), terms AS (
+      SELECT d.source,
+             d.kst,
+             CAST(round(ln((CAST(d.kst AS DOUBLE) * (SELECT t FROM tot))
+                           / (s.ts * c.c)) * {_KL_SCALE}) AS BIGINT) AS q
+      FROM ds d JOIN st s USING (source) JOIN ct c USING (tok)
+    ), agg AS (
+      SELECT source, CAST(SUM(kst * q) AS BIGINT) AS kl_q FROM terms
+      GROUP BY source
+    )
+    SELECT a.source, s.ts AS n_tokens, a.kl_q,
+           CAST(a.kl_q AS DOUBLE) / s.ts / {_KL_SCALE} AS kl_nats
+    FROM agg a JOIN st s USING (source)
+    """,
+)
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(source token distribution ‖
+    corpus token distribution) — the curation monitor that catches a
+    crawler feed going off the rails (template spam, language shift,
+    boilerplate floods) BEFORE it contaminates a training mix. KL is
+    the right scoring rule: it is exactly the expected extra log-loss a
+    model trained on the corpus pays per token of that source.
+
+    Determinism: each distinct (source, token) term's log-ratio
+    ln(k_st·T / (T_s·c_t)) is one double op over exact int64 operands
+    with identical promotion rules in both engines, quantized once to
+    1e-6 nats; per-source totals are exact integer sums and the mean is
+    a fixed int→double division. (KL ≥ 0 up to quantization; terms for
+    tokens absent from a source contribute 0 — the natural plug-in
+    estimator.)
+
+    Plan: re-aggregates the shared per-(doc, token) artifact to
+    per-(source, token) (tokenize once, consume many); the model joins
+    key on source (tiny) and token (vocab-sized, AQE-sized); final agg
+    keys on source.
+
+    Scale: |sources|×|vocab| dominates — slim integer rows; the token
+    join is the familiar Zipf-skew case bounded by the per-source
+    pre-combine. At extreme T the double k·T loses exactness past 2^53
+    but BOTH engines compute the identical double, so parity holds;
+    quantization makes the comparison stable anyway.
+    """
+    from imdbmapreduce_spark.operators.text import _doc_token_counts
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    ds = (
+        _doc_token_counts(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source", "tok")
+        .agg(F.sum("k").alias("kst"))
+    )
+    st = ds.groupBy("source").agg(F.sum("kst").alias("ts"))
+    ct = ds.groupBy("tok").agg(F.sum("kst").alias("c"))
+    tot = float(ct.agg(F.sum("c")).first()[0])
+    terms = (
+        ds.join(st, "source")
+        .join(ct, "tok")
+        .select(
+            "source",
+            "kst",
+            F.round(
+                F.log(
+                    (F.col("kst").cast("double") * F.lit(tot))
+                    / (F.col("ts") * F.col("c"))
+                )
+                * _KL_SCALE
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    agg = terms.groupBy("source").agg(F.sum(F.col("kst") * F.col("q")).alias("kl_q"))
+    return agg.join(st, "source").select(
+        "source",
+        F.col("ts").alias("n_tokens"),
+        "kl_q",
+        (F.col("kl_q").cast("double") / F.col("ts") / F.lit(_KL_SCALE)).alias(
+            "kl_nats"
+        ),
+    )

@@ -253,3 +253,42 @@ def test_shard_manifest_invariants(spark, sf_dir):
         if (a.shard, a.pos_in_shard) == (b.shard, b.pos_in_shard)
     )
     assert same < n_docs / 4  # essentially re-dealt
+
+
+def test_source_divergence_ranks_planted_drift(spark, tmp_path):
+    """A source writing from a shifted vocabulary must score higher KL
+    than sources sampling the corpus-typical distribution; KL stays
+    >= -quantization error for all."""
+    from pyspark.sql import Row
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.cache import release_shared_caches
+
+    common = "the data table spark join query row value scan fast"
+    rows = []
+    did = 0
+    for src in ("normal_a", "normal_b"):
+        for _ in range(20):
+            rows.append(Row(doc_id=did, text=common, lang="en", source=src,
+                            n_chars=len(common)))
+            did += 1
+    drifted = "zzz qqq xxx www vvv uuu ttt sss rrr ppp"
+    for _ in range(20):
+        rows.append(Row(doc_id=did, text=drifted, lang="en", source="drifted",
+                        n_chars=len(drifted)))
+        did += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+    release_shared_caches()  # isolate the shared token artifact per corpus
+    try:
+        out = {
+            r.source: r
+            for r in registry.get("corpus_source_divergence").fn(spark, sf).collect()
+        }
+        assert set(out) == {"normal_a", "normal_b", "drifted"}
+        for r in out.values():
+            assert r.kl_nats >= -1e-6  # KL >= 0 up to quantization
+        assert out["drifted"].kl_nats > out["normal_a"].kl_nats + 0.1
+        assert abs(out["normal_a"].kl_nats - out["normal_b"].kl_nats) < 1e-9
+    finally:
+        release_shared_caches()
