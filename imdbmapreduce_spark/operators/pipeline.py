@@ -911,3 +911,98 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_nats"
         ),
     )
+
+
+# --- deterministic weighted sampling (Efraimidis–Spirakis) ----------------
+
+_WS_SEED = "ws0"
+_WS_K = 100
+_WS_DENOM = 4_294_967_297.0  # 2^32 + 1: u = (h32 + 1)/denom ∈ (0, 1)
+_WS_QSCALE = 1_000_000_000_000  # key quantum 1e-12: |ln u| ≤ 23, fits int64
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+             (CAST(CONCAT('0x', substr(
+                 md5(CONCAT('{_WS_SEED}', ':', CAST(doc_id AS VARCHAR))),
+                 1, 8)) AS BIGINT) + 1) / {_WS_DENOM} AS u
+      FROM documents WHERE n_chars > 0
+    ), scored AS (
+      SELECT doc_id, source, weight,
+             CAST(round(ln(u) / weight * {_WS_QSCALE}) AS BIGINT) AS es_key_q
+      FROM keyed
+    )
+    SELECT doc_id, source, weight, es_key_q,
+           CAST(ROW_NUMBER() OVER (ORDER BY es_key_q DESC, doc_id) AS BIGINT)
+             AS rnk
+    FROM scored
+    ORDER BY rnk LIMIT {_WS_K}
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis: each
+    doc draws u ∈ (0,1) and is ranked by u^(1/w) — equivalently by
+    ln(u)/w, the form used here — so the top-k is a weight-proportional
+    sample (here w = n_chars: longer docs proportionally likelier, the
+    "sample tokens, not documents" correction a training mix needs).
+
+    Determinism: u derives from md5(seed:doc_id) leading 32 bits —
+    reproducible on any layout, re-dealable by seed string (the shard
+    manifest's epoch trick); ln and division are single double ops over
+    identical operands in both engines, so ranking is bit-stable.
+    Top-k lowers to TakeOrderedAndProject — per-partition heaps, no
+    global sort.
+
+    Scale: map-only scoring fused into the scan + one bounded top-k
+    reduce; for per-stratum quotas compose with the window form of
+    eval_holdout_sample. This beats rand()-based sampling operationally
+    because reruns, retries, and speculative tasks all see the same
+    sample.
+    """
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(_WS_SEED),
+                                F.lit(":"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + 1
+            )
+            / F.lit(_WS_DENOM)
+        ).alias("u"),
+    )
+    scored = keyed.select(
+        "doc_id",
+        "source",
+        "weight",
+        # quantized to 1e-12: the raw double key differs by one ulp
+        # between libms for rare arguments; ranking on the quantized
+        # key is engine-stable (the repo-wide quantization contract)
+        F.round(F.log("u") / F.col("weight") * _WS_QSCALE)
+        .cast("long")
+        .alias("es_key_q"),
+    )
+    w = Window.orderBy(F.desc("es_key_q"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("es_key_q"), "doc_id")
+        .limit(_WS_K)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )

@@ -292,3 +292,42 @@ def test_source_divergence_ranks_planted_drift(spark, tmp_path):
         assert abs(out["normal_a"].kl_nats - out["normal_b"].kl_nats) < 1e-9
     finally:
         release_shared_caches()
+
+
+def test_weighted_sample_matches_python_replay(spark, sf_dir):
+    """Efraimidis–Spirakis replay: md5-derived u, quantized ln(u)/w key,
+    top-100 — and the sample over-represents heavy docs vs uniform."""
+    import hashlib
+    import math
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+
+    def q(v: float) -> int:
+        s = v * 1e12
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    scored = []
+    for r in docs:
+        if r.n_chars <= 0:
+            continue
+        h = int(hashlib.md5(f"ws0:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967297.0
+        scored.append((r.doc_id, r.source, r.n_chars, q(math.log(u) / r.n_chars)))
+    want = sorted(scored, key=lambda x: (-x[3], x[0]))[:100]
+
+    got = sorted(
+        registry.get("corpus_weighted_sample").fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [(r.doc_id, r.source, r.weight, r.es_key_q) for r in got] == want
+    assert [r.rnk for r in got] == list(range(1, len(want) + 1))
+
+    # weight-proportional inclusion: sampled docs are heavier on average
+    mean_all = sum(x[2] for x in scored) / len(scored)
+    mean_sample = sum(r.weight for r in got) / len(got)
+    assert mean_sample > mean_all
