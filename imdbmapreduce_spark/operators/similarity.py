@@ -1250,3 +1250,177 @@ def neardup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return emb.groupBy("cell").applyInPandas(gram, "a_id long, b_id long, cosine double")
+
+
+# --- RRF hybrid retrieval: lexical + dense rank fusion ---------------------
+
+RRF_K = 60  # the canonical rank-smoothing constant (Cormack et al. 2009)
+RRF_PROBE = 0  # the probe vector whose dense arm is fused
+_RRF_ARM_N = 30  # candidates taken from each arm before fusion
+_RRF_TOPK = 20
+_RRF_SCALE = 1_000_000_000_000  # 1e-12 quantum on 1/(K+rank)
+
+
+def _rrf_oracle_sql() -> str:
+    from imdbmapreduce_spark.operators.text import (
+        _BM25_SCALE,
+        _DUCK_TOKS,
+        BM25_QUERY_TERMS,
+    )
+
+    return f"""
+    WITH exd AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS t FROM exd
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM exd
+    ), tf AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM exd)
+      WHERE tok IN {BM25_QUERY_TERMS!r}
+      GROUP BY 1, 2
+    ), idf AS (
+      SELECT term,
+             CAST(round(ln((((SELECT n_docs FROM stats) - df + 0.5)
+                            / (df + 0.5)) + 1.0) * {_BM25_SCALE}) AS BIGINT)
+               AS idf_q
+      FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+    ), sc AS (
+      SELECT tf.doc_id,
+             CAST(round(CAST(idf_q AS DOUBLE) * (22 * tf * t)
+                        / (10 * t * tf + 3 * t + 9 * dl.dl * n_docs))
+                  AS BIGINT) AS s_q
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(s_q) AS BIGINT) AS score_q FROM sc GROUP BY 1
+    ), lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS r
+        FROM tot
+      ) WHERE r <= {_RRF_ARM_N}
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, CAST(t.i AS INTEGER) AS pos,
+             CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)
+                        * {_SCALE}) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN range(1, 4097) t(i)
+      WHERE CAST(t.i AS INTEGER) <= len(embedding)
+    ), probe AS (SELECT pos, v AS qv FROM ex WHERE vec_id = {RRF_PROBE}),
+    corpus AS (SELECT * FROM ex WHERE vec_id >= {_N_PROBES}),
+    norms AS (SELECT vec_id, SUM(v*v) AS n2 FROM ex GROUP BY vec_id),
+    dots AS (
+      SELECT c.vec_id, SUM(p.qv * c.v) AS dot
+      FROM corpus c JOIN probe p USING (pos)
+      GROUP BY c.vec_id
+    ), dscored AS (
+      SELECT d.vec_id AS doc_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST((SELECT n2 FROM norms
+                             WHERE vec_id = {RRF_PROBE}) AS DOUBLE))
+                  * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      FROM dots d JOIN norms nc ON nc.vec_id = d.vec_id
+    ), dense AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+        FROM dscored
+      ) WHERE r <= {_RRF_ARM_N}
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             CAST(COALESCE(l.r, 0) AS BIGINT) AS rank_lex,
+             CAST(COALESCE(d.r, 0) AS BIGINT) AS rank_dense,
+             CAST(COALESCE(CAST(round({_RRF_SCALE}.0 / ({RRF_K} + l.r))
+                                AS BIGINT), 0)
+                  + COALESCE(CAST(round({_RRF_SCALE}.0 / ({RRF_K} + d.r))
+                                  AS BIGINT), 0) AS BIGINT) AS rrf_q
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_dense, rrf_q,
+           CAST(rrf_q AS DOUBLE) / {_RRF_SCALE} AS rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM fused
+    ORDER BY rank LIMIT {_RRF_TOPK}
+    """
+
+
+@query("rrf_hybrid_retrieval", oracle=_rrf_oracle_sql())
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the BM25 lexical ranking (:func:`~imdbmapreduce_spark.operators
+    .text.doc_bm25_topk`'s scoring stage, fixed term query) with the
+    exact dense cosine ranking (probe vector {RRF_PROBE}, the
+    brute-force arm of the ANN suite) via
+    score = Σ_arms 1/(K + rank) — the stock first-stage ranker of a
+    RAG / retrieval pipeline, and the operator that makes the lexical
+    and vector halves of this engine compose.
+
+    Documents present in only one arm's top-{_RRF_ARM_N} get that arm's
+    contribution alone (rank 0 exported for the missing arm — no NULLs,
+    keeping both engines' hash identical). Probe vectors themselves
+    (vec_id < {_N_PROBES}) can reach the result through the lexical arm
+    only, by construction of the dense corpus split.
+
+    Determinism: each arm ranks exactly as its parent query (quantized
+    BM25 integers; cosines built from identical int64 dots); the fused
+    score quantizes 1/(K+r) to 1e-12 per (arm, rank) — exact double
+    division of exactly-representable operands, then one round — and
+    sums integers; final ranking compares integers with doc_id
+    tie-break.
+
+    Plan: both arms end in TakeOrderedAndProject top-{_RRF_ARM_N}
+    (driver-bounded, {_RRF_ARM_N} rows each); the fusion is a full
+    outer join of two tiny lists — Spark picks a broadcast-able join
+    under AQE, and the final top-k is again a heap.
+
+    Scale: arm costs are the parents' (one shared tokenize pass; one
+    probe×corpus integer-dot agg); fusion cost is O(arm size),
+    independent of corpus volume. Fan the probe set out by swapping the
+    single-probe filter for the probe table — the fusion join stays
+    rank-keyed per probe.
+    """
+    from imdbmapreduce_spark.operators.text import BM25_QUERY_TERMS, bm25_scores
+
+    lex = (
+        bm25_scores(spark, sf_dir, BM25_QUERY_TERMS)
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(_RRF_ARM_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_q"), F.asc("doc_id")))
+            .alias("r_lex"),
+        )
+    )
+    dense = (
+        _probe_scored(spark, sf_dir)
+        .filter(F.col("q_id") == RRF_PROBE)
+        .orderBy(F.desc("cosine"), "neighbor_id")
+        .limit(_RRF_ARM_N)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+            .alias("r_dense"),
+        )
+    )
+    rq = lambda r: F.coalesce(
+        F.round(F.lit(float(_RRF_SCALE)) / (F.lit(RRF_K) + r)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("r_lex"), F.lit(0)).cast("long").alias("rank_lex"),
+        F.coalesce(F.col("r_dense"), F.lit(0)).cast("long").alias("rank_dense"),
+        (rq(F.col("r_lex")) + rq(F.col("r_dense"))).alias("rrf_q"),
+    )
+    w = Window.orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf_q"), "doc_id")
+        .limit(_RRF_TOPK)
+        .withColumn("rrf", F.col("rrf_q").cast("double") / _RRF_SCALE)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "rank_lex", "rank_dense", "rrf_q", "rrf", "rank")
+    )

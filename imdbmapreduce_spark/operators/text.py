@@ -620,13 +620,32 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that join shuffles on doc_id (AQE decides); no UDFs, no driver
     literals.
     """
+    tot = bm25_scores(spark, sf_dir, BM25_QUERY_TERMS)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        tot.orderBy(F.desc("score_q"), "doc_id")
+        .limit(_BM25_TOPK)
+        .withColumn("score", F.col("score_q").cast("double") / _BM25_SCALE)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "score_q", "score", "rank")
+    )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str, terms) -> DataFrame:
+    """(doc_id, score_q): the quantized Okapi BM25 total per matching
+    document for a term-list query — the shared lexical-scoring stage of
+    :func:`doc_bm25_topk` and the hybrid-retrieval fusion
+    (:func:`rrf_hybrid_retrieval`). Expression shapes here are part of
+    the determinism contract; both consumers' oracles mirror them."""
     docs = table(spark, sf_dir, "documents")
     dt = _doc_token_counts(spark, sf_dir)
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         dt.agg(F.sum("k").cast("long").alias("t"))
     )
     dl = dt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("dl"))
-    tf = dt.filter(F.col("tok").isin(*BM25_QUERY_TERMS)).select(
+    tf = dt.filter(F.col("tok").isin(*terms)).select(
         "doc_id", F.col("tok").alias("term"), F.col("k").alias("tf")
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -664,17 +683,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s_q"),
         )
     )
-    tot = sc.groupBy("doc_id").agg(F.sum("s_q").alias("score_q"))
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
-    return (
-        tot.orderBy(F.desc("score_q"), "doc_id")
-        .limit(_BM25_TOPK)
-        .withColumn("score", F.col("score_q").cast("double") / _BM25_SCALE)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("doc_id", "score_q", "score", "rank")
-    )
+    return sc.groupBy("doc_id").agg(F.sum("s_q").alias("score_q"))
 
 
 # --- readability: the UDF extension surface, measured ---------------------
@@ -790,3 +799,270 @@ def doc_readability_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", r).select(
         "doc_id", "r.n_words", "r.n_sentences", "r.n_syllables", "r.flesch"
     ).orderBy("doc_id")
+
+
+# --- Gopher quality rules: the published heuristic filter battery ---------
+
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher") §A.1.1 document
+# filters, re-expressed over whitespace tokens. Thresholds are the paper's;
+# the word-count floor is lowered to 20 to fit the synthetic corpus's
+# 20-100-token documents (the production value, 50, is a parameter).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_SYM_RE = r"[#…]|\.\.\."
+
+
+def _gopher_stops_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPS) + "]"
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS BIGINT) AS total_len,
+             CAST(len(regexp_extract_all(text, '{_GOPHER_SYM_RE}'))
+                  AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter({_gopher_stops_sql()},
+                                  s -> list_contains(toks, s)))
+                  AS BIGINT) AS n_required_stops
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_words,
+           CAST(total_len AS DOUBLE) / n_words AS mean_word_len,
+           n_symbols, n_alpha_words, n_required_stops,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AS ok_word_count,
+           (3 * n_words <= total_len AND total_len <= 10 * n_words)
+             AS ok_mean_len,
+           (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+           (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_words,
+           (n_required_stops >= 2) AS ok_stopwords,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (3 * n_words <= total_len AND total_len <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (5 * n_alpha_words >= 4 * n_words)
+            AND (n_required_stops >= 2)) AS gopher_pass
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 §A.1.1): the published
+    heuristic battery a production pre-training pipeline runs before any
+    model-based scoring — word-count window, mean-word-length window,
+    symbol-to-word ratio, alphabetic-word fraction, and the required-
+    stopword floor — beside :func:`doc_quality`'s simpler gate
+    (generalizing the reference's F1/F2 tokenize-then-filter surface,
+    /root/reference/Code/mapReduce.erl:140-148).
+
+    Determinism: every gate is pure integer arithmetic — the ratio
+    thresholds are cleared of floats by cross-multiplying (mean len in
+    [3,10] → 3·n ≤ Σlen ≤ 10·n; symbol ratio ≤ 0.1 → 10·sym ≤ n; alpha
+    fraction ≥ 0.8 → 5·alpha ≥ 4·n), so both engines agree bit-for-bit;
+    the one exported double (mean_word_len) is an exact-int division.
+    The required-stopword count iterates the FIXED 8-word list against
+    the token array, so it counts distinct stopwords present, not
+    occurrences.
+
+    Plan: map-only — one codegen stage fused into the parquet scan, no
+    shuffle, no UDF.
+
+    Scale: embarrassingly parallel; at 100 TB this is scan-bound, and
+    the flags feed the same curation join as doc_quality (a slim
+    boolean table keyed by doc_id).
+    """
+    docs = table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPS])
+    m = (
+        docs.select("doc_id", "text", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_words"),
+            F.aggregate(
+                F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("total_len"),
+            F.size(F.regexp_extract_all("text", F.lit(_GOPHER_SYM_RE), 0))
+            .cast("long")
+            .alias("n_symbols"),
+            F.size(F.filter(F.col("toks"), lambda x: x.rlike("[A-Za-z]")))
+            .cast("long")
+            .alias("n_alpha_words"),
+            F.size(
+                F.filter(stops, lambda s: F.array_contains(F.col("toks"), s))
+            )
+            .cast("long")
+            .alias("n_required_stops"),
+        )
+    )
+    ok_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_len = (F.lit(3) * F.col("n_words") <= F.col("total_len")) & (
+        F.col("total_len") <= F.lit(10) * F.col("n_words")
+    )
+    ok_sym = F.lit(10) * F.col("n_symbols") <= F.col("n_words")
+    ok_alpha = F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words")
+    ok_stop = F.col("n_required_stops") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        (F.col("total_len").cast("double") / F.col("n_words")).alias("mean_word_len"),
+        "n_symbols",
+        "n_alpha_words",
+        "n_required_stops",
+        ok_wc.alias("ok_word_count"),
+        ok_len.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_len & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )
+
+
+# --- PMI term-pair mining: collocation discovery over the corpus ----------
+
+PMI_DOC_TOP_M = 64  # per-doc distinct-term cap before pairing (scale bound)
+PMI_MIN_SUPPORT = 5  # minimum co-document count for a reported pair
+_PMI_TOPK = 50
+_PMI_SCALE = 1_000_000  # 1e-6 nat quantum, the lm.py contract
+
+
+@query(
+    "term_pmi_pairs",
+    oracle=f"""
+    WITH dt AS MATERIALIZED (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ), capped AS MATERIALIZED (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, tok,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY k DESC, tok) AS rn
+        FROM dt
+      ) WHERE rn <= {PMI_DOC_TOP_M}
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    marg AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM capped GROUP BY tok
+    ), pairs AS (
+      SELECT a.tok AS term_a, b.tok AS term_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM capped a JOIN capped b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {PMI_MIN_SUPPORT}
+    ), scored AS (
+      SELECT p.term_a, p.term_b, ma.n_t AS n_a, mb.n_t AS n_b, p.n_ab,
+             CAST(round(ln(CAST((SELECT n_docs FROM n) * p.n_ab AS DOUBLE)
+                           / CAST(ma.n_t * mb.n_t AS DOUBLE))
+                        * {_PMI_SCALE}) AS BIGINT) AS pmi_q
+      FROM pairs p
+      JOIN marg ma ON ma.tok = p.term_a
+      JOIN marg mb ON mb.tok = p.term_b
+    )
+    SELECT term_a, term_b, n_a, n_b, n_ab, pmi_q,
+           CAST(pmi_q AS DOUBLE) / {_PMI_SCALE} AS pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi_q DESC, term_a, term_b)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY rank LIMIT {_PMI_TOPK}
+    """,
+)
+def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top term
+    pairs whose document co-occurrence exceeds independence —
+    PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over document presence counts,
+    the classic corpus-statistics operator (Church & Hanks 1990) a
+    curation pipeline uses to surface boilerplate phrases and topical
+    clusters (extends the reference's count-per-key R6 to pair keys,
+    /root/reference/Code/mapReduce.erl:60-78).
+
+    The pair explosion is bounded by the per-doc TOP-M distinct-term
+    cap (M={PMI_DOC_TOP_M}, ranked by in-doc count with the term string
+    as tie-break): candidates are ≤ M²/2 per document — the df-cap
+    discipline of operators.dedup applied to co-occurrence. Marginals
+    (n_a) count CAPPED presence too, keeping the PMI internally
+    consistent (n_ab ≤ min(n_a, n_b) always holds).
+
+    Determinism: counts are exact integers; the single ln() runs over a
+    correctly-rounded quotient of exactly-representable int64 products
+    and quantizes to 1e-6 nat at the PAIR level (one rounding per
+    output row — the lm.py model-level contract); ranking compares the
+    quantized integers only.
+
+    Plan: reuses the shared per-(doc, token) count artifact (tokenize
+    once, consume many); cap = one window per doc partition; the pair
+    self-join keys on doc_id (per-key fan-out ≤ M); marginal joins are
+    vocab-sized broadcasts; top-k lowers to TakeOrderedAndProject.
+
+    Scale: pair-generation output is |docs|·M²/2 slim rows with
+    map-side combine collapsing repeats before the (term_a, term_b)
+    exchange; support pruning happens in the same aggregate. No
+    all-pairs term join exists at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    dt = _doc_token_counts(spark, sf_dir)
+    wcap = Window.partitionBy("doc_id").orderBy(F.desc("k"), F.asc("tok"))
+    capped = (
+        dt.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= PMI_DOC_TOP_M)
+        .select("doc_id", "tok")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    marg = capped.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("term_a"), F.col("b.tok").alias("term_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("tok").alias("term_a"), F.col("n_t").alias("n_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("tok").alias("term_b"), F.col("n_t").alias("n_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_docs") * F.col("n_ab")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                )
+                * _PMI_SCALE
+            )
+            .cast("long")
+            .alias("pmi_q"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_q"), F.asc("term_a"), F.asc("term_b"))
+    return (
+        scored.orderBy(F.desc("pmi_q"), "term_a", "term_b")
+        .limit(_PMI_TOPK)
+        .withColumn("pmi", F.col("pmi_q").cast("double") / _PMI_SCALE)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("term_a", "term_b", "n_a", "n_b", "n_ab", "pmi_q", "pmi", "rank")
+    )

@@ -253,3 +253,64 @@ def test_kcore_matches_python_replay_and_is_stable(spark, sf_dir):
         assert r.core_deg == deg_in_core.get(v, 0) if v in surv else r.core_deg == 0
         if r.in_core:
             assert r.core_deg >= k
+
+
+def test_adamic_adar_matches_python_replay(spark, sf_dir):
+    """Full pure-Python replay of the capped Adamic-Adar pipeline over
+    the co-part graph: weighted edges, full-degree 1e-9 quantized
+    weights, top-M neighbor cap, wedge candidates, adjacency exclusion,
+    and the exact integer top-50."""
+    import math
+    from collections import Counter, defaultdict
+
+    from imdbmapreduce_spark.operators.graph import _AA_SCALE, _AA_TOPK, AA_NBR_CAP
+    from imdbmapreduce_spark.registry import get
+
+    rows = duckdb.connect().execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    by_order = defaultdict(set)
+    for k, p in rows:
+        by_order[k].add(p)
+    wedges: Counter = Counter()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    wedges[(a, b)] += 1
+    deg = Counter(src for src, _ in wedges)
+    w_q = {
+        z: int(math.floor(_AA_SCALE / math.log(d) + 0.5))
+        for z, d in deg.items()
+        if d >= 2
+    }
+    nbrs = defaultdict(list)
+    for (src, dst), n in wedges.items():
+        nbrs[src].append((-n, dst))
+    capped = {z: [d for _, d in sorted(v)[:AA_NBR_CAP]] for z, v in nbrs.items()}
+    score: dict[tuple, list] = {}
+    for z, nb in capped.items():
+        if z not in w_q:
+            continue
+        nb_sorted = sorted(nb)
+        for i, a in enumerate(nb_sorted):
+            for b in nb_sorted[i + 1 :]:
+                e = score.setdefault((a, b), [0, 0])
+                e[0] += 1
+                e[1] += w_q[z]
+    want = sorted(
+        (
+            (a, b, n, aa)
+            for (a, b), (n, aa) in score.items()
+            if (a, b) not in wedges
+        ),
+        key=lambda x: (-x[3], x[0], x[1]),
+    )[:_AA_TOPK]
+
+    got = get("adamic_adar_parts").fn(spark, sf_dir).collect()
+    got_sorted = sorted(got, key=lambda r: r.rank)
+    assert [(r.src, r.dst, r.n_common, r.aa_q) for r in got_sorted] == want
+    for r in got_sorted:
+        assert r.aa_score == r.aa_q / _AA_SCALE
+        assert (r.src, r.dst) not in wedges  # predicted links only
+    assert got, "co-part graph must yield non-adjacent candidates"

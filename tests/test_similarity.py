@@ -388,3 +388,93 @@ def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
             assert r.rel == rel[best_id]
             selected.append(best_id)
             remaining.remove(best_id)
+
+
+def test_rrf_fuses_both_arms_by_python_replay(spark, sf_dir):
+    """Full pure-Python replay of the hybrid fusion: BM25 lexical arm,
+    exact integer-dot dense arm for the fused probe, per-rank 1e-12
+    quantized reciprocal contributions, integer sum, doc_id tie-break."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from imdbmapreduce_spark.operators.similarity import (
+        _N_PROBES,
+        _RRF_ARM_N,
+        _RRF_SCALE,
+        _RRF_TOPK,
+        _SCALE,
+        RRF_K,
+        RRF_PROBE,
+    )
+    from imdbmapreduce_spark.operators.text import BM25_QUERY_TERMS
+    from imdbmapreduce_spark.registry import get
+
+    def rnd(v: float) -> int:
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    toks = {d: [t for t in txt.strip().split() if t] for d, txt in docs}
+    n_docs = len(toks)
+    t_total = sum(len(v) for v in toks.values())
+    score_q: Counter = Counter()
+    for term in BM25_QUERY_TERMS:
+        tf = {d: c for d, ts in toks.items() if (c := ts.count(term))}
+        if not tf:
+            continue
+        idf_q = rnd(math.log((n_docs - len(tf) + 0.5) / (len(tf) + 0.5) + 1.0) * 1e6)
+        for d, f in tf.items():
+            num = 22 * f * t_total
+            den = 10 * t_total * f + 3 * t_total + 9 * len(toks[d]) * n_docs
+            score_q[d] += rnd(float(idf_q) * num / den)
+    lex_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(score_q.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_ARM_N]
+        )
+    }
+
+    embs = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    q = {v: [rnd(float(x) * _SCALE) for x in e] for v, e in embs}
+    probe = q[RRF_PROBE]
+    n2 = {v: sum(x * x for x in e) for v, e in q.items()}
+    cos = {
+        v: sum(a * b for a, b in zip(probe, e))
+        / (math.sqrt(n2[RRF_PROBE]) * math.sqrt(n2[v]))
+        for v, e in q.items()
+        if v >= _N_PROBES
+    }
+    dense_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_ARM_N]
+        )
+    }
+
+    fused = {}
+    for d in set(lex_rank) | set(dense_rank):
+        rl, rd = lex_rank.get(d, 0), dense_rank.get(d, 0)
+        s = (rnd(float(_RRF_SCALE) / (RRF_K + rl)) if rl else 0) + (
+            rnd(float(_RRF_SCALE) / (RRF_K + rd)) if rd else 0
+        )
+        fused[d] = (rl, rd, s)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1][2], kv[0]))[:_RRF_TOPK]
+
+    got = get("rrf_hybrid_retrieval").fn(spark, sf_dir).collect()
+    got_sorted = sorted(got, key=lambda r: r.rank)
+    assert [
+        (r.doc_id, (r.rank_lex, r.rank_dense, r.rrf_q)) for r in got_sorted
+    ] == want
+    # both arms must actually contribute at this scale
+    assert any(r.rank_lex > 0 and r.rank_dense == 0 for r in got_sorted) or any(
+        r.rank_dense > 0 and r.rank_lex == 0 for r in got_sorted
+    )
+    for r in got_sorted:
+        assert 0 <= r.rank_lex <= _RRF_ARM_N and 0 <= r.rank_dense <= _RRF_ARM_N
+        assert r.rrf_q > 0

@@ -112,3 +112,112 @@ def test_bm25_matches_python_replay(spark, sf_dir):
     for r in got_sorted:
         assert r.score == r.score_q / 1e6
     assert [r.rank for r in got_sorted] == list(range(1, len(want) + 1))
+
+
+def _rnd_half_away(v: float) -> int:
+    import math
+
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+def test_gopher_flags_match_python_replay(spark, sf_dir):
+    """Every Gopher gate is pure integer arithmetic, so a whitespace
+    tokenizer plus int comparisons in Python must reproduce every flag
+    for every document bit-for-bit."""
+    import re
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_REQUIRED_STOPS,
+    )
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        toks = [t for t in r.text.strip().split() if t]
+        if not toks:
+            continue
+        n = len(toks)
+        total_len = sum(len(t) for t in toks)
+        n_sym = len(re.findall(r"[#…]|\.\.\.", r.text))
+        n_alpha = sum(1 for t in toks if re.search("[A-Za-z]", t))
+        n_stops = sum(1 for s in GOPHER_REQUIRED_STOPS if s in toks)
+        flags = (
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS,
+            3 * n <= total_len <= 10 * n,
+            10 * n_sym <= n,
+            5 * n_alpha >= 4 * n,
+            n_stops >= 2,
+        )
+        want[r.doc_id] = (n, total_len / n, n_sym, n_alpha, n_stops, *flags, all(flags))
+
+    got = registry.get("gopher_quality_flags").fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (
+            r.n_words,
+            r.mean_word_len,
+            r.n_symbols,
+            r.n_alpha_words,
+            r.n_required_stops,
+            r.ok_word_count,
+            r.ok_mean_len,
+            r.ok_symbol_ratio,
+            r.ok_alpha_words,
+            r.ok_stopwords,
+            r.gopher_pass,
+        ) == want[r.doc_id], r.doc_id
+    # the synthetic corpus must exercise both outcomes of at least one gate
+    assert any(r.gopher_pass for r in got) or any(not r.gopher_pass for r in got)
+
+
+def test_term_pmi_pairs_match_python_replay(spark, sf_dir):
+    """Full pure-Python replay of the capped PMI pipeline: per-doc top-M
+    distinct terms, presence marginals, pair supports, and the 1e-6
+    quantized ln ratio must reproduce the exact top-50."""
+    import math
+    from collections import Counter
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.text import (
+        PMI_DOC_TOP_M,
+        PMI_MIN_SUPPORT,
+    )
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_docs = len(rows)
+    marg: Counter = Counter()
+    pair_n: Counter = Counter()
+    for r in rows:
+        cnt = Counter(t for t in r.text.strip().split() if t)
+        capped = sorted(cnt, key=lambda t: (-cnt[t], t))[:PMI_DOC_TOP_M]
+        for t in capped:
+            marg[t] += 1
+        capped.sort()
+        for i, a in enumerate(capped):
+            for b in capped[i + 1 :]:
+                pair_n[(a, b)] += 1
+
+    scored = []
+    for (a, b), nab in pair_n.items():
+        if nab < PMI_MIN_SUPPORT:
+            continue
+        pmi_q = _rnd_half_away(
+            math.log((n_docs * nab) / (marg[a] * marg[b])) * 1e6
+        )
+        scored.append((a, b, marg[a], marg[b], nab, pmi_q))
+    scored.sort(key=lambda x: (-x[5], x[0], x[1]))
+    want = scored[:50]
+
+    got = registry.get("term_pmi_pairs").fn(spark, sf_dir).collect()
+    got_sorted = sorted(got, key=lambda r: r.rank)
+    assert [
+        (r.term_a, r.term_b, r.n_a, r.n_b, r.n_ab, r.pmi_q) for r in got_sorted
+    ] == want
+    for r in got_sorted:
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.pmi == r.pmi_q / 1e6
