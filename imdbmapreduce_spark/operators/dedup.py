@@ -895,3 +895,241 @@ def crossdoc_ngram_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_REPEAT_TOP)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+# --- prefix-filtered exact similarity join (complete, no df-cap) ----------
+
+# Jaccard threshold as an exact rational (no float compare anywhere in the
+# gate): J >= 3/5  <=>  8*n_common >= 3*(n_a + n_b).
+_PFX_TAU_NUM, _PFX_TAU_DEN = 3, 5
+
+
+@query(
+    "jaccard_prefix_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)-1),
+                                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE 8 * p.n_common >= 3 * (sa.n_sh + sb.n_sh)
+    """,
+)
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join with PREFIX FILTERING (Chaudhuri et al.
+    2006; Bayardo et al. "All-Pairs" 2007): every document pair with
+    3-gram-shingle Jaccard >= 0.6, found WITHOUT a df-cap and with zero
+    recall loss — the complete-candidate counterpart to
+    :func:`neardup_ngram_jaccard` (which drops shingles hotter than
+    _SHINGLE_DF_CAP docs and documents that lossiness) and to the
+    probabilistic MinHash/SimHash paths. The oracle runs the naive
+    all-shingle theta join; this plan must emit the IDENTICAL pair set,
+    which is exactly the prefix filter's completeness theorem under test.
+
+    Candidate generation: order all shingles by (global df ASC, shingle
+    ASC) — a total order putting the RAREST shingles first — sort each
+    document's shingle set by it, and emit only the first
+    p = n - ceil(tau*n) + 1 shingles per document. Completeness: if
+    J(a,b) >= tau then o = |a n b| >= tau*|a| (since |a u b| >= |a|) and
+    likewise for b; the smallest common shingle in the global order sits
+    at position <= |x| - o + 1 <= p in BOTH documents' sorted sets, so
+    every qualifying pair shares a prefix shingle. Each candidate is then
+    verified with an exact overlap count over the FULL sets and the
+    integer gate 8*o >= 3*(n_a+n_b)  (J >= 3/5 cross-multiplied), so no
+    float ever decides membership.
+
+    Scale: the df-ASC order is what bounds candidates — boilerplate
+    (hot) shingles sort LAST and rarely enter any prefix, so prefix-key
+    collision lists stay short without dropping them (the cap-free
+    answer to the C(df,2) blowup the df-cap guards against). Candidate
+    volume is sum over prefix-shingles of C(c,2) with c = docs carrying
+    that shingle IN PREFIX; verification touches only candidate docs'
+    shingle rows. Exchanges: df count (shuffle on shingle), per-doc sort
+    (shuffle on doc_id), candidate join (shuffle on shingle), verify
+    join keyed on doc ids. All keys hash-uniform; no all-pairs join at
+    any scale. At 100 TB this is the exact-dedup backstop run AFTER
+    MinHash banding shrinks the corpus, or standalone when recall
+    guarantees are contractual (eval-set decontamination).
+    """
+    ex = _shingle_rows(spark, sf_dir)  # distinct (doc_id, shingle)
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sized = ex.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
+    )
+    word = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref = (
+        sized.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(word))
+        # p = n - ceil(tau*n) + 1, with ceil(3n/5) = (3n+4) div 5 exact-int
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh") - F.expr(f"({_PFX_TAU_NUM}*n_sh + {_PFX_TAU_DEN - 1}) div {_PFX_TAU_DEN}") + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    common = (
+        ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(cand, "doc_a")
+        .join(
+            ex.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(8 * F.col("n_common") >= 3 * (F.col("n_a") + F.col("n_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- exact-substring duplicate spans (ExactSubstr-style dedup) -------------
+
+# Window width in tokens: any W-token sequence occurring more than once
+# in the corpus marks its covering tokens as duplicated (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — the
+# suffix-array ExactSubstr criterion, realized at token-window
+# granularity so it distributes).
+_XS_W = 10
+
+
+@query(
+    "exact_substr_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+{_XS_W - 1}], ' ')) AS h
+      FROM toks CROSS JOIN range(1, 100001) r(i)
+      WHERE CAST(i AS BIGINT) <= len(t) - {_XS_W} + 1
+    ), dup_h AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+    ), dupw AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN dup_h USING (h)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_XS_W} THEN 0 ELSE 1 END AS new_island
+      FROM dupw
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_XS_W} - 1 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(MAX(pos) + {_XS_W} - MIN(pos) AS BIGINT) AS span_tokens
+    FROM islands
+    GROUP BY doc_id, island
+    """,
+)
+def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans: every maximal token range covered
+    by a {_XS_W}-token window that occurs MORE THAN ONCE in the corpus —
+    the distributable form of Lee et al. 2022's ExactSubstr dedup (their
+    suffix array finds repeated substrings; a rolling window of width W
+    finds every repeat of length >= W, at the cost of W-1 boundary
+    tokens). Downstream curation CUTS these spans (not whole documents)
+    — the surgical counterpart to the document-level dedup family above.
+
+    Pipeline: rolling windows via per-doc ``lead`` (the codegen shingle
+    shape of :func:`_shingle_rows` — NOT a higher-order transform, which
+    evaluates interpreted per element); md5 per window so the repeat
+    join shuffles 16-byte digests, never text; repeated digests =
+    global count >= 2 (catches within-doc repeats too); per-doc
+    gaps-and-islands merge (windows whose starts differ by <= W overlap
+    or touch) yields maximal spans.
+
+    Determinism: positions are exact integers; island boundaries are
+    integer comparisons; md5 is bit-identical in both engines. (The
+    md5-collision false-positive probability at 100 TB window counts is
+    ~2^-70 — the standard fingerprint-dedup trade, stated not hidden.)
+
+    Scale: windows are |tokens| slim rows; the digest count is one
+    map-side-combinable aggregation; the dup join keys on the digest
+    (uniform); island merging shuffles only DUPLICATED window positions
+    on doc_id. No step holds a document's text after the digest pass.
+    Next to the suffix array a single box would build, every stage here
+    is an exchange Spark already load-balances.
+    """
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    pos_toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, _XS_W)]
+    wins = (
+        pos_toks.select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok", *leads)
+        .filter(F.col(f"t{_XS_W - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, _XS_W)])
+            ).alias("h"),
+        )
+    )
+    dup_h = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    dupw = wins.join(dup_h.select("h"), "h", "left_semi").select("doc_id", "pos")
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dupw.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(wlag) <= _XS_W, 0).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + _XS_W - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        (F.max("pos") + _XS_W - F.min("pos")).cast("long").alias("span_tokens"),
+    ).drop("island")

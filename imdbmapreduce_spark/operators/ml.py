@@ -677,3 +677,148 @@ def kmeans_replay(
             c: [_trunc_div(sj, stats[c][0]) for sj in stats[c][2]] for c in stats
         }
     return out
+
+
+# --- threshold sweep: filter calibration over a sufficient statistic ------
+
+_SWEEP_STEP = 25  # per-mille threshold grid 0, 25, ..., 975
+
+
+def _sweep_oracle_sql() -> str:
+    from imdbmapreduce_spark.operators.text import _DUCK_TOKS, _stop_list_sql
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), scored AS (
+      SELECT CAST((1000 * len(list_filter(toks,
+                     x -> list_contains({_stop_list_sql()}, x))))
+                  // len(toks) AS BIGINT) AS score_q,
+             (len(toks) >= 20 AND len(list_distinct(toks)) * 4 >= len(toks))
+               AS label
+      FROM t WHERE len(toks) > 0
+    ), hist AS (
+      SELECT score_q, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY 1, 2
+    ), grid AS (
+      SELECT CAST(range AS BIGINT) AS threshold FROM range(0, 1000, {_SWEEP_STEP})
+    ), m AS (
+      SELECT g.threshold,
+             CAST(SUM(CASE WHEN h.score_q >= g.threshold AND h.label
+                           THEN h.n ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN h.score_q >= g.threshold AND NOT h.label
+                           THEN h.n ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN h.score_q < g.threshold AND h.label
+                           THEN h.n ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN h.score_q < g.threshold AND NOT h.label
+                           THEN h.n ELSE 0 END) AS BIGINT) AS tn
+      FROM grid g CROSS JOIN hist h
+      GROUP BY 1
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision_,
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall_,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+    FROM m
+    """
+
+
+@query("quality_threshold_sweep", oracle=_sweep_oracle_sql())
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep: precision/recall/F1 of a stopword-ratio
+    quality filter at every threshold of a per-mille grid, against the
+    :func:`~imdbmapreduce_spark.operators.text.doc_quality` gate as the
+    label — the curve a curation pipeline reads to PICK the threshold
+    before filtering a 100 TB corpus (choosing a cutoff without this
+    sweep is guessing; with it, the recall cost of each precision point
+    is measured).
+
+    Scale shape — sweep the SUFFICIENT STATISTIC, not the corpus: one
+    map-only pass reduces every document to an integer (score_q, label)
+    pair; one aggregation collapses those to per-bucket positive /
+    negative counts (bucket = score div step, so every grid threshold
+    is a bucket boundary); the whole curve then falls out of ONE
+    suffix-sum window over the 40-row bucket table — tp(t) is the
+    positives at-or-above t's bucket, fn(t) = total_pos - tp(t). Sweep
+    cost is independent of corpus size and there is no grid x histogram
+    join at all (corpus pass: O(N) with map-side combine; sweep: O(40)
+    window rows on the driver-sized table).
+
+    Determinism: score_q = (1000 * n_stopwords) div n_tokens — exact
+    integer floor division; all four confusion cells are integer sums;
+    precision/recall/f1 are single exact-int divisions with a
+    CASE-guarded 0/0 -> 0.0 in both engines. (Columns named precision_
+    / recall_ because PRECISION is a DuckDB keyword.)
+    """
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.functions import tokens
+    from imdbmapreduce_spark.operators.text import STOPWORDS
+
+    docs = table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    scored = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            F.expr(
+                "CAST((1000 * size(filter(toks, x -> array_contains("
+                + "array("
+                + ", ".join(f"'{w}'" for w in STOPWORDS)
+                + "), x)))) div size(toks) AS BIGINT)"
+            ).alias("score_q"),
+            (
+                (F.size("toks") >= 20)
+                & (F.size(F.array_distinct("toks")) * 4 >= F.size("toks"))
+            ).alias("label"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # bucket = score div step: every grid threshold t = step*k is a
+    # bucket boundary, so "score >= t" == "bucket >= k" exactly.
+    hb = scored.groupBy(
+        F.expr(f"score_q div {_SWEEP_STEP}").cast("long").alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("b_pos"),
+        F.sum(F.when(~F.col("label"), 1).otherwise(0)).cast("long").alias("b_neg"),
+    )
+    grid = spark.range(0, 1000 // _SWEEP_STEP).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    filled = grid.join(hb, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("b_pos"), F.lit(0)).cast("long").alias("b_pos"),
+        F.coalesce(F.col("b_neg"), F.lit(0)).cast("long").alias("b_neg"),
+    )
+    # suffix sums: tp at bucket k = positives in buckets >= k
+    wsuf = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m = filled.select(
+        (F.col("bucket") * _SWEEP_STEP).alias("threshold"),
+        F.sum("b_pos").over(wsuf).cast("long").alias("tp"),
+        F.sum("b_neg").over(wsuf).cast("long").alias("fp"),
+        (F.sum("b_pos").over(wall) - F.sum("b_pos").over(wsuf))
+        .cast("long")
+        .alias("fn"),
+        (F.sum("b_neg").over(wall) - F.sum("b_neg").over(wsuf))
+        .cast("long")
+        .alias("tn"),
+    )
+    guard = lambda num, den: F.when(den == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / den
+    )
+    return m.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        guard(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_"),
+        guard(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_"),
+        guard(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1"),
+    )

@@ -276,3 +276,89 @@ def test_crossdoc_ngram_repeats_matches_python_replay(spark, sf_dir):
     got_sorted = sorted(got, key=lambda r: r.rnk)
     assert [(r.ngram, r.n_docs, r.n_occ) for r in got_sorted] == want
     assert [r.rnk for r in got_sorted] == list(range(1, len(want) + 1))
+
+
+def test_jaccard_prefix_join_complete_vs_naive_replay(spark, sf_dir):
+    """The prefix-filtered join must equal the NAIVE all-pairs Jaccard
+    join (no df-cap, no prefix) computed in pure Python — the
+    completeness theorem of the prefix filter, tested end-to-end, plus
+    the exact integer gate 8*o >= 3*(n_a+n_b)."""
+    import duckdb
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    sets = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.strip().split() if t]
+        if len(toks) < 3:
+            continue
+        sets[doc_id] = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            o = len(sets[a] & sets[b])
+            na, nb = len(sets[a]), len(sets[b])
+            if 8 * o >= 3 * (na + nb) and o > 0:
+                want[(a, b)] = (o, na, nb)
+
+    got = registry.get("jaccard_prefix_join").fn(spark, sf_dir).collect()
+    got_map = {(r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b) for r in got}
+    assert got_map == want
+    for r in got:
+        assert r.jaccard == r.n_common / (r.n_a + r.n_b - r.n_common)
+        assert r.jaccard >= 0.6 - 1e-12
+
+
+def test_exact_substr_spans_matches_python_replay(spark, sf_dir):
+    """Pure-Python replay of the whole ExactSubstr pipeline: rolling
+    W-token windows, corpus-global repeat detection, per-doc island
+    merge into maximal spans — plus the span invariants (within doc
+    bounds, n_windows consistent with the span extent)."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from imdbmapreduce_spark.operators.dedup import _XS_W
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wins: dict[int, list[tuple[int, str]]] = {}
+    counts: Counter = Counter()
+    n_toks = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.strip().split() if t]
+        n_toks[doc_id] = len(toks)
+        lst = []
+        for i in range(len(toks) - _XS_W + 1):
+            h = " ".join(toks[i : i + _XS_W])
+            lst.append((i + 1, h))
+            counts[h] += 1
+        wins[doc_id] = lst
+    want = set()
+    for doc_id, lst in wins.items():
+        dup_pos = [p for p, h in lst if counts[h] >= 2]
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        n_win = 1
+        for p in dup_pos[1:]:
+            if p - prev <= _XS_W:
+                prev = p
+                n_win += 1
+            else:
+                want.add((doc_id, start, prev + _XS_W - 1, n_win, prev + _XS_W - start))
+                start = prev = p
+                n_win = 1
+        want.add((doc_id, start, prev + _XS_W - 1, n_win, prev + _XS_W - start))
+
+    got = registry.get("exact_substr_spans").fn(spark, sf_dir).collect()
+    got_set = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows, r.span_tokens) for r in got
+    }
+    assert got_set == want
+    for r in got:
+        assert 1 <= r.span_start <= r.span_end <= n_toks[r.doc_id]
+        assert r.span_tokens == r.span_end - r.span_start + 1
+        assert r.n_windows <= r.span_tokens - _XS_W + 1

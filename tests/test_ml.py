@@ -138,3 +138,45 @@ def test_trunc_div_matches_engines_on_negatives():
     assert _trunc_div(7, 2) == 3
     assert _trunc_div(-6, 3) == -2
     assert _trunc_div(0, 5) == 0
+
+
+def test_threshold_sweep_replay_and_curve_properties(spark, sf_dir):
+    """Pure-Python replay of the histogram sweep, plus the curve
+    invariants: confusion cells always total the corpus, tp+fn is the
+    constant positive count, and recall is non-increasing in the
+    threshold (predicted-positive set shrinks monotonically)."""
+    import duckdb
+
+    from imdbmapreduce_spark.operators.ml import _SWEEP_STEP
+    from imdbmapreduce_spark.operators.text import STOPWORDS
+    from imdbmapreduce_spark.registry import get
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    stops = set(STOPWORDS)
+    pts = []
+    for _, text in docs:
+        toks = [t for t in text.strip().split() if t]
+        if not toks:
+            continue
+        score = (1000 * sum(1 for t in toks if t in stops)) // len(toks)
+        label = len(toks) >= 20 and len(set(toks)) * 4 >= len(toks)
+        pts.append((score, label))
+
+    rows = sorted(
+        get("quality_threshold_sweep").fn(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == list(range(0, 1000, _SWEEP_STEP))
+    n_pos = sum(1 for _, l in pts if l)
+    prev_recall = 1.1
+    for r in rows:
+        tp = sum(1 for s, l in pts if s >= r.threshold and l)
+        fp = sum(1 for s, l in pts if s >= r.threshold and not l)
+        assert (r.tp, r.fp) == (tp, fp)
+        assert r.tp + r.fp + r.fn + r.tn == len(pts)
+        assert r.tp + r.fn == n_pos
+        assert r.recall_ <= prev_recall + 1e-15
+        prev_recall = r.recall_
+        assert r.f1 == (2 * tp / (2 * tp + fp + r.fn) if tp + fp + r.fn else 0.0)

@@ -41,6 +41,14 @@ _BNLJ_ALLOWED = {
     "sessions_during_error_spikes",
     # 1-row corpus-stats build side (N, total tokens), the tfidf pattern
     "doc_bm25_topk",
+    # 1-row |corpus| count build side (the tfidf pattern)
+    "term_pmi_pairs",
+    # inherits doc_bm25_topk's 1-row stats build via the shared
+    # bm25_scores lexical stage
+    "rrf_hybrid_retrieval",
+    # single-row scalar-metric assembly joins (the triangles pattern):
+    # n_build_keys x n_set_bits x the 1-row confusion aggregate
+    "bloom_semijoin_audit",
 }
 
 
