@@ -658,19 +658,26 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    # Wedge build: ONE exchange groups each order's distinct parts into
+    # an array (collect_set partial-aggregates map-side), the ordered
+    # pairs then explode map-side — per-order fan-out is |parts|^2 with
+    # |parts| bounded by order size (~7), never a join. One exchange
+    # cheaper than the distinct + self-join form, with no sort-merge
+    # join at all; the (src, dst) aggregation shuffles combine-reduced
+    # pair counts only.
     wedges = shared_cache(
         spark,
         ("copart_wedges", sf_dir),
         lambda: (
-            lambda d: d.alias("a")
-            .join(d.alias("b"), F.col("a.k") == F.col("b.k"))
-            .filter(F.col("a.s") != F.col("b.s"))
-            .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-        )(
             table(spark, sf_dir, "lineitem")
             .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
-            .distinct()
+            .groupBy("k")
+            .agg(F.collect_set("s").alias("ps"))
+            .select(F.explode("ps").alias("src"), "ps")
+            .select("src", F.explode("ps").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         ),
     )
     deg = wedges.groupBy(F.col("src").alias("node")).agg(
