@@ -1,0 +1,196 @@
+"""Table-level audit operators: optimizer-grade column statistics and an
+order-invariant reconciliation checksum.
+
+Both are the "run it over the whole 100 TB table" maintenance queries a
+production deployment schedules: ANALYZE-style stats feed the optimizer
+(and this engine's own zone-map/histogram tricks, catalog.py), and the
+checksum is the anti-entropy primitive for replica / migration
+reconciliation — two systems agree on a table iff their digests agree,
+no row transfer needed. Generalizes the reference's whole-table
+elapsed-count probes (/root/reference/Code/master.erl:315-329 merges
+per-node counts exactly) to content, not just cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.registry import query
+
+# lineitem columns profiled, with their canonical string form for the
+# min/max export (native-type min/max first, format after).
+_STATS_COLS = [
+    ("l_orderkey", "bigint"),
+    ("l_partkey", "bigint"),
+    ("l_suppkey", "bigint"),
+    ("l_quantity", "qty"),  # integral-valued double -> long
+    ("l_returnflag", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _canon_spark(col: str, kind: str) -> Column:
+    c = F.col(col)
+    if kind == "bigint":
+        return c.cast("long")
+    if kind == "qty":
+        return F.round(c).cast("long")
+    if kind == "ts":
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return c
+
+
+def _canon_sql(col: str, kind: str) -> str:
+    if kind == "bigint":
+        return f"CAST({col} AS BIGINT)"
+    if kind == "qty":
+        return f"CAST(round({col}) AS BIGINT)"
+    if kind == "ts":
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+    return col
+
+
+def _stats_oracle_sql() -> str:
+    selects = []
+    for col, kind in _STATS_COLS:
+        c = _canon_sql(col, kind)
+        selects.append(
+            f"""SELECT '{col}' AS column_name,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+                  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+                  CAST(MIN({c}) AS VARCHAR) AS min_val,
+                  CAST(MAX({c}) AS VARCHAR) AS max_val
+                FROM lineitem"""
+        )
+    return " UNION ALL ".join(selects)
+
+
+@query("lineitem_column_stats", oracle=_stats_oracle_sql())
+def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-grade column statistics for the fact table: per column,
+    row count, null count, EXACT distinct count, and canonical min/max —
+    the statistics a cost-based optimizer (and this repo's own zone-map
+    quantiles and histogram pruning, plans/relational.py) plans from.
+
+    Shape: ONE aggregation computes every column's stats in a single
+    pass — Spark lowers the multi-column exact COUNT(DISTINCT) to an
+    Expand (each row fans to one tuple per distinct-aggregate) feeding
+    one partial/final aggregate pair: cost is |cols| x |rows| slim
+    tuples with map-side partial collapse, the exact shape ANALYZE
+    TABLE runs, and the honest price of EXACT ndv (the sketched
+    alternative is events_approx_distinct's HLL, whose error this
+    engine audits rather than hides). The single aggregated row then
+    unpivots driver-side to one row per column — no second scan.
+
+    Determinism: doubles canonicalize to integers (l_quantity is
+    integral by generation), timestamps to formatted UTC strings;
+    min/max aggregate over the CANONICAL values so both engines order
+    identically; everything else is exact integers.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for col, kind in _STATS_COLS:
+        c = _canon_spark(col, kind)
+        aggs += [
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{col}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{col}__ndv"),
+            F.min(c).cast("string").alias(f"{col}__min"),
+            F.max(c).cast("string").alias(f"{col}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__ndv, {col}__min, {col}__max"
+        for col, _ in _STATS_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, ndv, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
+
+
+# --- order-invariant table checksum ----------------------------------------
+
+# Canonical row form for the orders table: keys and category strings
+# verbatim, money as exact cents, the timestamp as a formatted UTC
+# string. The digest is md5 over the '|'-joined canonical fields; the
+# table checksum is the (sum, xor) of the digest's two leading 32-bit
+# words — commutative aggregates, so the result is independent of row
+# order, partitioning, and engine.
+def _orders_canon_sql() -> str:
+    return (
+        "CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+        "o_orderstatus, CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), "
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority)"
+    )
+
+
+@query(
+    "orders_table_checksum",
+    oracle=f"""
+    WITH canon AS (
+      SELECT md5({_orders_canon_sql()}) AS h FROM orders
+    ), words AS (
+      SELECT CAST(CONCAT('0x', substr(h, 1, 8)) AS BIGINT) AS w_hi,
+             CAST(CONCAT('0x', substr(h, 9, 8)) AS BIGINT) AS w_lo
+      FROM canon
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(w_hi) AS BIGINT) AS sum_hi,
+           CAST(SUM(w_lo) AS BIGINT) AS sum_lo,
+           CAST(BIT_XOR(w_hi) AS BIGINT) AS xor_hi,
+           CAST(BIT_XOR(w_lo) AS BIGINT) AS xor_lo
+    FROM words
+    """,
+)
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant content checksum of the orders table — the
+    anti-entropy / reconciliation primitive: two copies of the table
+    (replica, migration target, another engine entirely — DuckDB here,
+    by construction of the oracle) agree on (n_rows, sum, xor) of
+    per-row digests iff they hold the same multiset of rows, and the
+    comparison ships five integers, not data.
+
+    Canonicalization is the whole contract: keys and category strings
+    verbatim, money as exact cents, the timestamp as a formatted UTC
+    string — so the digest is a property of the DATA, not of either
+    engine's value formatting. sum detects any multiset difference with
+    overwhelming probability; xor is the cheap second witness (a row
+    present twice flips xor but not necessarily sum's low bits, and
+    vice versa). Both leading 32-bit md5 words stay < 2^32, so 2^31
+    rows cannot overflow a 64-bit sum.
+
+    Plan: map-only digest fused into the scan + one commutative
+    aggregate — no shuffle beyond the single-row final combine. At
+    100 TB this is the cheapest possible full-content pass, and it
+    parallelizes perfectly (every partition contributes a partial
+    (count, sum, xor) triple).
+    """
+    o = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    words = o.select(F.md5(canon).alias("h")).select(
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w_hi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w_lo"),
+    )
+    return words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("w_hi").cast("long").alias("sum_hi"),
+        F.sum("w_lo").cast("long").alias("sum_lo"),
+        F.expr("bit_xor(w_hi)").cast("long").alias("xor_hi"),
+        F.expr("bit_xor(w_lo)").cast("long").alias("xor_lo"),
+    )

@@ -260,6 +260,7 @@ def _load_plans() -> None:
     from imdbmapreduce_spark.operators import graph  # noqa: F401
     from imdbmapreduce_spark.operators import ml  # noqa: F401
     from imdbmapreduce_spark.sources import movies_csv  # noqa: F401
+    from imdbmapreduce_spark.operators import audit  # noqa: F401
     from imdbmapreduce_spark.operators import bloomjoin  # noqa: F401
     from imdbmapreduce_spark.operators import dedup  # noqa: F401
     from imdbmapreduce_spark.operators import multimodal  # noqa: F401
