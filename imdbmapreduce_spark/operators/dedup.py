@@ -1133,3 +1133,143 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         (F.max("pos") + _XS_W - F.min("pos")).cast("long").alias("span_tokens"),
     ).drop("island")
+
+
+# --- corpus-growth novelty rate --------------------------------------------
+
+
+@query(
+    "doc_novelty_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t)-1),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sh,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def doc_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty under ingestion order: the fraction of a
+    document's 3-gram shingles whose FIRST corpus occurrence (min
+    doc_id — doc_id is ingestion order in this corpus) is the document
+    itself. The curve of this rate over doc_id is how a growing corpus
+    measures diminishing returns — when marginal novelty decays, new
+    data is mostly re-crawl, and dedup/acquisition budgets should move
+    (the corpus-growth twin of :func:`exact_substr_spans`' span view).
+
+    Determinism: counts are exact integers over the distinct-shingle
+    set; novelty is one exact-int division.
+
+    Scale: one shuffle keys shingle occurrences by shingle for the
+    min-doc aggregate (map-side combinable), one join carries
+    (shingle -> first_doc) back to occurrences on the same key — no
+    re-shuffle under AQE — and the per-doc rollup shuffles slim
+    (doc_id, flags) rows. Nothing is quadratic; hot shingles cost their
+    occurrence count, never pairs.
+    """
+    ex = _shingle_rows(spark, sf_dir)
+    firsts = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = ex.join(firsts, "shingle")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+        F.sum(novel).cast("long").alias("n_novel"),
+        (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )
+
+
+# --- cross-source overlap matrix -------------------------------------------
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(t)-1),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), per_src AS (
+      SELECT shingle, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM sh GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.shingle, a.source AS source_a, b.source AS source_b,
+             CASE WHEN a.source = b.source
+                  THEN a.n_docs * (a.n_docs - 1) / 2
+                  ELSE a.n_docs * b.n_docs END AS doc_pairs
+      FROM per_src a JOIN per_src b
+        ON a.shingle = b.shingle AND a.source <= b.source
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles,
+           CAST(SUM(doc_pairs) AS BIGINT) AS n_doc_pairs
+    FROM pairs
+    WHERE doc_pairs > 0
+    GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every (ordered) source
+    pair, how many distinct 3-gram shingles both sources contain, and
+    how many cross-source document pairs share one — the audit a
+    multi-source corpus runs BEFORE mixing (a hot off-diagonal cell
+    means two "independent" sources are re-crawls of each other, and
+    the mixture's effective diversity is lower than its weights claim).
+    The diagonal counts within-source duplication pressure
+    (C(n_docs, 2) per shingle).
+
+    Scale shape — the matrix comes from a SUFFICIENT STATISTIC, not a
+    document join: one aggregate reduces occurrences to (shingle,
+    source, n_docs) — at most |sources| rows per shingle — and the
+    pair step self-joins THAT table on the shingle key with fan-out
+    <= |sources|^2 (here <= 25), never C(docs, 2). Hot shingles cost
+    |sources|^2 rows regardless of how many documents carry them.
+
+    Determinism: pure integer counts; n_docs*(n_docs-1)/2 is exact
+    (the product of consecutive integers is even).
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    ex = _shingle_rows(spark, sf_dir).join(docs, "doc_id")
+    per_src = ex.groupBy("shingle", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    a = per_src.alias("a")
+    b = per_src.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.when(
+                F.col("a.source") == F.col("b.source"),
+                (F.col("a.n_docs") * (F.col("a.n_docs") - 1)).cast("long") / 2,
+            )
+            .otherwise(F.col("a.n_docs") * F.col("b.n_docs"))
+            .cast("long")
+            .alias("doc_pairs"),
+        )
+        .filter(F.col("doc_pairs") > 0)
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_shingles"),
+        F.sum("doc_pairs").cast("long").alias("n_doc_pairs"),
+    )

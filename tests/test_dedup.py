@@ -362,3 +362,61 @@ def test_exact_substr_spans_matches_python_replay(spark, sf_dir):
         assert 1 <= r.span_start <= r.span_end <= n_toks[r.doc_id]
         assert r.span_tokens == r.span_end - r.span_start + 1
         assert r.n_windows <= r.span_tokens - _XS_W + 1
+
+
+def test_novelty_and_source_overlap_match_python_replay(spark, sf_dir):
+    """Shared pure-Python shingle replay for the two corpus-analytics
+    queries: per-doc novelty under min-doc_id first-occurrence, and the
+    source-pair overlap matrix from the (shingle, source, n_docs)
+    sufficient statistic."""
+    import duckdb
+    from collections import defaultdict
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    doc_sh = {}
+    src_of = {}
+    for doc_id, source, text in rows:
+        toks = [t for t in text.strip().split() if t]
+        if len(toks) < 3:
+            continue
+        doc_sh[doc_id] = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        src_of[doc_id] = source
+    first = {}
+    for doc_id in sorted(doc_sh):
+        for s in doc_sh[doc_id]:
+            first.setdefault(s, doc_id)
+
+    got = registry.get("doc_novelty_rate").fn(spark, sf_dir).collect()
+    assert {r.doc_id for r in got} == set(doc_sh)
+    for r in got:
+        novel = sum(1 for s in doc_sh[r.doc_id] if first[s] == r.doc_id)
+        assert (r.n_sh, r.n_novel) == (len(doc_sh[r.doc_id]), novel)
+        assert r.novelty == novel / len(doc_sh[r.doc_id])
+    # the earliest document is all-novel by construction
+    first_doc = min(doc_sh)
+    assert next(r for r in got if r.doc_id == first_doc).novelty == 1.0
+
+    per_src = defaultdict(lambda: defaultdict(int))
+    for doc_id, shs in doc_sh.items():
+        for s in shs:
+            per_src[s][src_of[doc_id]] += 1
+    want = defaultdict(lambda: [0, 0])
+    for s, by_src in per_src.items():
+        srcs = sorted(by_src)
+        for i, sa in enumerate(srcs):
+            for sb in srcs[i:]:
+                dp = (
+                    by_src[sa] * (by_src[sa] - 1) // 2
+                    if sa == sb
+                    else by_src[sa] * by_src[sb]
+                )
+                if dp > 0:
+                    cell = want[(sa, sb)]
+                    cell[0] += 1
+                    cell[1] += dp
+    mgot = registry.get("source_overlap_matrix").fn(spark, sf_dir).collect()
+    assert {
+        (r.source_a, r.source_b): [r.n_shared_shingles, r.n_doc_pairs] for r in mgot
+    } == dict(want)
