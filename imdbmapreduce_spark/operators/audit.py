@@ -173,7 +173,14 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes perfectly (every partition contributes a partial
     (count, sum, xor) triple).
     """
-    o = table(spark, sf_dir, "orders")
+    return _orders_checksum_plan(table(spark, sf_dir, "orders"))
+
+
+def _orders_checksum_plan(o: DataFrame) -> DataFrame:
+    """The canonical-digest checksum aggregate over an orders-shaped
+    DataFrame — shared by :func:`orders_table_checksum` (parquet scan)
+    and :func:`orc_roundtrip_checksum` (ORC scan), so the two formats
+    are checksummed by the SAME expression tree."""
     canon = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
@@ -194,3 +201,58 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(w_hi)").cast("long").alias("xor_hi"),
         F.expr("bit_xor(w_lo)").cast("long").alias("xor_lo"),
     )
+
+
+@query(
+    "orc_roundtrip_checksum",
+    oracle=f"""
+    WITH canon AS (
+      SELECT md5({_orders_canon_sql()}) AS h FROM orders
+    ), words AS (
+      SELECT CAST(CONCAT('0x', substr(h, 1, 8)) AS BIGINT) AS w_hi,
+             CAST(CONCAT('0x', substr(h, 9, 8)) AS BIGINT) AS w_lo
+      FROM canon
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(w_hi) AS BIGINT) AS sum_hi,
+           CAST(SUM(w_lo) AS BIGINT) AS sum_lo,
+           CAST(BIT_XOR(w_hi) AS BIGINT) AS xor_hi,
+           CAST(BIT_XOR(w_lo) AS BIGINT) AS xor_lo
+    FROM words
+    """,
+)
+def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange, PROVEN: copy the orders table to ORC
+    (sources/columnar.py's zstd writer), read it back under the explicit
+    schema gate, and checksum the copy with the same canonical-digest
+    aggregate as :func:`orders_table_checksum`. The oracle checksums the
+    ORIGINAL parquet via DuckDB — so a hash match certifies the whole
+    chain: parquet scan == ORC write -> ORC scan, bit-for-bit at the
+    canonical-content level, across two engines. This is the checksum
+    operator doing its actual job (format/engine migration sign-off),
+    registered as a query so the certification re-runs every round.
+
+    The ORC copy lands in a per-sf temp directory and is rewritten
+    (mode=overwrite) each run — the cost measured is one write + one
+    scan of the table, both format-native and columnar.
+
+    Scale: write is one repartition-free pass; the checksum is the
+    shuffle-free commutative aggregate. For a 100 TB migration you run
+    exactly this, partition by partition, and compare five integers per
+    partition.
+    """
+    import os
+    import tempfile
+
+    from imdbmapreduce_spark.sources.columnar import read_orc, write_orc
+
+    o = table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "imdbmapreduce_orc_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "orders",
+    )
+    write_orc(o, path)
+    back = read_orc(spark, path, o.schema)
+    return _orders_checksum_plan(back)
