@@ -90,3 +90,33 @@ def release_shared_caches() -> None:
             hook()
         except Exception:
             pass  # teardown best-effort, same stance as unpersist above
+
+
+def stable_checkpoint(df):
+    """Truncate lineage: DURABLE ``checkpoint`` when the SparkContext has
+    a checkpoint directory configured (the production setting — survives
+    executor loss, which matters for the iterative fixpoints that call
+    this), ``localCheckpoint`` otherwise (executor-local blocks; the
+    right default for local[] runs and CI, where "executor loss" is
+    process death anyway).
+
+    One switch for every iterative operator (connected components,
+    PageRank/PPR, funnel peeling, quartile histograms, MMR), so a real
+    cluster turns on durability with
+    ``spark.sparkContext.setCheckpointDir(path)`` once instead of
+    editing call sites.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
+def stable_checkpoint_lazy(df):
+    """:func:`stable_checkpoint`, but lazy (``eager=False``) — for the
+    per-round states of iterative loops where the next action runs
+    immediately anyway and an eager materialization would add a job."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)

@@ -75,15 +75,17 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistics a cost-based optimizer (and this repo's own zone-map
     quantiles and histogram pruning, plans/relational.py) plans from.
 
-    Shape: ONE aggregation computes every column's stats in a single
-    pass — Spark lowers the multi-column exact COUNT(DISTINCT) to an
-    Expand (each row fans to one tuple per distinct-aggregate) feeding
-    one partial/final aggregate pair: cost is |cols| x |rows| slim
-    tuples with map-side partial collapse, the exact shape ANALYZE
-    TABLE runs, and the honest price of EXACT ndv (the sketched
-    alternative is events_approx_distinct's HLL, whose error this
-    engine audits rather than hides). The single aggregated row then
-    unpivots driver-side to one row per column — no second scan.
+    Shape: one aggregate PER COLUMN, unioned — each branch's scan is
+    pruned to that single column (parquet reads one column chunk), its
+    exact COUNT(DISTINCT) is an ordinary two-phase aggregate, and the
+    union of six one-row branches is free. This beats the
+    "one pass, all columns" form (multiple exact distinct-aggregates
+    lower to an Expand that fans EVERY row |cols|+1 ways — measured
+    13.5 s vs ~2 s here at sf0.1) because columnar IO makes six
+    one-column scans cost the same bytes as one six-column scan, while
+    the Expand pays |cols| x |rows| wide tuples through the aggregate.
+    The sketched alternative to exact ndv is events_approx_distinct's
+    HLL, whose error this engine audits rather than hides.
 
     Determinism: doubles canonicalize to integers (l_quantity is
     integral by generation), timestamps to formatted UTC strings;
@@ -91,29 +93,25 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically; everything else is exact integers.
     """
     li = table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    branches = []
     for col, kind in _STATS_COLS:
         c = _canon_spark(col, kind)
-        aggs += [
-            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias(f"{col}__nulls"),
-            F.countDistinct(c).cast("long").alias(f"{col}__ndv"),
-            F.min(c).cast("string").alias(f"{col}__min"),
-            F.max(c).cast("string").alias(f"{col}__max"),
-        ]
-    one = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', {col}__nulls, {col}__ndv, {col}__min, {col}__max"
-        for col, _ in _STATS_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_STATS_COLS)}, {stack_args}) AS "
-            "(column_name, n_nulls, ndv, min_val, max_val)"
-        ),
-        "n_rows",
-    ).select("column_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
+        branches.append(
+            li.select(F.col(col), c.alias("_c")).agg(
+                F.lit(col).alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.countDistinct("_c").cast("long").alias("ndv"),
+                F.min("_c").cast("string").alias("min_val"),
+                F.max("_c").cast("string").alias("max_val"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 # --- order-invariant table checksum ----------------------------------------

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from imdbmapreduce_spark.cache import shared_cache
+from imdbmapreduce_spark.cache import shared_cache, stable_checkpoint
 from imdbmapreduce_spark.catalog import parallelize_scan, table
 from imdbmapreduce_spark.functions import tokens
 from imdbmapreduce_spark.registry import query
@@ -195,6 +195,19 @@ def _shingles_capped_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= _SHINGLE_DF_CAP)
         .drop("df"),
+    )
+
+
+def _shingle_rows_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCAPPED distinct (doc_id, shingle) rows as a session-shared
+    artifact — tokenize/shingle once, consume many: the prefix join, the
+    novelty rate, and the source-overlap matrix all start here, and a
+    bench/driver sweep would otherwise re-run the explode+window+distinct
+    pipeline once per consumer per pass."""
+    return shared_cache(
+        spark,
+        ("shingle_rows_all", sf_dir, 3),
+        lambda: _shingle_rows(spark, sf_dir),
     )
 
 
@@ -684,7 +697,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
         edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
         .unionByName(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
         .distinct()
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     # Only edge-incident nodes can ever change label — every other node is
     # a singleton, decided before the loop starts. In a deduplicated
@@ -692,7 +705,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
     # per-round shuffle from |nodes| to |edge endpoints|; the singleton
     # majority rejoins via one anti-join at the end, outside the loop.
     active = sym.select("node").distinct()
-    comp = active.select("node", F.col("node").alias("comp")).localCheckpoint()
+    comp = active.select("node", F.col("node").alias("comp")).transform(stable_checkpoint)
     result = None
     for _ in range(max_iters):
         nbr_min = (
@@ -710,7 +723,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
                 "comp",
             )
             .select("node", F.col("comp2").alias("comp"))
-            .localCheckpoint()
+            .transform(stable_checkpoint)
         )
         changed = (
             jumped.join(comp.withColumnRenamed("comp", "prev"), "node")
@@ -969,7 +982,7 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash banding shrinks the corpus, or standalone when recall
     guarantees are contractual (eval-set decontamination).
     """
-    ex = _shingle_rows(spark, sf_dir)  # distinct (doc_id, shingle)
+    ex = _shingle_rows_cached(spark, sf_dir)  # distinct (doc_id, shingle)
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sized = ex.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
@@ -1180,7 +1193,7 @@ def doc_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, flags) rows. Nothing is quadratic; hot shingles cost their
     occurrence count, never pairs.
     """
-    ex = _shingle_rows(spark, sf_dir)
+    ex = _shingle_rows_cached(spark, sf_dir)
     firsts = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     joined = ex.join(firsts, "shingle")
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
@@ -1244,7 +1257,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the product of consecutive integers is even).
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    ex = _shingle_rows(spark, sf_dir).join(docs, "doc_id")
+    ex = _shingle_rows_cached(spark, sf_dir).join(docs, "doc_id")
     per_src = ex.groupBy("shingle", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )

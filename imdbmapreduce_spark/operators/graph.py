@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from imdbmapreduce_spark.cache import shared_cache
+from imdbmapreduce_spark.cache import shared_cache, stable_checkpoint_lazy
 from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.registry import query
 
@@ -98,7 +98,7 @@ def pagerank(
             lambda: edges.join(deg, "src"),
         )
     else:
-        ed = edges.join(deg, "src").localCheckpoint(eager=False)
+        ed = edges.join(deg, "src").transform(stable_checkpoint_lazy)
 
     ranks = nodes.select("node", F.lit(PR_SCALE // n_nodes).cast("long").alias("rank_fp"))
     for i in range(iters):
@@ -120,7 +120,7 @@ def pagerank(
         # sf0.1 without truncation) WITHOUT forcing an eager job per
         # round. Data-dependent loops that inspect state each round
         # (dedup_clusters) use the eager form instead.
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.transform(stable_checkpoint_lazy)
     return ranks
 
 
@@ -170,7 +170,7 @@ def pagerank_adjacency(
                 + F.expr(f"({PR_DAMP_NUM} * coalesce(inbound, 0)) div {PR_DAMP_DEN}")
             ).cast("long").alias("rank_fp"),
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.transform(stable_checkpoint_lazy)
     return ranks
 
 
@@ -430,7 +430,7 @@ def ppr_supplier_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr(f"({PR_DAMP_NUM} * coalesce(inbound, 0)) div {PR_DAMP_DEN}")
             ).cast("long").alias("rank_fp"),
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.transform(stable_checkpoint_lazy)
     return ranks.join(F.broadcast(seeds.withColumn("s", F.lit(True))), "node", "left").select(
         "node", "rank_fp", F.coalesce("s", F.lit(False)).alias("is_seed")
     )
@@ -549,7 +549,7 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = (
             deg.filter(F.col("deg") >= k)
             .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=False)
+            .transform(stable_checkpoint_lazy)
         )
     core_deg = (
         edges.join(surv.withColumnRenamed("node", "src"), "src")

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from imdbmapreduce_spark.cache import shared_cache
+from imdbmapreduce_spark.cache import shared_cache, stable_checkpoint
 from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.registry import query
 
@@ -314,7 +314,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # |probes|·POOL rows referenced by four downstream plan arms
         # (pair sides, id list, greedy input) — materialize once or the
         # corpus-sized scoring stage re-runs per arm
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     ex = _shared_components(spark, sf_dir)
     comp = ex.join(F.broadcast(cand.select("vec_id").distinct()), "vec_id")

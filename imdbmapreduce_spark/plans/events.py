@@ -491,6 +491,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     build sides — the later steps broadcast for free once conversion
     decimates the audience.
     """
+    from imdbmapreduce_spark.cache import stable_checkpoint
+
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
     )
@@ -500,7 +502,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = ev.filter(F.col("event_type") == step)
         if prev is not None:
             cur = cur.join(prev, "user_id").filter(F.col("ts_us") > F.col("t_prev"))
-        reached = cur.groupBy("user_id").agg(F.min("ts_us").alias("t_prev")).localCheckpoint()
+        reached = cur.groupBy("user_id").agg(F.min("ts_us").alias("t_prev")).transform(stable_checkpoint)
         counts.append(
             reached.agg(
                 F.lit(idx).alias("step_idx"),

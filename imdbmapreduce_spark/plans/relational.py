@@ -25,6 +25,7 @@ from imdbmapreduce_spark.functions import (
     one_plus_cents,
 )
 from imdbmapreduce_spark.operators.dedup import _DUCK_JAC_CTES as _NEARDUP_JAC_CTES
+from imdbmapreduce_spark.cache import stable_checkpoint
 from imdbmapreduce_spark.registry import query
 
 # DuckDB spelling of the cents helpers (see imdbmapreduce_spark.functions:
@@ -854,7 +855,7 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (totals → ranks → needed, and the bucket lookup); localCheckpoint
     # materializes it once so the full-scan agg isn't re-run per branch.
     # On a real cluster use durable checkpoint for fault tolerance.
-    hist = hist.withColumn("below", F.sum("cnt").over(wcum) - F.col("cnt")).localCheckpoint()
+    hist = hist.withColumn("below", F.sum("cnt").over(wcum) - F.col("cnt")).transform(stable_checkpoint)
     totals = hist.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
 
     ranks = (
@@ -886,7 +887,7 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_rank = (
         cand.withColumn("k", F.col("below") + F.row_number().over(wrank) - 1)
         .join(needed, ["l_returnflag", "k"], "inner")
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
 
     v0 = at_rank.select("l_returnflag", F.col("k").alias("k0"), F.col("pc").alias("v0"))
@@ -1400,7 +1401,7 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit(0))
             ).alias("is_late")
         )
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     per_order = fact.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
@@ -1822,7 +1823,7 @@ def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("s")))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     du = deg.select(F.col("s").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("s").alias("v"), F.col("d").alias("dv"))
@@ -1836,7 +1837,7 @@ def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .localCheckpoint()
+        .transform(stable_checkpoint)
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")

@@ -145,3 +145,41 @@ def test_torn_persist_leaves_no_manifest(spark, sf_dir, tmp_path, monkeypatch):
     finally:
         indexstore.drop_group(sf_dir, "text")
         release_shared_caches()
+
+
+def test_stable_checkpoint_durable_mode_is_bit_identical(spark, tmp_path):
+    """With a checkpoint dir configured, stable_checkpoint switches every
+    iterative operator to DURABLE checkpoints — results must stay
+    bit-identical to the localCheckpoint default, and the reliable
+    checkpoint files must actually land in the directory."""
+    import os
+
+    from pyspark.sql import Row
+
+    from imdbmapreduce_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([Row(node=i) for i in range(6)])
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]]
+    )
+    local = {(r.node, r.rank_fp) for r in pagerank(nodes, edges, iters=4).collect()}
+
+    ckdir = str(tmp_path / "ck")
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(ckdir)
+    try:
+        durable = {
+            (r.node, r.rank_fp) for r in pagerank(nodes, edges, iters=4).collect()
+        }
+    finally:
+        # restore the session default (localCheckpoint) for later tests:
+        # SparkContext.checkpointDir is a plain Scala Option var
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+    assert sc.getCheckpointDir() is None
+    assert durable == local
+    # reliable checkpoint data was written under the configured dir
+    found = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert found, "durable checkpoint wrote no files"
