@@ -1424,3 +1424,104 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "rank_lex", "rank_dense", "rrf_q", "rrf", "rank")
     )
+
+
+# --- hard-negative mining for contrastive training -------------------------
+
+HN_MARGIN = 0.05  # positives' cosine minus this bounds eligible negatives
+HN_PER_PROBE = 5
+
+
+def _hn_oracle_sql() -> str:
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(t.i AS INTEGER) AS pos,
+             CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)*{_SCALE}) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN range(1, 4097) t(i)
+      WHERE CAST(t.i AS INTEGER) <= len(embedding)
+    ),
+    probes AS (SELECT vec_id AS q_id, pos, v AS qv FROM ex WHERE vec_id < {_N_PROBES}),
+    corpus AS (SELECT * FROM ex WHERE vec_id >= {_N_PROBES}),
+    norms AS (SELECT vec_id, SUM(v*v) AS n2 FROM ex GROUP BY vec_id),
+    dots AS (
+      SELECT p.q_id, c.vec_id, SUM(p.qv * c.v) AS dot
+      FROM corpus c JOIN probes p USING (pos)
+      GROUP BY p.q_id, c.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id AS neighbor_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms nc ON nc.vec_id = d.vec_id
+    ),
+    positives AS (
+      SELECT q_id, neighbor_id AS pos_id, cosine AS pos_cosine
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cosine DESC, neighbor_id) AS r
+            FROM scored)
+      WHERE r = 1
+    )
+    SELECT q_id, neighbor_id, cosine, pos_id, pos_cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT s.q_id, s.neighbor_id, s.cosine, p.pos_id, p.pos_cosine,
+             ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                ORDER BY s.cosine DESC, s.neighbor_id) AS rank
+      FROM scored s JOIN positives p USING (q_id)
+      WHERE s.neighbor_id <> p.pos_id
+        AND s.cosine <= p.pos_cosine - {HN_MARGIN}
+    )
+    WHERE rank <= {HN_PER_PROBE}
+    """
+
+
+@query("hard_negative_mining", oracle=_hn_oracle_sql())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the DPR
+    recipe, Karpukhin et al. 2020): per probe, take the top-scoring
+    corpus vectors that are NOT the positive (its exact nearest
+    neighbor) and sit at least {HN_MARGIN} cosine BELOW it — the margin
+    guards against mining false negatives (near-duplicates of the
+    positive that would poison the loss), which plain "ranks 2..k+1"
+    does not. Output: {HN_PER_PROBE} hard negatives per probe with the
+    positive and both scores, the exact rows a training-pair writer
+    ships.
+
+    Plan: reuses the shared exact-scoring stage
+    (:func:`_probe_scored` — one integer-dot aggregation for ALL
+    consumers in a sweep); positives are a per-probe rank-1 window; the
+    negative pool is one probe-keyed join + filter + per-probe top-k
+    window (|probes| partitions).
+
+    Determinism: cosines are doubles built from identical int64 dots;
+    the margin test subtracts a literal from one such double — same two
+    operands, same one operation, in both engines; ranking breaks ties
+    on neighbor_id. At 100 TB the scoring stage is the cost (its
+    lower-bound argument lives on knn_bruteforce); mining adds only
+    probe-bounded windows, and the IVF/LSH indexes swap in as the
+    candidate generator when exact scoring stops paying.
+    """
+    scored = _probe_scored(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    positives = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "q_id",
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    negs = (
+        scored.join(positives, "q_id")
+        .filter(
+            (F.col("neighbor_id") != F.col("pos_id"))
+            & (F.col("cosine") <= F.col("pos_cosine") - HN_MARGIN)
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HN_PER_PROBE)
+    )
+    return negs.select("q_id", "neighbor_id", "cosine", "pos_id", "pos_cosine", "rank")

@@ -478,3 +478,41 @@ def test_rrf_fuses_both_arms_by_python_replay(spark, sf_dir):
     for r in got_sorted:
         assert 0 <= r.rank_lex <= _RRF_ARM_N and 0 <= r.rank_dense <= _RRF_ARM_N
         assert r.rrf_q > 0
+
+
+def test_hard_negative_mining_margin_and_positive_exclusion(spark, sf_dir):
+    """The mined set must respect the DPR-style contract: the positive
+    (exact top-1) never appears, every negative sits >= MARGIN below the
+    positive's cosine, ranks are dense per probe, and the negatives are
+    exactly the top-scoring eligible candidates (cross-checked against
+    knn_bruteforce's exact ranking)."""
+    from imdbmapreduce_spark.operators.similarity import HN_MARGIN, HN_PER_PROBE
+    from imdbmapreduce_spark.registry import get
+
+    hn = get("hard_negative_mining").fn(spark, sf_dir).collect()
+    knn = get("knn_bruteforce").fn(spark, sf_dir).collect()
+    top1 = {r.q_id: (r.neighbor_id, r.cosine) for r in knn if r.rank == 1}
+
+    by_q = {}
+    for r in hn:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(top1)
+    for q, rows in by_q.items():
+        pos_id, pos_cos = top1[q]
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= HN_PER_PROBE
+        for r in rows:
+            assert (r.pos_id, r.pos_cosine) == (pos_id, pos_cos)
+            assert r.neighbor_id != pos_id
+            assert r.cosine <= pos_cos - HN_MARGIN
+        # the top-2..k knn rows that clear the margin must lead the mined list
+        eligible = [
+            k for k in knn
+            if k.q_id == q and k.neighbor_id != pos_id
+            and k.cosine <= pos_cos - HN_MARGIN
+        ]
+        eligible.sort(key=lambda k: (-k.cosine, k.neighbor_id))
+        lead = [(k.neighbor_id, k.cosine) for k in eligible]
+        mined = [(r.neighbor_id, r.cosine) for r in rows]
+        assert mined[: len(lead)] == lead[: len(mined)]
