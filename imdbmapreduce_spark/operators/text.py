@@ -1066,3 +1066,78 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("term_a", "term_b", "n_a", "n_b", "n_ab", "pmi_q", "pmi", "rank")
     )
+
+
+# --- character-entropy quality signal --------------------------------------
+
+_ENT_SCALE = 1_000_000_000  # 1e-9 nat quantum on each ln term
+
+
+@query(
+    "doc_char_entropy",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+      WHERE length(text) > 0
+    ), cnts AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             CAST(SUM(k * CAST(round(ln(CAST(k AS DOUBLE)) * {_ENT_SCALE})
+                               AS BIGINT)) AS BIGINT) AS sum_klogk_q
+      FROM cnts GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct_chars, sum_klogk_q,
+           (CAST(round(ln(CAST(n_chars AS DOUBLE)) * {_ENT_SCALE}) AS BIGINT)
+              - CAST(sum_klogk_q AS DOUBLE) / n_chars) / {_ENT_SCALE}
+             AS entropy
+    FROM agg
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats) — the
+    compression-ratio proxy a curation pipeline uses beside the token
+    heuristics: near-zero entropy flags degenerate repetition (one char
+    dominating), abnormally high entropy flags binary-ish noise in a
+    text column. H = ln N - (Σ_c k_c·ln k_c)/N over character counts,
+    the aggregation-friendly form (no per-char probabilities
+    materialized).
+
+    Determinism: each ln runs on an exact INTEGER count, quantizes to
+    1e-9 nat, and enters an exact integer Σ k_c·lnq(k_c); the exported
+    entropy is then three double ops over identical operands in both
+    engines (one division by N, one subtraction, one descale). The
+    repeated-count structure means lnq is evaluated per distinct
+    (doc, count) pair — no per-character transcendental work.
+
+    Scale: char explode is a narrow map (rows = total chars — the same
+    budget as tokenizing); the (doc, char) count and per-doc rollup are
+    two map-side-combinable aggregates keyed on doc_id, alphabet-bounded
+    fan-in. At 100 TB: scan-bound, like every quality signal here.
+    """
+    from imdbmapreduce_spark.catalog import parallelize_scan
+
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    ch = docs.filter(F.length("text") > 0).select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    )
+    cnts = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    lnq = F.round(F.log(F.col("k").cast("double")) * _ENT_SCALE).cast("long")
+    agg = cnts.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(F.col("k") * lnq).cast("long").alias("sum_klogk_q"),
+    )
+    ln_n_q = F.round(F.log(F.col("n_chars").cast("double")) * _ENT_SCALE).cast("long")
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        "sum_klogk_q",
+        (
+            (ln_n_q - F.col("sum_klogk_q").cast("double") / F.col("n_chars"))
+            / _ENT_SCALE
+        ).alias("entropy"),
+    )

