@@ -983,20 +983,33 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees are contractual (eval-set decontamination).
     """
     ex = _shingle_rows_cached(spark, sf_dir)  # distinct (doc_id, shingle)
-    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sized = ex.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
-    )
-    word = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    pref = (
-        sized.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(word))
-        # p = n - ceil(tau*n) + 1, with ceil(3n/5) = (3n+4) div 5 exact-int
-        .filter(
-            F.col("rn")
-            <= F.col("n_sh") - F.expr(f"({_PFX_TAU_NUM}*n_sh + {_PFX_TAU_DEN - 1}) div {_PFX_TAU_DEN}") + 1
+
+    def build_prefix() -> DataFrame:
+        dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sized = ex.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
         )
-        .select("doc_id", "shingle")
+        word = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        return (
+            sized.join(dfreq, "shingle")
+            .withColumn("rn", F.row_number().over(word))
+            # p = n - ceil(tau*n) + 1, with ceil(3n/5) = (3n+4) div 5 exact-int
+            .filter(
+                F.col("rn")
+                <= F.col("n_sh") - F.expr(f"({_PFX_TAU_NUM}*n_sh + {_PFX_TAU_DEN - 1}) div {_PFX_TAU_DEN}") + 1
+            )
+            .select("doc_id", "shingle")
+        )
+
+    # The df-ordered prefix table is the derivation half of the join
+    # (df count + two windows over the full shingle set); the candidate
+    # and verify joins are the per-query half. Session-cache the former
+    # like the other shingle artifacts — keyed on tau so a threshold
+    # edit can never serve a stale prefix.
+    pref = shared_cache(
+        spark,
+        ("jaccard_prefix", sf_dir, 3, _PFX_TAU_NUM, _PFX_TAU_DEN),
+        build_prefix,
     )
     cand = (
         pref.alias("a")
