@@ -254,3 +254,140 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_orc(o, path)
     back = read_orc(spark, path, o.schema)
     return _orders_checksum_plan(back)
+
+
+@query(
+    "csv_roundtrip_checksum",
+    oracle=f"""
+    WITH canon AS (
+      SELECT md5({_orders_canon_sql()}) AS h FROM orders
+    ), words AS (
+      SELECT CAST(CONCAT('0x', substr(h, 1, 8)) AS BIGINT) AS w_hi,
+             CAST(CONCAT('0x', substr(h, 9, 8)) AS BIGINT) AS w_lo
+      FROM canon
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(w_hi) AS BIGINT) AS sum_hi,
+           CAST(SUM(w_lo) AS BIGINT) AS sum_lo,
+           CAST(BIT_XOR(w_hi) AS BIGINT) AS xor_hi,
+           CAST(BIT_XOR(w_lo) AS BIGINT) AS xor_lo
+    FROM words
+    """,
+)
+def csv_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange, proven the same way as
+    :func:`orc_roundtrip_checksum`: copy orders to CSV (header, quoted,
+    explicit timestamp format), read it back under the ORIGINAL schema
+    (never inferred — the engine's standing posture for text formats),
+    and checksum the copy while the oracle checksums the original
+    parquet. A hash match certifies the lossy-looking chain — doubles
+    through shortest-repr text and back, timestamps through a formatted
+    string — is value-exact.
+
+    CSV is the reference's own ingest format
+    (/root/reference/Code/dataAnalyze.erl:42-104); this query is the
+    certification that leaving it (to parquet) and re-entering it (for
+    interchange) costs nothing but IO.
+    """
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "imdbmapreduce_csv_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "orders",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    o.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", fmt
+    ).csv(path)
+    back = (
+        spark.read.schema(o.schema)
+        .option("header", True)
+        .option("timestampFormat", fmt)
+        .csv(path)
+    )
+    return _orders_checksum_plan(back)
+
+
+def _documents_checksum_plan(d: DataFrame) -> DataFrame:
+    """Canonical-digest checksum over a documents-shaped DataFrame — all
+    fields are strings/longs, so the canon is verbatim field text. The
+    '|' separator is a multiset-equality witness, not a collision-proof
+    encoding; both engines canonicalize identically, which is the
+    contract."""
+    canon = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+    )
+    words = d.select(F.md5(canon).alias("h")).select(
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w_hi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w_lo"),
+    )
+    return words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("w_hi").cast("long").alias("sum_hi"),
+        F.sum("w_lo").cast("long").alias("sum_lo"),
+        F.expr("bit_xor(w_hi)").cast("long").alias("xor_hi"),
+        F.expr("bit_xor(w_lo)").cast("long").alias("xor_lo"),
+    )
+
+
+@query(
+    "jsonl_roundtrip_checksum",
+    oracle="""
+    WITH canon AS (
+      SELECT md5(CONCAT_WS('|', CAST(doc_id AS VARCHAR), text, lang, source,
+                           CAST(n_chars AS VARCHAR))) AS h
+      FROM documents
+    ), words AS (
+      SELECT CAST(CONCAT('0x', substr(h, 1, 8)) AS BIGINT) AS w_hi,
+             CAST(CONCAT('0x', substr(h, 9, 8)) AS BIGINT) AS w_lo
+      FROM canon
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(w_hi) AS BIGINT) AS sum_hi,
+           CAST(SUM(w_lo) AS BIGINT) AS sum_lo,
+           CAST(BIT_XOR(w_hi) AS BIGINT) AS xor_hi,
+           CAST(BIT_XOR(w_lo) AS BIGINT) AS xor_lo
+    FROM words
+    """,
+)
+def jsonl_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange certification: documents → JSONL shards
+    (sources/jsonl.py's writer) → permissive schema-gated read → clean
+    lane → the canonical checksum, while the oracle checksums the
+    original parquet. Certifies that JSON string escaping (quotes,
+    unicode, control chars) round-trips text EXACTLY — the specific
+    fidelity risk of the crawl-dump format the pipeline actually
+    ingests — and that the permissive reject lane stays empty on
+    well-formed shards (a reject would change n_rows and fail the
+    hash).
+    """
+    import os
+    import tempfile
+
+    from imdbmapreduce_spark.sources.jsonl import (
+        clean_documents,
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "imdbmapreduce_jsonl_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "documents",
+    )
+    write_documents_jsonl(d, path)
+    back = clean_documents(read_documents_jsonl(spark, path)).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    return _documents_checksum_plan(back)

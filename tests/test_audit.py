@@ -90,3 +90,17 @@ def test_lineitem_column_stats_matches_naive_profile(spark, sf_dir):
         assert r.n_nulls == nulls
         assert r.ndv == ndv
         assert r.min_val <= r.max_val or r.ndv <= 1
+
+
+def test_roundtrip_checksums_equal_parquet_checksum(spark, sf_dir):
+    """All three interchange certifications (ORC, CSV, JSONL) must agree
+    with the native-parquet checksum inside the engine too — the
+    cross-format half of what the DuckDB oracle certifies cross-engine."""
+    base = registry.get("orders_table_checksum").fn(spark, sf_dir).first()
+    for q in ("orc_roundtrip_checksum", "csv_roundtrip_checksum"):
+        got = registry.get(q).fn(spark, sf_dir).first()
+        assert got == base, q
+
+    jsonl = registry.get("jsonl_roundtrip_checksum").fn(spark, sf_dir).first()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert jsonl.n_rows == docs.count()  # permissive reject lane stayed empty
