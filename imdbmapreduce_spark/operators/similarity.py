@@ -1525,3 +1525,67 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HN_PER_PROBE)
     )
     return negs.select("q_id", "neighbor_id", "cosine", "pos_id", "pos_cosine", "rank")
+
+
+# --- ANN recall audit: the index-quality scoreboard -------------------------
+
+
+@query("ann_recall_audit")  # rows-only: the ANN sides are xxhash-family
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of every ANN index against the exact brute-force
+    ranking, as a REGISTERED query — the index-quality scoreboard a
+    vector deployment watches per ingest, promoted from a pytest
+    assertion to a per-round driver row so recall regressions surface in
+    the sweep, not just in CI. One row per index family
+    (lsh / ivf / pq / ivfpq): probes evaluated, hits against the exact
+    top-{_TOP_K}, micro-averaged recall, and the mean true cosine of
+    the retrieved neighbors vs the exact set's (the "how wrong are the
+    misses" companion recall alone hides).
+
+    Rows-only by design, like the four index queries it audits (their
+    hash families are engine-specific); determinism within the engine is
+    inherited from theirs, and tests/test_similarity.py pins recall
+    floors so a silent index regression still fails CI.
+
+    Scale: each arm is its own query's cost (all index-served after
+    persist); the audit join keys on (q_id, neighbor_id) against the
+    {_TOP_K}-row-per-probe exact set — driver-bounded.
+    """
+    exact = knn_bruteforce(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("cosine").alias("true_cos")
+    )
+    n_exact = exact.groupBy("q_id").count()
+    arms = {
+        "lsh": ann_lsh_topk,
+        "ivf": ann_ivf_topk,
+        "pq": ann_pq_topk,
+        "ivfpq": ann_ivfpq_topk,
+    }
+    outs = []
+    for name, fn in sorted(arms.items()):
+        got = fn(spark, sf_dir).select("q_id", "neighbor_id")
+        hits = got.join(exact, ["q_id", "neighbor_id"])
+        outs.append(
+            got.agg(
+                F.lit(name).alias("index_name"),
+                F.countDistinct("q_id").cast("long").alias("n_probes"),
+                F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            ).crossJoin(
+                hits.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_hits"),
+                    F.avg("true_cos").alias("mean_hit_cosine"),
+                )
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    total_exact = exact.count()
+    return out.select(
+        "index_name",
+        "n_probes",
+        "n_retrieved",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(total_exact))).alias("recall"),
+        "mean_hit_cosine",
+    )

@@ -49,6 +49,8 @@ _BNLJ_ALLOWED = {
     # single-row scalar-metric assembly joins (the triangles pattern):
     # n_build_keys x n_set_bits x the 1-row confusion aggregate
     "bloom_semijoin_audit",
+    # per-arm 1-row (counts) x (hits) scalar assembly, x4 index families
+    "ann_recall_audit",
 }
 
 

@@ -516,3 +516,25 @@ def test_hard_negative_mining_margin_and_positive_exclusion(spark, sf_dir):
         lead = [(k.neighbor_id, k.cosine) for k in eligible]
         mined = [(r.neighbor_id, r.cosine) for r in rows]
         assert mined[: len(lead)] == lead[: len(mined)]
+
+
+def test_ann_recall_audit_matches_recomputed_recall(spark, sf_dir):
+    """The registered scoreboard must equal recall recomputed directly
+    from the index queries' outputs, and every family must clear a
+    floor (the same floors the per-index tests assert)."""
+    from imdbmapreduce_spark.registry import get
+
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in get("knn_bruteforce").fn(spark, sf_dir).collect()
+    }
+    audit = {r.index_name: r for r in get("ann_recall_audit").fn(spark, sf_dir).collect()}
+    assert set(audit) == {"lsh", "ivf", "pq", "ivfpq"}
+    for name in audit:
+        got = get(f"ann_{name}_topk").fn(spark, sf_dir).collect()
+        hits = sum(1 for r in got if (r.q_id, r.neighbor_id) in exact)
+        a = audit[name]
+        assert a.n_hits == hits
+        assert a.recall == hits / len(exact)
+        assert a.n_retrieved == len(got)
+        assert a.recall >= 0.3, name  # coarse floor; per-index tests pin tighter
