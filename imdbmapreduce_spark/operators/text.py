@@ -880,30 +880,59 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean table keyed by doc_id).
     """
     docs = table(spark, sf_dir, "documents")
+    m = with_gopher_flags(docs.select("doc_id", "text"))
+    return m.select(
+        "doc_id",
+        "n_words",
+        (F.col("total_len").cast("double") / F.col("n_words")).alias("mean_word_len"),
+        "n_symbols",
+        "n_alpha_words",
+        "n_required_stops",
+        "ok_word_count",
+        "ok_mean_len",
+        "ok_symbol_ratio",
+        "ok_alpha_words",
+        "ok_stopwords",
+        "gopher_pass",
+    )
+
+
+def with_gopher_flags(df: DataFrame) -> DataFrame:
+    """Append the Gopher metric and gate columns to any DataFrame with a
+    ``text`` column (rows with zero tokens are dropped — they have no
+    defined ratios). ONE definition of the rule battery, shared by the
+    batch query and the streaming ingest gate so the two surfaces cannot
+    drift. All gates are pure integer comparisons (ratio thresholds
+    cross-multiplied); works on batch and streaming frames alike
+    (map-only expressions)."""
     stops = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPS])
     m = (
-        docs.select("doc_id", "text", tokens("text").alias("toks"))
+        df.withColumn("toks", tokens("text"))
         .filter(F.size("toks") > 0)
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_words"),
+        .withColumn("n_words", F.size("toks").cast("long"))
+        .withColumn(
+            "total_len",
             F.aggregate(
                 F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
-            ).alias("total_len"),
-            F.size(F.regexp_extract_all("text", F.lit(_GOPHER_SYM_RE), 0))
-            .cast("long")
-            .alias("n_symbols"),
-            F.size(F.filter(F.col("toks"), lambda x: x.rlike("[A-Za-z]")))
-            .cast("long")
-            .alias("n_alpha_words"),
-            F.size(
-                F.filter(stops, lambda s: F.array_contains(F.col("toks"), s))
-            )
-            .cast("long")
-            .alias("n_required_stops"),
+            ),
         )
+        .withColumn(
+            "n_symbols",
+            F.size(F.regexp_extract_all("text", F.lit(_GOPHER_SYM_RE), 0)).cast("long"),
+        )
+        .withColumn(
+            "n_alpha_words",
+            F.size(F.filter(F.col("toks"), lambda x: x.rlike("[A-Za-z]"))).cast("long"),
+        )
+        .withColumn(
+            "n_required_stops",
+            F.size(F.filter(stops, lambda s: F.array_contains(F.col("toks"), s))).cast(
+                "long"
+            ),
+        )
+        .drop("toks")
     )
     ok_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
         F.col("n_words") <= GOPHER_MAX_WORDS
@@ -914,19 +943,15 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_sym = F.lit(10) * F.col("n_symbols") <= F.col("n_words")
     ok_alpha = F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words")
     ok_stop = F.col("n_required_stops") >= 2
-    return m.select(
-        "doc_id",
-        "n_words",
-        (F.col("total_len").cast("double") / F.col("n_words")).alias("mean_word_len"),
-        "n_symbols",
-        "n_alpha_words",
-        "n_required_stops",
-        ok_wc.alias("ok_word_count"),
-        ok_len.alias("ok_mean_len"),
-        ok_sym.alias("ok_symbol_ratio"),
-        ok_alpha.alias("ok_alpha_words"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_wc & ok_len & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    return (
+        m.withColumn("ok_word_count", ok_wc)
+        .withColumn("ok_mean_len", ok_len)
+        .withColumn("ok_symbol_ratio", ok_sym)
+        .withColumn("ok_alpha_words", ok_alpha)
+        .withColumn("ok_stopwords", ok_stop)
+        .withColumn(
+            "gopher_pass", ok_wc & ok_len & ok_sym & ok_alpha & ok_stop
+        )
     )
 
 

@@ -582,3 +582,98 @@ def cusum_stateful(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming ingest quality gate over JSONL shards ------------------------
+
+
+def _gate_oracle_sql() -> str:
+    from imdbmapreduce_spark.operators.text import _DUCK_TOKS, _gopher_stops_sql
+
+    return f"""
+    WITH t AS (
+      SELECT source, text, {_DUCK_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS BIGINT) AS total_len,
+             CAST(len(regexp_extract_all(text, '[#…]|\\.\\.\\.'))
+                  AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter({_gopher_stops_sql()},
+                                  s -> list_contains(toks, s)))
+                  AS BIGINT) AS n_required_stops
+      FROM t WHERE len(toks) > 0
+    ), flagged AS (
+      SELECT source,
+             ((n_words BETWEEN 20 AND 100000)
+              AND (3 * n_words <= total_len AND total_len <= 10 * n_words)
+              AND (10 * n_symbols <= n_words)
+              AND (5 * n_alpha_words >= 4 * n_words)
+              AND (n_required_stops >= 2)) AS gopher_pass
+      FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(SUM(CASE WHEN gopher_pass THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_fail
+    FROM flagged
+    GROUP BY source
+    """
+
+
+@query("streaming_jsonl_quality_gate", bench=False, oracle=_gate_oracle_sql())
+def streaming_jsonl_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-ingest quality gating: the documents corpus lands as JSONL
+    shards (the crawl-dump format, written here via sources/jsonl.py),
+    a STREAM reads them through the permissive schema-gated reader, the
+    Gopher rule battery (the SHARED `with_gopher_flags` expression —
+    one definition, so batch and streaming gates cannot drift) scores
+    each document map-side, and a per-source pass/fail aggregate drains
+    with AvailableNow. The oracle computes the same counts from the
+    original parquet in DuckDB, so a hash match certifies the WHOLE
+    ingest topology: JSONL escaping, permissive parse, gate, aggregate.
+
+    Scale: the gate is stateless map-only work; streaming state is one
+    row per source (complete mode; on a live deployment switch to
+    update mode + a watermarked window for time-bucketed monitoring).
+    New shards landing in the directory are picked up incrementally —
+    this exact topology is the quality-monitor a crawl pipeline runs
+    beside its ingest.
+    """
+    import os
+
+    from imdbmapreduce_spark.operators.text import with_gopher_flags
+    from imdbmapreduce_spark.sources.jsonl import (
+        CORRUPT_COL,
+        DOCUMENTS_JSONL_SCHEMA,
+        write_documents_jsonl,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "imdbmapreduce_jsonl_stream",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "documents",
+    )
+    write_documents_jsonl(d, path)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .filter(F.col(CORRUPT_COL).isNull())
+        .select("source", "text")
+    )
+    gated = with_gopher_flags(stream)
+    agg = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("gopher_pass"), 0).otherwise(1)).cast("long").alias("n_fail"),
+    )
+    return _run_to_table(agg, "complete")

@@ -546,3 +546,30 @@ def test_streaming_cusum_multi_batch_parity_and_drop_discipline(spark, tmp_path)
     drain()
     after = [r for r in spark.read.parquet(out_dir).collect()]
     assert len(after) == len(rows)  # incremental drain emitted 0 new rows
+
+
+def test_streaming_jsonl_quality_gate_equals_batch_gate(spark, sf_dir):
+    """The streamed per-source pass/fail counts must equal the batch
+    aggregation of the SAME shared gate expression over the parquet
+    corpus — the no-drift contract between ingest-time and batch
+    curation."""
+    from imdbmapreduce_spark.catalog import table as _table
+    from imdbmapreduce_spark.operators.text import with_gopher_flags
+    from imdbmapreduce_spark.registry import get
+
+    got = {
+        r.source: (r.n_docs, r.n_pass, r.n_fail)
+        for r in get("streaming_jsonl_quality_gate").fn(spark, sf_dir).collect()
+    }
+    batch = (
+        with_gopher_flags(_table(spark, sf_dir, "documents").select("source", "text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).alias("p"),
+        )
+        .collect()
+    )
+    want = {r.source: (r.n, r.p, r.n - r.p) for r in batch}
+    assert got == want
+    assert sum(v[0] for v in got.values()) > 0
