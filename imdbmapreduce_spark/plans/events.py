@@ -2017,3 +2017,121 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         cusum, "user_id long, event_id long, r long, cusum long, alarm boolean"
     )
+
+
+# --- position-based multi-touch attribution ---------------------------------
+
+_MTA_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+_MTA_TOTAL_BP = 10_000  # credit per conversion, basis points
+_MTA_EDGE_BP = 4_000  # first- and last-touch shares (U-shaped 40/20/40)
+
+
+@query(
+    "events_multitouch_attribution",
+    oracle=f"""
+    WITH conv AS (
+      SELECT event_id AS conversion_id, user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_id AS touch_event_id, event_type AS touch_type,
+             epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('view', 'click')
+    ), joined AS (
+      SELECT c.conversion_id, c.user_id, t.touch_event_id, t.touch_type,
+             t.t_us
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.t_us < c.c_us AND t.t_us >= c.c_us - {_MTA_WINDOW_US}
+    ), ranked AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (PARTITION BY conversion_id
+                                     ORDER BY t_us, touch_event_id)
+                  AS BIGINT) AS position,
+             CAST(COUNT(*) OVER (PARTITION BY conversion_id) AS BIGINT) AS n_touches
+      FROM joined
+    )
+    SELECT conversion_id, user_id, touch_event_id, touch_type, position,
+           n_touches,
+           CAST(CASE
+             WHEN n_touches = 1 THEN {_MTA_TOTAL_BP}
+             WHEN n_touches = 2 THEN {_MTA_TOTAL_BP} // 2
+             WHEN position = 1 OR position = n_touches THEN {_MTA_EDGE_BP}
+             ELSE ({_MTA_TOTAL_BP} - 2 * {_MTA_EDGE_BP}) // (n_touches - 2)
+                  + CASE WHEN position = 2
+                         THEN ({_MTA_TOTAL_BP} - 2 * {_MTA_EDGE_BP})
+                              % (n_touches - 2)
+                         ELSE 0 END
+           END AS BIGINT) AS credit_bp
+    FROM ranked
+    """,
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    distributes exactly {_MTA_TOTAL_BP} basis points of credit over the
+    user's view/click touchpoints in the preceding 7 days — 40% to the
+    first touch, 40% to the last, the middle 20% split evenly (integer
+    division; the remainder goes to the EARLIEST middle touch, a stated
+    deterministic rule rather than a float split). Single-touch
+    conversions take all 10000 bp; two-touch split 5000/5000. Extends
+    first-touch (:func:`events_first_touch`) and last-click
+    (`events_attribution_window`) with the credit model marketing
+    pipelines actually reconcile revenue against.
+
+    Determinism: credit is pure integer arithmetic summing EXACTLY to
+    {_MTA_TOTAL_BP} per conversion (pinned in tests); touch order is
+    (ts, event_id) — total. No floats anywhere.
+
+    Scale: the conversion-touch join keys on user_id (per-user activity
+    is human-bounded — the same argument as sessionization; a bot-user
+    hot key is AQE skew-split territory), then ONE window pair
+    (row_number + count) partitioned by conversion_id, cardinality =
+    conversions. For window-heavy variants at extreme fan-out, the
+    banded range join (operators/rangejoin.py) swaps in as the
+    candidate generator.
+    """
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conversion_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    joined = conv.join(touch, "user_id").filter(
+        (F.col("t_us") < F.col("c_us"))
+        & (F.col("t_us") >= F.col("c_us") - _MTA_WINDOW_US)
+    )
+    wpos = Window.partitionBy("conversion_id").orderBy("t_us", "touch_event_id")
+    wall = Window.partitionBy("conversion_id")
+    ranked = joined.withColumn(
+        "position", F.row_number().over(wpos).cast("long")
+    ).withColumn("n_touches", F.count(F.lit(1)).over(wall).cast("long"))
+    mid_total = _MTA_TOTAL_BP - 2 * _MTA_EDGE_BP
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(_MTA_TOTAL_BP))
+        .when(F.col("n_touches") == 2, F.lit(_MTA_TOTAL_BP // 2))
+        .when(
+            (F.col("position") == 1) | (F.col("position") == F.col("n_touches")),
+            F.lit(_MTA_EDGE_BP),
+        )
+        .otherwise(
+            F.expr(f"{mid_total} div (n_touches - 2)")
+            + F.when(
+                F.col("position") == 2,
+                F.expr(f"{mid_total} % (n_touches - 2)"),
+            ).otherwise(F.lit(0))
+        )
+    )
+    return ranked.select(
+        "conversion_id",
+        "user_id",
+        "touch_event_id",
+        "touch_type",
+        "position",
+        "n_touches",
+        credit.cast("long").alias("credit_bp"),
+    )

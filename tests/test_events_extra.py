@@ -416,3 +416,53 @@ def test_cusum_fires_on_planted_drift_and_resets(spark, tmp_path):
     # every drift event individually crosses: alarm + reset each step
     assert [r.alarm for r in u2] == [True] * 6
     assert [r.cusum for r in u2] == [22500] * 6
+
+
+def test_multitouch_credit_conserved_and_u_shaped(spark, sf_dir):
+    """Every conversion's credit sums to exactly 10000 bp; edges get
+    4000 each when n>=3; the integer remainder lands on position 2 —
+    plus a full replay against a naive Python computation."""
+    import duckdb
+    from collections import defaultdict
+
+    from imdbmapreduce_spark.plans.events import _MTA_WINDOW_US
+    from imdbmapreduce_spark.registry import get
+
+    rows = get("events_multitouch_attribution").fn(spark, sf_dir).collect()
+    by_conv = defaultdict(list)
+    for r in rows:
+        by_conv[r.conversion_id].append(r)
+    assert by_conv, "no conversions attributed"
+    for conv, touches in by_conv.items():
+        touches.sort(key=lambda r: r.position)
+        n = touches[0].n_touches
+        assert [t.position for t in touches] == list(range(1, n + 1))
+        assert sum(t.credit_bp for t in touches) == 10_000
+        if n >= 3:
+            assert touches[0].credit_bp == 4000 and touches[-1].credit_bp == 4000
+            mids = touches[1:-1]
+            base = 2000 // (n - 2)
+            assert mids[0].credit_bp == base + 2000 % (n - 2)
+            assert all(m.credit_bp == base for m in mids[1:])
+
+    # replay the touch sets for a sample of conversions
+    con = duckdb.connect()
+    ev = con.execute(
+        f"""SELECT event_id, user_id, event_type, epoch_us(ts)
+            FROM read_parquet('{sf_dir}/events.parquet')"""
+    ).fetchall()
+    by_user = defaultdict(list)
+    convs = {}
+    for eid, uid, et, us in ev:
+        if et == "purchase":
+            convs[eid] = (uid, us)
+        elif et in ("view", "click"):
+            by_user[uid].append((us, eid))
+    for conv_id in list(convs)[:50]:
+        uid, cus = convs[conv_id]
+        want = sorted(
+            (us, eid) for us, eid in by_user.get(uid, [])
+            if cus - _MTA_WINDOW_US <= us < cus
+        )
+        got = [t.touch_event_id for t in by_conv.get(conv_id, [])]
+        assert got == [eid for _, eid in want]
