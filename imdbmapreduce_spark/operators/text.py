@@ -1166,3 +1166,105 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _ENT_SCALE
         ).alias("entropy"),
     )
+
+
+# --- Zipf rank-frequency slope per source -----------------------------------
+
+_ZIPF_SCALE = 1_000_000  # 1e-6 quantum on ln(rank), ln(freq)
+
+
+@query(
+    "zipf_slope_by_source",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT source, freq,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY freq DESC, tok) AS rnk
+      FROM tf
+    ), q AS (
+      SELECT source,
+             CAST(round(ln(CAST(rnk AS DOUBLE)) * {_ZIPF_SCALE}) AS BIGINT) AS x,
+             CAST(round(ln(CAST(freq AS DOUBLE)) * {_ZIPF_SCALE}) AS BIGINT) AS y
+      FROM ranked
+    ), s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM q GROUP BY source
+    )
+    SELECT source, n_terms,
+           (CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             AS zipf_slope,
+           (CAST(sy AS DOUBLE)
+              - ((CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * sx)
+             / n_terms / {_ZIPF_SCALE} AS ln_c
+    FROM s
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-health monitor: the Zipf rank-frequency slope per
+    source — OLS of ln(freq) on ln(rank) over each source's term table.
+    Natural text sits near slope -1; a feed whose slope drifts toward 0
+    (flat — template spam) or steepens sharply (a few tokens dominating
+    — boilerplate or generation loops) changed character, and this one
+    number per source is the cheapest tripwire (the frequency-domain
+    companion to corpus_source_divergence's KL drift).
+
+    Determinism: the lm.py contract — every ln runs on an exact integer
+    (rank, frequency), quantizes to 1e-6, and enters exact integer sums;
+    the closed-form slope then performs the identical double arithmetic
+    on the identical integers in both engines. Ranking ties break on the
+    token string (total order).
+
+    Scale: one (source, token) count aggregate (map-side combinable) —
+    vocab-sized, not corpus-sized; per-source rank windows partition on
+    source; the regression is five sums. The slope costs one scan
+    however large the corpus grows; at 100 TB you'd feed it the shared
+    token-count artifact instead of re-exploding.
+    """
+    from pyspark.sql.window import Window
+
+    from imdbmapreduce_spark.catalog import parallelize_scan
+
+    docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("tok"))
+    q = tf.withColumn("rnk", F.row_number().over(wr)).select(
+        "source",
+        F.round(F.log(F.col("rnk").cast("double")) * _ZIPF_SCALE)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * _ZIPF_SCALE)
+        .cast("long")
+        .alias("y"),
+    )
+    s = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n_terms").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        "source",
+        "n_terms",
+        slope.alias("zipf_slope"),
+        (((syd - slope * sxd) / nd) / _ZIPF_SCALE).alias("ln_c"),
+    )

@@ -265,3 +265,49 @@ def test_char_entropy_matches_python_replay_and_bounds(spark, sf_dir):
     )
     counts = one.groupBy("doc_id", "c").count().collect()
     assert counts == [Row(doc_id=1, c="a", count=4)]  # split('') has no empties
+
+
+def test_zipf_slope_matches_python_replay_and_is_negative(spark, sf_dir):
+    """Exact replay of the quantized-ln OLS per source; every source's
+    rank-frequency slope must be negative (frequencies decrease in
+    rank by construction of the ranking)."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from imdbmapreduce_spark.operators.text import _ZIPF_SCALE
+    from imdbmapreduce_spark.registry import get
+
+    rows = duckdb.connect().execute(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    tf = defaultdict(Counter)
+    for source, text in rows:
+        tf[source].update(t for t in text.strip().split() if t)
+    want = {}
+    for source, counter in tf.items():
+        ranked = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
+        # Spark/DuckDB round() is half-AWAY-from-zero; Python round() is
+        # banker's — mirror the engines explicitly
+        ha = lambda v: math.floor(v + 0.5)
+        xs = [ha(math.log(i + 1) * _ZIPF_SCALE) for i in range(len(ranked))]
+        ys = [ha(math.log(f) * _ZIPF_SCALE) for _, f in ranked]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)  # exact integer sums, like the engines
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        # the closed form runs in DOUBLES in both engines — mirror each
+        # float op (Python's bigint-exact n*sxy would differ by ULPs)
+        nd, sxd, syd = float(n), float(sx), float(sy)
+        sxxd, sxyd = float(sxx), float(sxy)
+        slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        ln_c = ((syd - slope * sxd) / nd) / _ZIPF_SCALE
+        want[source] = (n, slope, ln_c)
+
+    got = get("zipf_slope_by_source").fn(spark, sf_dir).collect()
+    assert {r.source for r in got} == set(want)
+    for r in got:
+        n, slope, ln_c = want[r.source]
+        assert (r.n_terms, r.zipf_slope, r.ln_c) == (n, slope, ln_c)
+        assert r.zipf_slope < 0
