@@ -1530,7 +1530,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ANN recall audit: the index-quality scoreboard -------------------------
 
 
-@query("ann_recall_audit")  # rows-only: the ANN sides are xxhash-family
+@query("ann_recall_audit", bench=False)  # rows-only (xxhash-family
+# ANN sides); bench=False: the audit re-executes five queries the
+# sweep already times individually — keeping it in would double-count
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{_TOP_K} of every ANN index against the exact brute-force
     ranking, as a REGISTERED query — the index-quality scoreboard a
