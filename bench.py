@@ -130,9 +130,14 @@ def main() -> None:
     tpch_names = sorted(n for n in queries if re.fullmatch(r"q\d+_.*", n))
     lanes = [tpch_names[i::4] for i in range(4)]
 
+    lane_errors: list[BaseException] = []
+
     def run_lane(names: list[str]) -> None:
-        for n in names:
-            materialize(n)
+        try:
+            for n in names:
+                materialize(n)
+        except BaseException as e:  # surfaced after join — a silently
+            lane_errors.append(e)  # short lane would fake the overlap ratio
 
     t0 = time.monotonic()
     threads = [threading.Thread(target=run_lane, args=(lane,)) for lane in lanes]
@@ -140,6 +145,8 @@ def main() -> None:
         t.start()
     for t in threads:
         t.join()
+    if lane_errors:
+        raise lane_errors[0]
     tpch_wall = time.monotonic() - t0
     tpch_serial = sum(timings[n] for n in tpch_names)
 

@@ -113,10 +113,16 @@ def stable_checkpoint(df):
 
 
 def stable_checkpoint_lazy(df):
-    """:func:`stable_checkpoint`, but lazy (``eager=False``) — for the
-    per-round states of iterative loops where the next action runs
-    immediately anyway and an eager materialization would add a job."""
+    """:func:`stable_checkpoint`, but lazy (``eager=False``) in the
+    local default — for the per-round states of iterative loops where
+    the next action runs immediately anyway and an eager
+    materialization would add a job. In DURABLE mode the checkpoint
+    stays EAGER: a lazy reliable checkpoint on an unpersisted frame
+    recomputes the round's plan twice (once for the consuming action,
+    once for the checkpoint write — the documented RDD.checkpoint
+    caveat), so eager-compute-once-then-read-files is the cheaper and
+    simpler durable form."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=False)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=False)

@@ -1068,8 +1068,9 @@ _XS_W = 10
     ), wins AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
              md5(array_to_string(t[i:i+{_XS_W - 1}], ' ')) AS h
-      FROM toks CROSS JOIN range(1, 100001) r(i)
-      WHERE CAST(i AS BIGINT) <= len(t) - {_XS_W} + 1
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {_XS_W} + 2)) AS i
+            FROM toks)
     ), dup_h AS (
       SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
     ), dupw AS (

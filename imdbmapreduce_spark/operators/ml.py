@@ -687,6 +687,11 @@ _SWEEP_STEP = 25  # per-mille threshold grid 0, 25, ..., 975
 def _sweep_oracle_sql() -> str:
     from imdbmapreduce_spark.operators.text import _DUCK_TOKS, _stop_list_sql
 
+    # clamp mirrors the Spark plan: a perfect score of 1000 belongs to
+    # the grid's top bucket, not a bucket no grid row joins
+    step = _SWEEP_STEP
+    top = 1000 // _SWEEP_STEP - 1
+
     return f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
@@ -698,7 +703,8 @@ def _sweep_oracle_sql() -> str:
                AS label
       FROM t WHERE len(toks) > 0
     ), hist AS (
-      SELECT score_q, label, CAST(COUNT(*) AS BIGINT) AS n
+      SELECT least(score_q // {step}, {top}) * {step} AS score_q,
+             label, CAST(COUNT(*) AS BIGINT) AS n
       FROM scored GROUP BY 1, 2
     ), grid AS (
       SELECT CAST(range AS BIGINT) AS threshold FROM range(0, 1000, {_SWEEP_STEP})
@@ -778,9 +784,14 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     # bucket = score div step: every grid threshold t = step*k is a
-    # bucket boundary, so "score >= t" == "bucket >= k" exactly.
+    # bucket boundary, so "score >= t" == "bucket >= k" exactly. The
+    # bucket CLAMPS to the grid's top (39): a perfect score of 1000
+    # (all-stopword doc) would otherwise land in bucket 40, which no
+    # grid row joins -- dropping it from every confusion cell. Clamping
+    # preserves semantics exactly: score 1000 >= t for every grid t.
+    top = 1000 // _SWEEP_STEP - 1
     hb = scored.groupBy(
-        F.expr(f"score_q div {_SWEEP_STEP}").cast("long").alias("bucket")
+        F.expr(f"least(score_q div {_SWEEP_STEP}, {top})").cast("long").alias("bucket")
     ).agg(
         F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("b_pos"),
         F.sum(F.when(~F.col("label"), 1).otherwise(0)).cast("long").alias("b_neg"),

@@ -1556,7 +1556,6 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_bruteforce(spark, sf_dir).select(
         "q_id", "neighbor_id", F.col("cosine").alias("true_cos")
     )
-    n_exact = exact.groupBy("q_id").count()
     arms = {
         "lsh": ann_lsh_topk,
         "ivf": ann_ivf_topk,

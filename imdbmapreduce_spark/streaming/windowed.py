@@ -649,8 +649,8 @@ def streaming_jsonl_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from imdbmapreduce_spark.operators.text import with_gopher_flags
     from imdbmapreduce_spark.sources.jsonl import (
-        CORRUPT_COL,
-        DOCUMENTS_JSONL_SCHEMA,
+        clean_documents,
+        stream_documents_jsonl,
         write_documents_jsonl,
     )
 
@@ -662,13 +662,10 @@ def streaming_jsonl_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents",
     )
     write_documents_jsonl(d, path)
-    stream = (
-        spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-        .filter(F.col(CORRUPT_COL).isNull())
-        .select("source", "text")
+    # THE streaming twin from sources/jsonl.py — one reader contract for
+    # batch, stream, and this gate; no hand-rolled copy to drift
+    stream = clean_documents(stream_documents_jsonl(spark, path)).select(
+        "source", "text"
     )
     gated = with_gopher_flags(stream)
     agg = gated.groupBy("source").agg(
