@@ -54,10 +54,20 @@ def _bpe_chain_prefix(n_merges: int) -> str:
     Same pattern as the kmeans/logreg oracles: each round is a
     MATERIALIZED CTE chain (pair counts -> argmax -> apply-merge). The
     symbol sequence is a space-joined string (tokens are
-    whitespace-split, so ' ' can never occur inside a symbol) and
-    apply-merge is a literal ``replace`` — both engines implement
-    left-to-right non-overlapping replacement, which IS the greedy BPE
-    merge semantics.
+    whitespace-split, so ' ' can never occur inside a symbol).
+
+    Apply-merge is SYMBOL-anchored, not substring ``replace``: a plain
+    ``replace(seq, 'c1 c2', 'c1c2')`` can match a SUFFIX of a longer
+    symbol (merge (h,e) on symbols [th, e] = 'th e' would yield 'the',
+    merging across a boundary where no (h,e) pair exists). Instead each
+    round unnests the symbols with their positions, marks positions
+    where (sym[i], sym[i+1]) equals the round's winning pair, resolves
+    greedy left-to-right non-overlap via run parity (consecutive marks
+    only occur when c1 = c2; within each run of consecutive marks the
+    1st, 3rd, ... are merged — exactly what a left-to-right scan
+    selects), and reassembles with the c2 positions absorbed. Mirrors
+    the engine's fold/scan venues (test_lm.py pins all three against a
+    pure-Python tuple-scan replay).
     """
     parts = [
         f"""
@@ -81,10 +91,33 @@ def _bpe_chain_prefix(n_merges: int) -> str:
     ), b{r} AS MATERIALIZED (
       SELECT c1, c2, pair_count FROM p{r}
       ORDER BY pair_count DESC, c1, c2 LIMIT 1
+    ), w{r} AS MATERIALIZED (
+      SELECT tok, n, i, sym,
+             (sym = (SELECT c1 FROM b{r})
+              AND lead(sym) OVER (PARTITION BY tok ORDER BY i)
+                  = (SELECT c2 FROM b{r})) AS hit
+      FROM (SELECT tok, n, unnest(c) AS sym, generate_subscripts(c, 1) AS i
+            FROM (SELECT tok, n, string_split(seq, ' ') AS c FROM v{r - 1}))
+    ), sel{r} AS MATERIALIZED (
+      SELECT tok, i FROM (
+        SELECT tok, i,
+               ROW_NUMBER() OVER (PARTITION BY tok, isl ORDER BY i) AS rk
+        FROM (SELECT tok, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY tok ORDER BY i)
+                       AS isl
+              FROM w{r} WHERE hit)
+      ) WHERE rk % 2 = 1
     ), v{r} AS MATERIALIZED (
-      SELECT tok, replace(seq, (SELECT c1 || ' ' || c2 FROM b{r}),
-                          (SELECT c1 || c2 FROM b{r})) AS seq, n
-      FROM v{r - 1}
+      SELECT w.tok,
+             string_agg(CASE WHEN s.i IS NOT NULL
+                             THEN w.sym || (SELECT c2 FROM b{r})
+                             ELSE w.sym END, ' ' ORDER BY w.i) AS seq,
+             w.n
+      FROM w{r} w
+      LEFT JOIN sel{r} s ON s.tok = w.tok AND s.i = w.i
+      LEFT JOIN sel{r} p ON p.tok = w.tok AND p.i = w.i - 1
+      WHERE p.i IS NULL
+      GROUP BY w.tok, w.n
     )"""
         )
     return "".join(parts)
@@ -183,11 +216,12 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Representation: a word's symbol sequence is a space-joined string
     (tokens are whitespace-split, so ``' '`` can never appear inside a
-    symbol), which makes apply-merge a single literal ``replace(seq,
-    'c1 c2', 'c1c2')`` — string ``replace`` scans left-to-right and
-    never rescans replaced output, which is exactly greedy BPE merge
-    semantics (the merged symbol ``c1||c2`` can only equal ``c1`` if
-    ``c2`` were empty, so no false re-matches).
+    symbol). Apply-merge is a SYMBOL-anchored greedy scan
+    (:func:`_merge_symbols` locally, the :func:`_merge_expr` Catalyst
+    fold distributed) — NOT a substring ``replace``, which could match
+    a suffix of a longer symbol and merge across a boundary where no
+    (c1, c2) pair exists; the fused output symbol is never re-examined
+    within a round, which is exactly greedy BPE merge semantics.
 
     Plan: ONE corpus pass builds the word-frequency vocabulary
     (localCheckpointed — every later round starts from |vocab| rows,
@@ -197,7 +231,7 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape); a larger one runs each round distributed — slide-zip the
     symbol arrays map-side, one pair-count aggregation (character-pair
     keys — tiny, map-side combined), collect the single argmax row,
-    extend the lineage with one narrow ``replace``. Both venues compute
+    extend the lineage with one narrow fold. Both venues compute
     the identical greedy recurrence (equality pinned in test_lm.py).
 
     Scale: this is WHY BPE trains in minutes on terabytes — after the
@@ -273,9 +307,10 @@ def _bpe_merge_rounds_local(
 ) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
     """Driver-local merge rounds over the collected vocabulary — the
     small-vocab venue. Each round is the same pair-count → argmax →
-    left-to-right non-overlapping replace recurrence as the distributed
-    venue (Python ``str.replace`` and Spark/DuckDB ``replace`` share
-    those semantics exactly), so results are bit-identical."""
+    greedy left-to-right non-overlapping SYMBOL-anchored merge
+    recurrence as the distributed venue (a symbol scan, NOT substring
+    ``replace``, which could merge across symbol boundaries — see
+    :func:`_merge_symbols`), so results are bit-identical."""
     local = [(r["tok"], r["seq"], int(r["n"])) for r in vocab.collect()]
     rows: list[tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):
@@ -288,10 +323,33 @@ def _bpe_merge_rounds_local(
             break
         (c1, c2), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         rows.append((r, c1, c2, c1 + c2, cnt))
-        pat, rep = c1 + " " + c2, c1 + c2
-        local = [(tok, seq.replace(pat, rep), n) for tok, seq, n in local]
+        local = [
+            (tok, " ".join(_merge_symbols(seq.split(" "), c1, c2)), n)
+            for tok, seq, n in local
+        ]
     out = spark.createDataFrame(local, "tok string, seq string, n long")
     return out, rows
+
+
+def _merge_symbols(syms: list[str], c1: str, c2: str) -> list[str]:
+    """One greedy BPE merge round over a symbol sequence: scan left to
+    right, fuse each adjacent (c1, c2) occurrence, never re-examine the
+    fused output within the round. Anchored at SYMBOL boundaries — a
+    substring ``replace`` on the space-joined form can falsely match a
+    suffix of a longer symbol (merge (h,e) on [th, e] = ``'th e'``
+    would yield ``'the'``), which is why all venues merge token-wise.
+    """
+    out: list[str] = []
+    i = 0
+    m = len(syms)
+    while i < m:
+        if i + 1 < m and syms[i] == c1 and syms[i + 1] == c2:
+            out.append(c1 + c2)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
 
 def _bpe_merge_rounds_distributed(
@@ -299,7 +357,7 @@ def _bpe_merge_rounds_distributed(
 ) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
     """Distributed merge rounds — the large-vocab venue (per round: one
     map-side-combined pair aggregation over |vocab| rows, one driver
-    argmax row-trip, one narrow ``replace``)."""
+    argmax row-trip, one narrow merge fold)."""
     rows: list[tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):
         c = F.split("seq", " ")
@@ -321,10 +379,54 @@ def _bpe_merge_rounds_distributed(
             break
         c1, c2, cnt = best["c1"], best["c2"], int(best["pair_count"])
         rows.append((r, c1, c2, c1 + c2, cnt))
-        vocab = vocab.withColumn(
-            "seq", F.replace(F.col("seq"), F.lit(c1 + " " + c2), F.lit(c1 + c2))
-        )
+        vocab = vocab.withColumn("seq", _merge_expr("seq", c1, c2))
     return vocab, rows
+
+
+def _merge_expr(seq_col: str, c1: str, c2: str):
+    """The greedy merge round as a narrow Catalyst fold (no UDF, no
+    shuffle): ``aggregate`` over the split symbols with state (acc,
+    pend) — pend holds the last unfused symbol; a (pend=c1, x=c2) step
+    emits the fused symbol and clears pend, so fused output is never
+    re-examined within the round. Exactly :func:`_merge_symbols`
+    (equality pinned by test_bpe_merge_venues_identical). Pair literals
+    enter as ``F.lit`` columns, never spliced into SQL text."""
+    merged = c1 + c2
+    init = F.struct(
+        F.expr("array()").cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(s, x):
+        return (
+            F.when(
+                s["pend"].isNull(),
+                F.struct(s["acc"].alias("acc"), x.alias("pend")),
+            )
+            .when(
+                (s["pend"] == F.lit(c1)) & (x == F.lit(c2)),
+                F.struct(
+                    F.concat(s["acc"], F.array(F.lit(merged))).alias("acc"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(s["acc"], F.array(s["pend"])).alias("acc"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(s):
+        return F.array_join(
+            F.when(s["pend"].isNull(), s["acc"]).otherwise(
+                F.concat(s["acc"], F.array(s["pend"]))
+            ),
+            " ",
+        )
+
+    return F.aggregate(F.split(F.col(seq_col), " "), init, step, finish)
 
 
 def _bpe_encode_oracle(n_merges: int) -> str:
@@ -358,7 +460,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit reads.
 
     Plan: the training loop's final vocabulary (|vocab| rows, merges
-    already applied as narrow ``replace`` steps) explodes to one row
+    already applied as narrow merge folds) explodes to one row
     per symbol occurrence and aggregates — still vocab-sized, never
     corpus-sized; top-k lowers to TakeOrderedAndProject. Oracle = the
     merge chain's CTE recurrence continued into the symbol stats.
