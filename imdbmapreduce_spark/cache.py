@@ -27,6 +27,7 @@ corpora is exactly the eviction policy a production index build uses.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["shared_cache", "release_shared_caches", "register_release_hook"]
 
 _CACHE: dict[tuple, DataFrame] = {}
+
+# Concurrent consumers (bench.py's scheduler lanes run query builds from
+# plain Python threads) must not race the check-then-insert below: two
+# lanes double-.cache()-ing the same key leaks the losing entry's
+# storage (release_shared_caches never sees it) and mis-credits
+# index_hit_count. REENTRANT because a build() may itself call
+# shared_cache for a composed artifact.
+_LOCK = threading.RLock()
 
 # Extra teardown callbacks run by release_shared_caches — lets modules
 # with their own session-scoped memos (e.g. the BPE trained-tokenizer
@@ -64,28 +73,31 @@ def shared_cache(
 
     global index_hit_count
     full_key = (spark.sparkContext.applicationId, *key)
-    df = _CACHE.get(full_key)
-    if df is None:
-        loads_before = indexstore.load_count
-        df = build().cache()
-        if indexstore.load_count > loads_before:
-            _INDEX_BACKED.add(full_key)
-        _CACHE[full_key] = df
-    if full_key in _INDEX_BACKED:
-        index_hit_count += 1
+    with _LOCK:
+        df = _CACHE.get(full_key)
+        if df is None:
+            loads_before = indexstore.load_count
+            df = build().cache()
+            if indexstore.load_count > loads_before:
+                _INDEX_BACKED.add(full_key)
+            _CACHE[full_key] = df
+        if full_key in _INDEX_BACKED:
+            index_hit_count += 1
     return df
 
 
 def release_shared_caches() -> None:
     """Unpersist every shared artifact and forget it (idempotent)."""
-    for df in _CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _CACHE.clear()
-    _INDEX_BACKED.clear()  # rebuilt caches re-detect their provenance
-    for hook in _RELEASE_HOOKS:
+    with _LOCK:
+        for df in _CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+        _CACHE.clear()
+        _INDEX_BACKED.clear()  # rebuilt caches re-detect their provenance
+        hooks = list(_RELEASE_HOOKS)
+    for hook in hooks:
         try:
             hook()
         except Exception:

@@ -99,9 +99,12 @@ def _bloom_oracle_sql() -> str:
         AS n_pass_rows,
       CAST(SUM(CASE WHEN is_member THEN r.n_rows ELSE 0 END) AS BIGINT)
         AS n_true_rows,
-      CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
-           AS DOUBLE)
-        / SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS fp_rate
+      CASE WHEN SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) = 0
+           THEN 0.0
+           ELSE CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+                     AS DOUBLE)
+                / SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+      END AS fp_rate
     FROM classified c JOIN rows_per_key r ON c.skey = r.skey
     """
 
@@ -218,6 +221,10 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_probe_rows",
             "n_pass_rows",
             "n_true_rows",
-            (F.col("n_fp_keys").cast("double") / F.col("_n_neg")).alias("fp_rate"),
+            # Guard the all-members corpus (_n_neg = 0): Spark's x/0 is
+            # NULL while DuckDB's can differ by settings — pin 0.0.
+            F.when(F.col("_n_neg") == 0, F.lit(0.0))
+            .otherwise(F.col("n_fp_keys").cast("double") / F.col("_n_neg"))
+            .alias("fp_rate"),
         )
     )

@@ -374,8 +374,13 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not selected:
                     score = 0.7 * rel[c]
                 else:
+                    # .get, not []: a sparse/variable-length embedding
+                    # source may omit a pair from the cogrouped sim
+                    # frame — degrade to sim 0.0 rather than raising a
+                    # worker-side KeyError in the Arrow lane.
                     mx = max(
-                        sims[(c, s) if c < s else (s, c)] for s in selected
+                        sims.get((c, s) if c < s else (s, c), 0.0)
+                        for s in selected
                     )
                     score = 0.7 * rel[c] - 0.3 * mx
                 if best_score is None or score > best_score:

@@ -1199,14 +1199,19 @@ _ZIPF_SCALE = 1_000_000  # 1e-6 quantum on ln(rank), ln(freq)
       FROM q GROUP BY source
     )
     SELECT source, n_terms,
-           (CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-             AS zipf_slope,
-           (CAST(sy AS DOUBLE)
-              - ((CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
-                * sx)
-             / n_terms / {_ZIPF_SCALE} AS ln_c
+           CASE WHEN CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+                THEN NULL
+                ELSE (CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           END AS zipf_slope,
+           CASE WHEN CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+                THEN NULL
+                ELSE (CAST(sy AS DOUBLE)
+                       - ((CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                          / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                         * sx)
+                     / n_terms / {_ZIPF_SCALE}
+           END AS ln_c
     FROM s
     """,
 )
@@ -1261,7 +1266,12 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n_terms").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
-    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    # Degenerate source (one distinct term, or all ranks quantized
+    # equal): the OLS denominator is 0 and Spark's 0/0 double is NaN
+    # while DuckDB's may differ by settings — surface NULL in both.
+    den = nd * sxxd - sxd * sxd
+    raw_slope = (nd * sxyd - sxd * syd) / den
+    slope = F.when(den == 0.0, F.lit(None).cast("double")).otherwise(raw_slope)
     return s.select(
         "source",
         "n_terms",
