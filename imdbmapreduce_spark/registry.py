@@ -67,32 +67,93 @@ def manifest_path() -> str:
     return os.path.join(_repo_root(), "QUERY_FINGERPRINTS.json")
 
 
+def _cached(fn):
+    import functools
+
+    return functools.lru_cache(maxsize=1)(fn)
+
+
 def query_fingerprint(name: str) -> str:
     """Behavior fingerprint of a registered query: sha256 over the plan
-    function's source text plus its oracle SQL.
+    function's source text, its oracle SQL, AND a content stamp of the
+    input data the query reads.
+
+    The input stamp closes the round-6 staleness hole: a green driver
+    row certifies (plan, oracle, DATA) — round 6 regenerated the movies
+    fixture and the three ``movies_*`` queries coasted on greens
+    verified against the OLD file. Fixture-backed queries (source or
+    oracle mentions the movies fixture) hash the fixture's bytes;
+    sf-table queries hash the testdata parquet bytes — regenerating
+    either demotes the affected queries to tier 1 of the sweep until a
+    fresh external check lands.
 
     Scope note: helper functions the plan calls are NOT hashed (a
     cross-module helper edit escapes this). The fingerprint's job is to
-    catch the common case — an edit to the query body or its oracle —
-    and demote the query to tier 1 of the sweep until a fresh external
-    check lands; the pytest suite remains the net under helper edits.
+    catch the common case — an edit to the query body, its oracle, or
+    its input data; the pytest suite remains the net under helper edits.
     """
     import hashlib
     import inspect
     import textwrap
 
+    _load_plans()
     rq = _REGISTRY[name]
     try:
         src = textwrap.dedent(inspect.getsource(rq.fn))
     except (OSError, TypeError):
         src = ""  # unhashable source degrades to "always stale" — conservative
-    return hashlib.sha256((src + "\n--oracle--\n" + (rq.oracle or "")).encode()).hexdigest()
+    blob = src + "\n--oracle--\n" + (rq.oracle or "")
+    stamp = (
+        _fixture_stamp() if "movies_dirty" in blob or "_FIXTURE" in blob
+        else _testdata_stamp()
+    )
+    return hashlib.sha256((blob + "\n--input--\n" + stamp).encode()).hexdigest()
 
 
-def _cached(fn):
-    import functools
+def _hash_file_into(h, path: str) -> None:
+    try:
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    except OSError:
+        h.update(b"<unreadable>")  # missing input -> distinct stamp -> stale
 
-    return functools.lru_cache(maxsize=1)(fn)
+
+@_cached
+def _fixture_stamp() -> str:
+    """Content hash of the movies dirty-CSV fixture (md5 of the bytes,
+    not mtime — git checkouts rewrite mtimes without changing data).
+    Memoized per process; committed manifests can't change mid-run."""
+    import hashlib
+
+    from imdbmapreduce_spark.sources.movies_csv import _FIXTURE
+
+    h = hashlib.md5()
+    _hash_file_into(h, _FIXTURE)
+    return h.hexdigest()
+
+
+@_cached
+def _testdata_stamp() -> str:
+    """Content hash over every parquet file under the testdata root
+    (relative path + bytes, sorted) — one stamp for all sf dirs, so a
+    driver-side regeneration at ANY scale demotes every sf-table query.
+    ~20 MB total; hashed once per process."""
+    import glob
+    import hashlib
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_DIR", "/root/testdata")
+    h = hashlib.md5()
+    paths = sorted(
+        glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    )
+    if not paths:
+        return "<no-testdata>"
+    for path in paths:
+        h.update(os.path.relpath(path, root).encode())
+        _hash_file_into(h, path)
+    return h.hexdigest()
 
 
 @_cached
@@ -143,10 +204,13 @@ def _latest_rows() -> dict:
 
 
 def invalidate_caches() -> None:
-    """Drop the memoized manifest/CORRECTNESS reads (test hook; also for
-    tools that rewrite the manifest and re-read it in-process)."""
+    """Drop the memoized manifest/CORRECTNESS reads and input-data
+    stamps (test hook; also for tools that rewrite the manifest and
+    re-read it in-process)."""
     _manifest.cache_clear()
     _latest_rows.cache_clear()
+    _fixture_stamp.cache_clear()
+    _testdata_stamp.cache_clear()
 
 
 def driver_verified_names() -> frozenset[str]:

@@ -195,6 +195,44 @@ def test_fingerprint_staleness_demotes_edited_query(tmp_path, monkeypatch):
         registry.invalidate_caches()
 
 
+def test_fingerprint_tracks_input_data_content(tmp_path, monkeypatch):
+    """r6 verdict item 1: a green driver row certifies (plan, oracle,
+    DATA). Regenerating the movies fixture (the r6 85k regen is the
+    motivating case) or the testdata parquet must change the affected
+    queries' fingerprints — so they mismatch the committed manifest and
+    demote to tier 1 — while leaving the OTHER input family untouched.
+    Content-hashed, not mtime: git checkouts rewrite mtimes."""
+    from imdbmapreduce_spark.sources import movies_csv
+
+    registry.invalidate_caches()
+    fix_fp0 = registry.query_fingerprint("movies_title_levels")
+    sf_fp0 = registry.query_fingerprint("q1_pricing_summary")
+    try:
+        # 1) fixture regen: movies_* demote, sf queries untouched
+        fixture = tmp_path / "movies_dirty.csv"
+        with open(movies_csv._FIXTURE, "rb") as f:
+            fixture.write_bytes(f.read() + b'"Extra Movie","Someone"\n')
+        monkeypatch.setattr(movies_csv, "_FIXTURE", str(fixture))
+        registry.invalidate_caches()
+        assert registry.query_fingerprint("movies_title_levels") != fix_fp0
+        assert registry.query_fingerprint("q1_pricing_summary") == sf_fp0
+        monkeypatch.undo()
+
+        # 2) testdata regen: sf queries demote, movies_* untouched
+        td = tmp_path / "testdata" / "sf0.01"
+        td.mkdir(parents=True)
+        (td / "lineitem.parquet").write_bytes(b"not-the-same-bytes")
+        monkeypatch.setenv(
+            "SPARK_GRAFT_TESTDATA_DIR", str(tmp_path / "testdata")
+        )
+        registry.invalidate_caches()
+        assert registry.query_fingerprint("q1_pricing_summary") != sf_fp0
+        assert registry.query_fingerprint("movies_title_levels") == fix_fp0
+    finally:
+        monkeypatch.undo()
+        registry.invalidate_caches()
+
+
 def test_no_oracle_row_does_not_verify_oracle_bearing_query():
     """A ``no_oracle`` driver row is the weak rows-only check; once a
     query registers an oracle (r5: pagerank_cosuppliers,
