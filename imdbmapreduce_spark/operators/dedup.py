@@ -65,6 +65,15 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     corpus, and the shuffle key (doc_id) is unskewed at any scale.
     """
     docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    return _shingle_rows_of(docs, k)
+
+
+def _shingle_rows_of(docs: DataFrame, k: int = 3) -> DataFrame:
+    """:func:`_shingle_rows` over an ARBITRARY (doc_id, text) frame —
+    the same per-document shingler, factored so the incremental-ingest
+    path can shingle just an arriving shard (shingling is per-doc, so a
+    shard's rows here are bit-identical to the full corpus run's rows
+    for those doc_ids)."""
     toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     nxt = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
@@ -286,9 +295,46 @@ def _minhash_sig_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("minhash_sig", sf_dir, _N_PERM),
         lambda: _shingle_hx_cached(spark, sf_dir)
         .groupBy("doc_id")
-        .agg(
-            *[F.min(F.xxhash64("hx", F.lit(i))).alias(f"mh{i}") for i in range(_N_PERM)]
-        ),
+        .agg(*_minhash_agg_cols()),
+    )
+
+
+def _minhash_agg_cols() -> list:
+    """The {_N_PERM} per-permutation min-hash aggregate columns over
+    hashed shingles (``hx``) — shared by the full-corpus signature build
+    and the shard-only incremental build so the two can never drift."""
+    return [
+        F.min(F.xxhash64("hx", F.lit(i))).alias(f"mh{i}") for i in range(_N_PERM)
+    ]
+
+
+def _bands_of(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band table from a signature table —
+    {_N_BANDS} bands of {_N_PERM // _N_BANDS} rows, bucket = xxhash64 of
+    the band's signature slice. Shared by the batch self-join
+    (:func:`minhash_lsh_pairs`) and the incremental shard lookup
+    (:func:`shard_neardup_lookup`)."""
+    rows_per_band = _N_PERM // _N_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                f"mh{bi * rows_per_band + r}"
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
@@ -409,26 +455,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sets; prefers the persisted text index when present.
     ex = _shingle_hx_cached(spark, sf_dir)
     sh = ex.groupBy("doc_id").agg(F.collect_list("hx").alias("sh"))
-    rows_per_band = _N_PERM // _N_BANDS
     # signature table: persisted/cached index artifact (the 64-way min
     # agg is the expensive stage; cold sessions load it from parquet)
     sig = _minhash_sig_cached(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(_N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = _bands_of(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -450,6 +480,122 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# --- incremental near-dup ingest (shard vs persisted index) ----------------
+
+# The arriving-shard split: documents with doc_id % _SHARD_MOD ==
+# _SHARD_RESIDUE play the "new shard" (~10% of the corpus, deterministic,
+# id-uniform); the rest are the already-indexed base corpus.
+_SHARD_MOD = 10
+_SHARD_RESIDUE = 7
+
+
+def _is_shard(col: str):
+    return (F.col(col) % _SHARD_MOD) == _SHARD_RESIDUE
+
+
+def shard_neardup_lookup(
+    spark: SparkSession, sf_dir: str, shard_docs: DataFrame
+) -> DataFrame:
+    """The production ingest loop's core: check ARRIVING documents
+    against the EXISTING MinHash index without recomputing the corpus
+    side.
+
+    ``shard_docs`` is (doc_id, text) of the arriving rows. Corpus-side
+    signatures/shingle sets come from the persisted text-index artifacts
+    (indexstore group "text"; session-cached, parquet-served on cold
+    sessions) filtered to base docs — the expensive 64-way min
+    aggregation and the shingle explode run ONLY over the shard.
+    Returns (new_doc, matched_doc, jaccard) with exact Jaccard >= 0.5,
+    matched_doc always a base-corpus doc. Shared by the batch
+    :func:`neardup_incremental_ingest` and its streaming micro-batch
+    twin (streaming/windowed.py) — one lookup definition, no drift.
+    """
+    # shard-only shingles + signatures (the only fresh computation)
+    sh_rows = _shingle_rows_of(shard_docs).select(
+        "doc_id", F.xxhash64("shingle").alias("hx")
+    )
+    shard_sig = sh_rows.groupBy("doc_id").agg(*_minhash_agg_cols())
+    shard_bands = _bands_of(shard_sig)
+    shard_sets = sh_rows.groupBy("doc_id").agg(F.collect_list("hx").alias("sh"))
+
+    # corpus side: persisted/cached artifacts, filtered to the base
+    base_sig = _minhash_sig_cached(spark, sf_dir).filter(~_is_shard("doc_id"))
+    base_bands = _bands_of(base_sig)
+    base_sets = (
+        _shingle_hx_cached(spark, sf_dir)
+        .filter(~_is_shard("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("hx").alias("sh"))
+    )
+
+    s = shard_bands.alias("s")
+    b = base_bands.alias("b")
+    cand = (
+        s.join(
+            b,
+            (F.col("s.band") == F.col("b.band"))
+            & (F.col("s.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("s.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("matched_doc"),
+        )
+        .dropDuplicates(["new_doc", "matched_doc"])
+    )
+    inter = F.size(F.array_intersect("sh_new", "sh_base"))
+    union = F.size("sh_new") + F.size("sh_base") - inter
+    return (
+        cand.join(
+            shard_sets.select(
+                F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_new")
+            ),
+            "new_doc",
+        )
+        .join(
+            base_sets.select(
+                F.col("doc_id").alias("matched_doc"), F.col("sh").alias("sh_base")
+            ),
+            "matched_doc",
+        )
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("new_doc", "matched_doc", "jaccard")
+    )
+
+
+@query("neardup_incremental_ingest")  # no SQL oracle: xxhash64 band family;
+# pinned hash-equal to the batch minhash_lsh_pairs restriction in
+# tests/test_dedup.py::test_incremental_ingest_equals_batch_restriction
+def neardup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup gate — the loop a 100 TB pipeline runs on
+    every arriving shard: shingle + MinHash ONLY the new documents
+    (doc_id % 10 == 7, ~10% of the corpus, standing in for today's
+    crawl delivery), look their 16 band buckets up against the
+    PERSISTED corpus index (indexstore group "text": minhash_sig +
+    shingle_hx parquet artifacts — the corpus side is never reshingled
+    or re-min-aggregated), and exact-Jaccard-verify the collisions.
+    Generalizes the reference's arrival-time ingest
+    (/root/reference/Code/dataToServers.erl:28-53) to additive data.
+
+    Plan: fresh work is O(|shard|) — one shingle explode + one 64-min
+    agg; the lookup joins shard bands (16/doc slim rows) against index
+    bands derived map-only from the persisted signature table, keyed on
+    (band, bucket) — uniform by construction (xxhash64 buckets). The
+    verify join touches only colliding pairs' shingle sets.
+
+    Scale: at 100 TB the index side is a parquet scan of o(corpus) slim
+    rows (bucketed by (band, bucket) in a production layout, so a shard
+    lookup prunes to matching buckets); shard-side cost is proportional
+    to the ARRIVAL, not the corpus — the whole point of persisting the
+    index. Correctness pin: hash-equal to the batch
+    :func:`minhash_lsh_pairs` restricted to pairs with exactly one
+    endpoint in the shard.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shard = docs.filter(_is_shard("doc_id")).select("doc_id", "text")
+    return shard_neardup_lookup(spark, sf_dir, shard)
 
 
 # --- SimHash --------------------------------------------------------------

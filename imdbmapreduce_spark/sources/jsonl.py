@@ -84,14 +84,20 @@ def clean_documents(df: DataFrame) -> DataFrame:
     return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
-def stream_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+def stream_documents_jsonl(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming twin of :func:`read_documents_jsonl` — same schema, same
     permissive contract, so the live-ingest topology (dedup at ingest,
     quality gates, decontamination) runs unchanged over a growing JSONL
-    directory."""
-    return (
+    directory. ``max_files_per_trigger`` bounds each micro-batch's file
+    count (so an AvailableNow drain exercises MULTIPLE micro-batches —
+    the shape a live deployment sees — instead of one giant batch)."""
+    reader = (
         spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)

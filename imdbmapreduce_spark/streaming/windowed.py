@@ -674,3 +674,100 @@ def streaming_jsonl_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("gopher_pass"), 0).otherwise(1)).cast("long").alias("n_fail"),
     )
     return _run_to_table(agg, "complete")
+
+
+def _drain_foreach(stream_df: DataFrame, on_batch) -> None:
+    """Drain a finite stream through ``foreachBatch`` with AvailableNow —
+    the same wall-clock-capped contract as :func:`_run_to_table`, for
+    sinks that run a batch sub-plan per micro-batch instead of a
+    streaming aggregation."""
+    with tempfile.TemporaryDirectory(prefix="imr_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(_STREAM_TIMEOUT_S):
+                q.stop()
+                raise TimeoutError(
+                    f"foreachBatch drain exceeded {_STREAM_TIMEOUT_S}s cap"
+                )
+        except Exception:
+            if q.isActive:
+                q.stop()
+            raise
+
+
+@query("streaming_neardup_gate", bench=False)  # rows-only: xxhash64 band
+# family (same reason as the batch twin); pinned stream == batch in
+# tests/test_streaming.py::test_streaming_neardup_gate_equals_batch
+def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``neardup_incremental_ingest`` — the live
+    ingest gate a 100 TB pipeline runs on arrival: the day's shard lands
+    as JSONL files, a stream drains them in micro-batches
+    (maxFilesPerTrigger=1, so the AvailableNow drain exercises REAL
+    multi-batch execution), and each micro-batch runs the SHARED
+    :func:`~imdbmapreduce_spark.operators.dedup.shard_neardup_lookup`
+    against the persisted MinHash index — signatures computed only for
+    the arriving rows, corpus side served from the index artifacts.
+
+    State across batches = the index manifest version: it is captured
+    before the drain and re-checked after — a re-persist mid-drain
+    (mixed index versions across micro-batches) fails loudly instead of
+    emitting pairs half against the old index. Match accumulation is
+    keyed per (new_doc, matched_doc), so a crash-replayed micro-batch
+    is idempotent — the checkpoint + idempotent-merge contract every
+    foreachBatch sink here follows.
+
+    Determinism: lookups touch only (micro-batch docs) x (base index),
+    never shard-vs-shard, so the union over any micro-batch partitioning
+    equals the batch query exactly.
+    """
+    import os
+
+    from imdbmapreduce_spark import indexstore
+    from imdbmapreduce_spark.operators.dedup import (
+        _is_shard,
+        _text_params,
+        shard_neardup_lookup,
+    )
+    from imdbmapreduce_spark.sources.jsonl import (
+        clean_documents,
+        stream_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    shard = table(spark, sf_dir, "documents").filter(_is_shard("doc_id"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "imdbmapreduce_neardup_stream",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "shard",
+    )
+    write_documents_jsonl(shard.repartition(4), path)
+
+    manifest_before = indexstore.group_manifest(sf_dir, "text", _text_params())
+    rows: list[tuple] = []
+    seen: set[tuple] = set()
+
+    def on_batch(mb: DataFrame, _epoch: int) -> None:
+        docs = clean_documents(mb).select("doc_id", "text")
+        for r in shard_neardup_lookup(spark, sf_dir, docs).collect():
+            key = (r["new_doc"], r["matched_doc"])
+            if key not in seen:  # replayed micro-batch -> idempotent
+                seen.add(key)
+                rows.append((key[0], key[1], r["jaccard"]))
+
+    _drain_foreach(
+        stream_documents_jsonl(spark, path, max_files_per_trigger=1), on_batch
+    )
+    if indexstore.group_manifest(sf_dir, "text", _text_params()) != manifest_before:
+        raise RuntimeError(
+            "text index re-persisted mid-drain: micro-batches served mixed "
+            "index versions; re-run the gate against the committed index"
+        )
+    return spark.createDataFrame(
+        rows, "new_doc long, matched_doc long, jaccard double"
+    )

@@ -420,3 +420,27 @@ def test_novelty_and_source_overlap_match_python_replay(spark, sf_dir):
     assert {
         (r.source_a, r.source_b): [r.n_shared_shingles, r.n_doc_pairs] for r in mgot
     } == dict(want)
+
+
+def test_incremental_ingest_equals_batch_restriction(spark, sf_dir):
+    """The incremental shard-vs-index lookup must equal the BATCH
+    minhash_lsh_pairs restricted to pairs with exactly one endpoint in
+    the shard — same band collisions, same exact-Jaccard values, with
+    the shard endpoint surfaced as new_doc. This is the query's
+    correctness oracle (the xxhash64 band family is not SQL-portable,
+    so the driver records rows-only and this pin is the gate)."""
+    from imdbmapreduce_spark.operators.dedup import _SHARD_MOD, _SHARD_RESIDUE
+
+    inc = {
+        (r.new_doc, r.matched_doc, r.jaccard)
+        for r in registry.get("neardup_incremental_ingest").fn(spark, sf_dir).collect()
+    }
+    want = set()
+    for r in registry.get("minhash_lsh_pairs").fn(spark, sf_dir).collect():
+        a_sh = r.doc_a % _SHARD_MOD == _SHARD_RESIDUE
+        b_sh = r.doc_b % _SHARD_MOD == _SHARD_RESIDUE
+        if a_sh != b_sh:  # exactly one endpoint arriving
+            new, matched = (r.doc_a, r.doc_b) if a_sh else (r.doc_b, r.doc_a)
+            want.add((new, matched, r.jaccard))
+    assert inc == want
+    assert want, "test premise: the shard has at least one near-dup match"

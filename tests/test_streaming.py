@@ -573,3 +573,24 @@ def test_streaming_jsonl_quality_gate_equals_batch_gate(spark, sf_dir):
     want = {r.source: (r.n, r.p, r.n - r.p) for r in batch}
     assert got == want
     assert sum(v[0] for v in got.values()) > 0
+
+
+def test_streaming_neardup_gate_equals_batch(spark, sf_dir):
+    """Stream == batch for the incremental near-dup gate: draining the
+    shard as multi-file micro-batches (maxFilesPerTrigger=1) through the
+    shared shard_neardup_lookup must emit exactly the batch
+    neardup_incremental_ingest pair set — micro-batch boundaries can
+    never change the result because every lookup is (batch docs) x
+    (static base index)."""
+    from imdbmapreduce_spark.registry import get
+
+    got = {
+        (r.new_doc, r.matched_doc, r.jaccard)
+        for r in get("streaming_neardup_gate").fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r.new_doc, r.matched_doc, r.jaccard)
+        for r in get("neardup_incremental_ingest").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "test premise: the shard has at least one near-dup match"
