@@ -1206,10 +1206,10 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XS_W = 10
 
 
-@query(
-    "exact_substr_spans",
-    oracle=f"""
-    WITH toks AS (
+# The span derivation as a reusable DuckDB CTE chain — consumed by the
+# span view's oracle AND the scrub transform's oracle below. Ends at
+# `spans` (doc_id, span_start, span_end, n_windows, span_tokens).
+_XS_SPAN_CTES = f"""toks AS (
       SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
     ), wins AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -1231,14 +1231,22 @@ _XS_W = 10
              SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
                                    ROWS UNBOUNDED PRECEDING) AS island
       FROM flagged
-    )
-    SELECT doc_id,
-           CAST(MIN(pos) AS BIGINT) AS span_start,
-           CAST(MAX(pos) + {_XS_W} - 1 AS BIGINT) AS span_end,
-           CAST(COUNT(*) AS BIGINT) AS n_windows,
-           CAST(MAX(pos) + {_XS_W} - MIN(pos) AS BIGINT) AS span_tokens
-    FROM islands
-    GROUP BY doc_id, island
+    ), spans AS (
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + {_XS_W} - 1 AS BIGINT) AS span_end,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(MAX(pos) + {_XS_W} - MIN(pos) AS BIGINT) AS span_tokens
+      FROM islands
+      GROUP BY doc_id, island
+    )"""
+
+
+@query(
+    "exact_substr_spans",
+    oracle=f"""
+    WITH {_XS_SPAN_CTES}
+    SELECT doc_id, span_start, span_end, n_windows, span_tokens FROM spans
     """,
 )
 def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,42 +1278,153 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Next to the suffix array a single box would build, every stage here
     is an exchange Spark already load-balances.
     """
+    return _xs_span_rows(spark, sf_dir)
+
+
+def _xs_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maximal duplicate-span rows (doc_id, span_start, span_end,
+    n_windows, span_tokens) — session-shared: the span view above and
+    the scrub transform below both consume it in one sweep, and the
+    windows/digest-count/island pipeline is the expensive part."""
+
+    def build() -> DataFrame:
+        docs = parallelize_scan(table(spark, sf_dir, "documents"))
+        pos_toks = docs.select(
+            "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos0")
+        leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, _XS_W)]
+        wins = (
+            pos_toks.select(
+                "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok", *leads
+            )
+            .filter(F.col(f"t{_XS_W - 1}").isNotNull())
+            .select(
+                "doc_id",
+                "pos",
+                F.md5(
+                    F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, _XS_W)])
+                ).alias("h"),
+            )
+        )
+        dup_h = (
+            wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+        )
+        dupw = wins.join(dup_h.select("h"), "h", "left_semi").select("doc_id", "pos")
+        wlag = Window.partitionBy("doc_id").orderBy("pos")
+        flagged = dupw.withColumn(
+            "new_island",
+            F.when(F.col("pos") - F.lag("pos").over(wlag) <= _XS_W, 0).otherwise(1),
+        )
+        islands = flagged.withColumn(
+            "island",
+            F.sum("new_island").over(
+                wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return (
+            islands.groupBy("doc_id", "island")
+            .agg(
+                F.min("pos").cast("long").alias("span_start"),
+                (F.max("pos") + _XS_W - 1).cast("long").alias("span_end"),
+                F.count(F.lit(1)).cast("long").alias("n_windows"),
+                (F.max("pos") + _XS_W - F.min("pos")).cast("long").alias("span_tokens"),
+            )
+            .drop("island")
+        )
+
+    return shared_cache(spark, ("xs_spans", sf_dir, _XS_W), build)
+
+
+@query(
+    "exact_substr_scrub",
+    oracle=f"""
+    WITH {_XS_SPAN_CTES}, covered AS (
+      SELECT DISTINCT doc_id, CAST(unnest(range(span_start, span_end + 1))
+                                   AS BIGINT) AS pos
+      FROM spans
+    ), postoks AS (
+      SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS pos,
+             unnest(t) AS tok
+      FROM toks
+    ), kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM postoks p LEFT JOIN covered c
+        ON p.doc_id = c.doc_id AND p.pos = c.pos
+      WHERE c.pos IS NULL
+    ), cleaned AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_kept, 0) AS n_kept,
+           CAST(len(t.t) AS BIGINT) - COALESCE(c.n_kept, 0) AS n_cut,
+           CAST(length(COALESCE(c.txt, '')) AS BIGINT) AS cleaned_len,
+           md5(COALESCE(c.txt, '')) AS cleaned_md5
+    FROM toks t LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup's actual deliverable (Lee et al. 2022): REMOVE
+    the duplicate spans :func:`exact_substr_spans` finds and re-emit the
+    cleaned corpus — per document, the kept-token count, the cut-token
+    count, and the cleaned text certified as (length, md5) so the oracle
+    hash check covers the full reconstruction, not just bookkeeping.
+
+    Policy: every flagged occurrence is cut (the conservative variant —
+    boilerplate and licence blocks should vanish everywhere); a
+    keep-first-occurrence variant is a policy choice on top of the same
+    span set, not a different algorithm.
+
+    Plan: span rows come from the shared session artifact (one
+    windows/digest/island pipeline per sweep, amortized with the span
+    view); covered positions explode via ``sequence`` (bounded by total
+    duplicated tokens, o(corpus)); the cut is one left-anti join on
+    (doc_id, pos); reconstruction sorts each doc's kept (pos, tok)
+    structs map-side — no window, no second shuffle beyond the doc_id
+    agg. Docs with nothing kept (or no tokens) surface with empty text,
+    never dropped.
+
+    Scale: at 100 TB the anti-join keys on (doc_id, pos) — perfectly
+    uniform; reconstruction state per doc is its own kept tokens
+    (bounded by doc length, the same bound any per-doc op has). The
+    text round-trips through exactly one groupBy — the corpus is
+    re-emitted, not re-scanned per span.
+    """
     docs = parallelize_scan(table(spark, sf_dir, "documents"))
+    spans = _xs_span_rows(spark, sf_dir)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    ).distinct()
     pos_toks = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    kept = pos_toks.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("txt"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos0")
-    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, _XS_W)]
-    wins = (
-        pos_toks.select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok", *leads)
-        .filter(F.col(f"t{_XS_W - 1}").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(
-                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, _XS_W)])
-            ).alias("h"),
-        )
+    base = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
-    dup_h = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
-    dupw = wins.join(dup_h.select("h"), "h", "left_semi").select("doc_id", "pos")
-    wlag = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = dupw.withColumn(
-        "new_island",
-        F.when(F.col("pos") - F.lag("pos").over(wlag) <= _XS_W, 0).otherwise(1),
+    txt = F.coalesce(F.col("txt"), F.lit(""))
+    return base.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_cut"),
+        F.length(txt).cast("long").alias("cleaned_len"),
+        F.md5(txt).alias("cleaned_md5"),
     )
-    islands = flagged.withColumn(
-        "island",
-        F.sum("new_island").over(
-            wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return islands.groupBy("doc_id", "island").agg(
-        F.min("pos").cast("long").alias("span_start"),
-        (F.max("pos") + _XS_W - 1).cast("long").alias("span_end"),
-        F.count(F.lit(1)).cast("long").alias("n_windows"),
-        (F.max("pos") + _XS_W - F.min("pos")).cast("long").alias("span_tokens"),
-    ).drop("island")
 
 
 # --- corpus-growth novelty rate --------------------------------------------

@@ -444,3 +444,50 @@ def test_incremental_ingest_equals_batch_restriction(spark, sf_dir):
             want.add((new, matched, r.jaccard))
     assert inc == want
     assert want, "test premise: the shard has at least one near-dup match"
+
+
+def test_exact_substr_scrub_matches_python_replay(spark, sf_dir):
+    """Span-removal arithmetic replayed independently: tokenize, hash
+    every W-token window, flag windows whose hash repeats corpus-wide,
+    merge touching windows into spans, cut every covered token, and
+    compare kept/cut counts AND the md5 of the reconstructed text
+    against the distributed scrub for every document."""
+    import hashlib
+    from collections import Counter
+
+    from imdbmapreduce_spark.catalog import table as _table
+    from imdbmapreduce_spark.operators.dedup import _XS_W
+
+    rows = _table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: [t for t in r.text.strip().split() if t] for r in rows}
+    wins: dict[int, list[str]] = {}
+    counts: Counter = Counter()
+    for d, ts in toks.items():
+        hs = [
+            hashlib.md5(" ".join(ts[i : i + _XS_W]).encode()).hexdigest()
+            for i in range(len(ts) - _XS_W + 1)
+        ]
+        wins[d] = hs
+        counts.update(hs)
+    want = {}
+    for d, ts in toks.items():
+        cut = set()
+        for i, h in enumerate(wins[d]):
+            if counts[h] >= 2:
+                cut.update(range(i, i + _XS_W))
+        kept = [t for i, t in enumerate(ts) if i not in cut]
+        txt = " ".join(kept)
+        want[d] = (
+            len(ts),
+            len(kept),
+            len(ts) - len(kept),
+            len(txt),
+            hashlib.md5(txt.encode()).hexdigest(),
+        )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.n_cut, r.cleaned_len, r.cleaned_md5)
+        for r in registry.get("exact_substr_scrub").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in want.values()), "premise: something was cut"
