@@ -910,26 +910,97 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sketch accuracy parameter: accuracy=10000 gives the GK sketch a
+# DETERMINISTIC (not probabilistic) worst-case rank error of
+# eps = 1/10000. The audit verifies the contract in RANK space with
+# exact integer counts — a value-space bracket of interpolated
+# quantiles collapses between adjacent order statistics when eps*n < 1
+# (the sketch returns an actual ELEMENT, which then sits outside any
+# strictly-interior interpolated interval).
+_AQ_ACC = 10000
+
+
 # bench=False: this is the accuracy AUDIT for the sketch path and
-# deliberately carries the naive exact per-group sort as its yardstick —
+# deliberately carries the exact percentile as its yardstick —
 # correctness-gated, kept out of the timed headline sweep.
-@query("approx_quantile_error", bench=False)  # no SQL oracle: sketch internals
+@query(
+    "approx_quantile_error",
+    bench=False,
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(round(quantile_cont({_C.format(col='l_extendedprice')}, 0.5)
+                      * 1000000) AS BIGINT) AS exact_p50_q6,
+           TRUE AS sketch_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`approx_percentile` next to the exact percentile, with the relative
-    error surfaced as a column — the scale path for quantiles over
-    few-giant-groups data, self-reporting its accuracy.
+    """`approx_percentile` audited against the exact percentile — the
+    scale path for quantiles over few-giant-groups data, self-reporting
+    its accuracy, and (r6 verdict item 6) now HASH-CHECKED, not
+    rows-only. Emitted: the exact median (quantized — repo rule: never
+    hash a raw interpolated double) and the boolean `sketch_within_bound`
+    verdict of the sketch's DETERMINISTIC contract (GK with accuracy
+    {acc} bounds rank error at 1/{acc} by construction, not with
+    probability). The raw sketch estimate is partition-order-dependent
+    and engine-specific, so it cannot be a hashed column — but whether
+    it HONORS ITS CONTRACT is deterministic, and that is the claim the
+    external oracle certifies: DuckDB recomputes the exact median and
+    pins TRUE; a contract violation on the Spark side hashes as FALSE
+    and fails the driver gate.
+
+    The rank check is exact integer arithmetic on both sides of the
+    inequality: with v the sketch's answer, B = |{{x : x < v}}| and
+    E = |{{x : x <= v}}|, the contract (±eps·n rank error, ±2 ranks of
+    convention slack) is
+    ``2·acc·B <= acc·n + 2·n + 4·acc`` and
+    ``2·acc·E >= acc·n - 2·n - 4·acc``.
 
     Scale: the sketch is a bounded-size mergeable summary per group,
-    combined map-side; the exchange carries |groups| sketches. The exact
-    column beside it is the per-group sort plan; at 100 TB only the
-    sketch path survives, and tests/test_relational_extra.py locks its
-    error within the sketch's accuracy parameter (10000 ≈ 0.01% rank error).
+    combined map-side; the rank counts are one broadcast join of the
+    3-row verdict table back to the scan plus a count agg — two passes
+    total for an audit that runs out-of-band of the headline sweep. The
+    exact side is the percentile plan (at 100 TB swap in the
+    histogram-guided selection of :func:`price_quartiles`).
+    tests/test_relational_extra.py additionally locks the raw
+    estimate's relative error.
     """
-    li = table(spark, sf_dir, "lineitem")
-    pc = cents("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile(pc, F.lit(0.5)).alias("exact_p50"),
-        F.approx_percentile(pc, F.lit(0.5), F.lit(10000)).cast("double").alias("approx_p50"),
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", cents("l_extendedprice").alias("pc")
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.percentile(F.col("pc"), F.lit(0.5)).alias("_exact"),
+        F.approx_percentile(F.col("pc"), F.lit(0.5), F.lit(_AQ_ACC))
+        .cast("long")
+        .alias("_approx"),
+    )
+    cnt = (
+        li.join(F.broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n_lines").alias("n_lines"),
+            F.max("_exact").alias("_exact"),
+            F.sum(F.when(F.col("pc") < F.col("_approx"), 1).otherwise(0))
+            .cast("long")
+            .alias("_below"),
+            F.sum(F.when(F.col("pc") <= F.col("_approx"), 1).otherwise(0))
+            .cast("long")
+            .alias("_below_eq"),
+        )
+    )
+    acc, n = F.lit(_AQ_ACC), F.col("n_lines")
+    ok = (
+        (2 * acc * F.col("_below") <= acc * n + 2 * n + 4 * acc)
+        & (2 * acc * F.col("_below_eq") >= acc * n - 2 * n - 4 * acc)
+    )
+    return cnt.select(
+        "l_returnflag",
+        "n_lines",
+        F.round(F.col("_exact") * 1_000_000).cast("long").alias("exact_p50_q6"),
+        ok.alias("sketch_within_bound"),
     )
 
 

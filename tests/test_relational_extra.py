@@ -8,9 +8,32 @@ from imdbmapreduce_spark import registry
 
 
 def test_approx_percentile_within_error_bound(spark, sf_dir):
+    """The audit's verdict column must be TRUE (the GK sketch honors
+    its deterministic rank guarantee), the exact median must sit inside
+    its own bracket, and the bracket must be TIGHT — a bound so loose
+    it can't fail would make the hash check vacuous."""
     rows = registry.get("approx_quantile_error").fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
+        assert r.sketch_within_bound, r.l_returnflag
+        assert r.n_lines > 0 and r.exact_p50_q6 > 0, r.l_returnflag
+
+    # the RAW estimate's relative error (no longer an emitted column —
+    # it is partition-order-dependent): recompute and lock it directly
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.functions import cents
+
+    li = table(spark, sf_dir, "lineitem")
+    pc = cents("l_extendedprice")
+    raw = li.groupBy("l_returnflag").agg(
+        F.percentile(pc, F.lit(0.5)).alias("exact_p50"),
+        F.approx_percentile(pc, F.lit(0.5), F.lit(10000))
+        .cast("double")
+        .alias("approx_p50"),
+    )
+    for r in raw.collect():
         rel_err = abs(r.approx_p50 - r.exact_p50) / max(abs(r.exact_p50), 1)
         assert rel_err < 0.01, (r.l_returnflag, r.approx_p50, r.exact_p50)
 
