@@ -131,15 +131,65 @@ def decode_ppm_features(payload: bytes) -> dict:
     }
 
 
+def decode_bmp_features(payload: bytes) -> dict:
+    """REAL image decode for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB) — pure Python, no codec library, and unlike PPM a BINARY
+    container: little-endian multi-byte header fields, a pixel-data
+    offset, and 4-byte row stride alignment are all parsed and
+    validated. The second always-available real codec beside
+    :func:`decode_ppm_features` (r6 verdict item 8); compressed/other
+    bit depths stay behind the PIL gate in :func:`decode_image`.
+    """
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    if len(payload) < 54:
+        raise ValueError("BMP shorter than its mandatory 54-byte headers")
+    file_size, _res, offset = struct.unpack_from("<III", payload, 2)
+    if file_size != len(payload):
+        raise ValueError(f"BMP header says {file_size} bytes, got {len(payload)}")
+    dib_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (planes={planes}, "
+            f"bpp={bpp}, compression={compression})"
+        )
+    if w <= 0 or h == 0:
+        raise ValueError(f"BMP geometry out of range ({w}x{h})")
+    height = abs(h)  # negative height = top-down row order, same raster size
+    if offset < 14 + dib_size:
+        raise ValueError(f"pixel offset {offset} overlaps the headers")
+    stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    if len(payload) - offset != stride * height:
+        raise ValueError(
+            f"BMP raster is {len(payload) - offset} bytes, "
+            f"expected {stride * height}"
+        )
+    return {
+        "n_bytes": len(payload),
+        "checksum": sum(payload) % (1 << 31),
+        "width": w,
+        "height": height,
+    }
+
+
 def decode_image_features(payload: bytes) -> dict:
     """Real-codec twin of :func:`fake_decode`: same output schema, true
-    width/height from the decoded image. Binary PPM decodes in pure
-    Python (:func:`decode_ppm_features` — always available); other
-    formats need PIL and raise NotImplementedError when it is absent
-    (the container default) — see :func:`decode_image`.
+    width/height from the decoded image. Binary PPM and uncompressed
+    24-bit BMP decode in pure Python (:func:`decode_ppm_features` /
+    :func:`decode_bmp_features` — always available); other formats need
+    PIL and raise NotImplementedError when it is absent (the container
+    default) — see :func:`decode_image`.
     """
     if payload[:2] == b"P6":
         return decode_ppm_features(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp_features(payload)
     img = decode_image(payload)
     return {
         "n_bytes": len(payload),
@@ -230,6 +280,117 @@ def image_features_real_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return image_features_real(
         with_ppm_payload(table(spark, sf_dir, "documents"))
+    )
+
+
+# Synthesized-BMP geometry: width in {8,12,16} (multiples of 4, so the
+# 24-bit rows land on the 4-byte stride with ZERO padding and the raster
+# is exactly w*h*3 bytes), height 4..7. The 54 header bytes are BINARY
+# little-endian fields, built as a hex string and unhex'd — chr() can't
+# emit bytes >127 as single bytes (UTF-8), hex round-trips anything.
+# Raster = md5 hex repeated (all-ASCII, so the oracle byte-sums it with
+# string functions; the header bytes it sums ARITHMETICALLY).
+_BMP_W = "(doc_id % 3 * 4 + 8)"
+_BMP_H = "(doc_id % 4 + 4)"
+_BMP_RL = f"({_BMP_W} * {_BMP_H} * 3)"
+
+
+def _le32_hex(expr: str) -> str:
+    """Spark-SQL fragment: the 4 little-endian bytes of ``expr`` as 8
+    hex chars (byte-swapped lpad'ed hex — unhex() turns it binary)."""
+    return (
+        f"concat(lpad(hex(({expr}) % 256), 2, '0'),"
+        f" lpad(hex(({expr}) div 256 % 256), 2, '0'),"
+        f" lpad(hex(({expr}) div 65536 % 256), 2, '0'),"
+        f" lpad(hex(({expr}) div 16777216 % 256), 2, '0'))"
+    )
+
+
+_BMP_EXPR = (
+    "concat(unhex(concat("
+    "'424D', "  # 'BM' magic
+    + _le32_hex(f"54 + {_BMP_RL}")  # file size
+    + ", '00000000', '36000000', '28000000', "  # reserved, offset 54, DIB 40
+    + _le32_hex(_BMP_W)
+    + ", "
+    + _le32_hex(_BMP_H)
+    + ", '0100', '1800', '00000000', "  # planes 1, bpp 24, BI_RGB
+    + _le32_hex(_BMP_RL)  # image size
+    + ", lpad('', 32, '0')"  # x/y ppm, colors used/important
+    ")), "
+    f"encode(rpad(md5(text), cast({_BMP_RL} as int), md5(text)), 'UTF-8'))"
+)
+
+
+def with_bmp_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_type, payload) with payload a VALID
+    uncompressed 24-bit BMP whose raster bytes derive from the doc's
+    content — a real BINARY image container (little-endian header
+    fields, pixel-data offset, stride rules) built entirely in codegen'd
+    expressions; no Python until the decode lane."""
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.expr(_BMP_EXPR).alias("payload"),
+    )
+
+
+# DuckDB fragment: sum of the 4 little-endian bytes of an int expression
+# (the oracle sums the binary header bytes ARITHMETICALLY — they never
+# exist as a string on the oracle side).
+def _le32_sum(expr: str) -> str:
+    return (
+        f"(({expr}) % 256 + ({expr}) // 256 % 256"
+        f" + ({expr}) // 65536 % 256 + ({expr}) // 16777216 % 256)"
+    )
+
+
+@query(
+    "image_features_real_bmp",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_BMP_W} AS w, {_BMP_H} AS h, {_BMP_RL} AS rl,
+             rpad(md5(text), CAST({_BMP_RL} AS INT), md5(text)) AS raster
+      FROM documents
+    )
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(54 + rl AS BIGINT) AS n_bytes,
+           CAST((
+             66 + 77
+             + {_le32_sum('54 + rl')}
+             + 54 + 40
+             + {_le32_sum('w')} + {_le32_sum('h')}
+             + 1 + 24
+             + {_le32_sum('rl')}
+             + list_sum(list_transform(string_split(raster, ''),
+                                       x -> unicode(x)))
+           ) % 2147483648 AS BIGINT) AS checksum,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height
+    FROM g
+    """,
+)
+def image_features_real_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND real codec executing in CI (r6 verdict item 8), and the
+    first BINARY one: expressions synthesize a valid uncompressed 24-bit
+    BMP per document (little-endian header fields via unhex — not chr(),
+    which UTF-8-mangles bytes >127), and the Arrow lane truly parses the
+    bytes back: magic, file-size cross-check, DIB geometry, planes/bpp/
+    compression validation, offset and 4-byte stride arithmetic
+    (:func:`decode_bmp_features`). The oracle rebuilds the header byte
+    sum arithmetically (the binary bytes never exist oracle-side) plus
+    the ASCII raster's byte sum — an external round-trip proof covering
+    every byte of the container.
+
+    Scale: payload construction is codegen; the decode is the same
+    narrow no-shuffle mapInPandas pass as the PPM lane — parallelism =
+    scan splits, Arrow batches across the boundary, payloads never
+    shuffle.
+    """
+    return image_features_real(
+        with_bmp_payload(table(spark, sf_dir, "documents"))
     )
 
 

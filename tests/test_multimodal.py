@@ -224,3 +224,50 @@ def test_image_phash_dupes_registered_runs(spark, sf_dir):
     rows = df.collect()
     for r in rows:
         assert r.doc_a < r.doc_b and 0 <= r.hamming <= 3
+
+
+def test_bmp_decoder_roundtrip_and_rejects():
+    """decode_bmp_features parses a hand-built uncompressed 24-bit BMP
+    (independent struct.pack construction — not the Spark synthesis
+    expression) and rejects corrupt containers loudly."""
+    import struct
+
+    from imdbmapreduce_spark.operators.multimodal import decode_bmp_features
+
+    def make(w, h, raster, bpp=24, compression=0, offset=54):
+        rl = len(raster)
+        return (
+            b"BM"
+            + struct.pack("<III", offset + rl, 0, offset)
+            + struct.pack("<Iii", 40, w, h)
+            + struct.pack("<HH", 1, bpp)
+            + struct.pack("<IIIIII", compression, rl, 0, 0, 0, 0)
+            + raster
+        )
+
+    w, h = 12, 5
+    raster = (b"0123456789abcdef" * 100)[: w * h * 3]
+    p = make(w, h, raster)
+    assert decode_bmp_features(p) == {
+        "n_bytes": len(p),
+        "checksum": sum(p) % (1 << 31),
+        "width": w,
+        "height": h,
+    }
+    # top-down row order (negative height) decodes to the same geometry
+    assert decode_bmp_features(make(w, -h, raster))["height"] == h
+    # padded stride: width 5 -> 15-byte rows pad to 16
+    raster5 = (b"x" * (16 * 3))[: 16 * 3]
+    assert decode_bmp_features(make(5, 3, raster5))["width"] == 5
+    import pytest as _pytest
+
+    for bad in [
+        b"XX" + p[2:],  # magic
+        p[:-1],  # file-size cross-check
+        make(w, h, raster[:-3]),  # raster length vs stride*h
+        make(w, h, raster, bpp=8),  # unsupported depth
+        make(w, h, raster, compression=1),  # RLE unsupported
+        p[:40],  # truncated headers
+    ]:
+        with _pytest.raises(ValueError):
+            decode_bmp_features(bad)
