@@ -1266,7 +1266,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle=f"""
-    SELECT 100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+    SELECT 100.0e0 * SUM(CASE WHEN p.p_type = 'PROMO'
                             THEN {_C.format(col='l.l_extendedprice')}
                                  * (100 - {_C.format(col='l.l_discount')})
                             ELSE 0 END)
