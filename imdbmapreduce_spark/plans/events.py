@@ -546,20 +546,32 @@ def events_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_distinct")  # no SQL oracle: HLL sketch is engine-specific
+@query(
+    "events_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HyperLogLog++
     (`approx_count_distinct`, rsd 2%) audited against the exact count —
     the sketch every 100 TB pipeline uses where exact distinct is a full
-    extra shuffle. The exact columns are the oracle-checked twin
-    :func:`events_distinct_exact` (same grouping, hash-verified by the
-    driver); this row adds the sketch estimate and its realized relative
-    error beside them.
+    extra shuffle.
 
-    No SQL oracle on THIS row: HLL implementations differ per engine, so
-    the driver records rows-only; the error bound vs the exact count is
-    locked by tests/test_events_extra.py (within 5% on every type) and
-    the exact side is hash-verified via the twin.
+    HASH-CHECKED since round 7 (same treatment as
+    ``approx_quantile_error``): the raw HLL estimate is engine-specific
+    so it cannot be a hashed column, but whether it lands within the
+    audited 5% band is a deterministic fact of this corpus — HLL adds
+    and merges are commutative and the hash is fixed, so the estimate
+    (and hence the verdict) is partition-order-independent. The oracle
+    recomputes the exact side and pins TRUE; an estimate drifting out of
+    band hashes as FALSE and fails the driver gate. The raw estimate's
+    band is additionally locked per type in tests/test_events_extra.py.
 
     Scale: the sketch is a fixed few-KB buffer per group merged
     map-side — the exchange carries |groups| sketches instead of
@@ -567,17 +579,22 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     expand+two-shuffle plan; at 100 TB you pick per query.
     """
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    ).withColumn(
-        "rel_err",
-        F.round(
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users"),
-            6,
-        ),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
     )
 
 

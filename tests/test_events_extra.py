@@ -18,12 +18,27 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         for r in registry.get("events_distinct_exact").fn(spark, sf_dir).collect()
     }
     for r in rows:
-        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
-        assert rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
-        # the audit's reported rel_err is the same quantity, rounded
-        assert abs(r.rel_err - rel_err) < 1e-6, r.event_type
+        assert r.hll_within_5pct, r.event_type
         # the exact columns equal the oracle-checked twin's
         assert exact[r.event_type] == (r.exact_users, r.n_events), r.event_type
+
+    # the RAW estimate's band (no longer an emitted column — it is
+    # engine-specific): recompute and lock it per type directly
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark.catalog import table
+
+    raw = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+    for r in raw.collect():
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
 
 
 def test_anomaly_z_consistent_with_gate(spark, sf_dir):
