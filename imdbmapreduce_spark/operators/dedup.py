@@ -167,6 +167,8 @@ def _text_params() -> dict:
     """Build parameters recorded in (and checked against) the persisted
     text-index manifest — editing any tuning constant refuses a stale
     on-disk index instead of silently serving it."""
+    from imdbmapreduce_spark.operators.lm import _BPE_MERGES
+
     return {
         "shingle_k": 3,
         "df_cap": _SHINGLE_DF_CAP,
@@ -175,6 +177,7 @@ def _text_params() -> dict:
         "n_bands": _N_BANDS,
         "simhash_bits": _SIMHASH_BITS,
         "max_simhash_tokens": _MAX_SIMHASH_TOKENS,
+        "bpe_merges": _BPE_MERGES,
     }
 
 
@@ -339,13 +342,27 @@ def _bands_of(sig: DataFrame) -> DataFrame:
 
 
 def build_text_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All five text-dedup artifacts (cached; built or loaded)."""
+    """All text-group artifacts (cached; built or loaded): the five
+    dedup structures plus the TRAINED BPE TOKENIZER (post-merge
+    vocabulary + merge table) — round 7: the tokenizer lifecycle gets
+    the same persist-once/serve-many contract as the shingle and
+    signature tables, so a cold session applies the trained tokenizer
+    via a vocab join without re-running the merge loop."""
+    from imdbmapreduce_spark.operators import lm
+
+    vocab, merge_rows = lm._bpe_learn(spark, sf_dir)
+    merges = spark.createDataFrame(
+        merge_rows,
+        "rnk long, c1 string, c2 string, merged string, pair_count long",
+    )
     return {
         "shingles_capped": _shingles_capped_cached(spark, sf_dir),
         "jaccard_pairs": _jaccard_pairs_cached(spark, sf_dir),
         "shingle_hx": _shingle_hx_cached(spark, sf_dir),
         "simhash_fp": _simhash_fp_cached(spark, sf_dir),
         "minhash_sig": _minhash_sig_cached(spark, sf_dir),
+        "bpe_vocab": vocab,
+        "bpe_merges": merges,
     }
 
 

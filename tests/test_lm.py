@@ -263,3 +263,42 @@ def test_bpe_merge_venues_identical(spark, sf_dir, monkeypatch):
         (r["tok"], r["seq"], r["n"]) for r in df.select("tok", "seq", "n").collect()
     }
     assert as_set(vocab_l) == as_set(vocab_d)
+
+
+def test_bpe_persisted_tokenizer_cold_session_roundtrip(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Tokenizer lifecycle (round 7): train once, persist with the text
+    index, and prove a cold session serves the IDENTICAL tokenizer from
+    disk — the trainer is poisoned after the cache flush, so any
+    retraining attempt fails loudly. Also pins the params guard: a
+    different merge count refuses the stale artifact."""
+    from imdbmapreduce_spark import indexstore
+    from imdbmapreduce_spark.cache import release_shared_caches
+    from imdbmapreduce_spark.operators import lm
+    from imdbmapreduce_spark.operators.dedup import _text_params, persist_text_index
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    release_shared_caches()
+    try:
+        vocab0, rows0 = lm._bpe_learn(spark, sf_dir)
+        want_vocab = sorted(map(tuple, vocab0.select("tok", "seq", "n").collect()))
+        persist_text_index(spark, sf_dir)
+        m = indexstore.group_manifest(sf_dir, "text", _text_params())
+        assert m is not None and "bpe_vocab" in m["artifacts"], m
+
+        release_shared_caches()  # cold session: memo gone
+
+        def _boom(*a, **k):
+            raise AssertionError("BPE retrain attempted despite persisted tokenizer")
+
+        monkeypatch.setattr(lm, "_bpe_learn_uncached", _boom)
+        vocab1, rows1 = lm._bpe_learn(spark, sf_dir)
+        assert rows1 == rows0
+        assert sorted(map(tuple, vocab1.select("tok", "seq", "n").collect())) == want_vocab
+
+        # params guard: a non-default merge count never serves the disk copy
+        assert lm._bpe_load_persisted(spark, sf_dir, lm._BPE_MERGES + 1) is None
+    finally:
+        monkeypatch.undo()
+        release_shared_caches()
