@@ -615,6 +615,110 @@ def neardup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_neardup_lookup(spark, sf_dir, shard)
 
 
+@query(
+    "incremental_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_JAC_CTES}, basejac AS (
+      SELECT doc_a, doc_b FROM jac_edges
+      WHERE doc_a % {_SHARD_MOD} <> {_SHARD_RESIDUE}
+        AND doc_b % {_SHARD_MOD} <> {_SHARD_RESIDUE}
+    ), bedges AS (
+      SELECT doc_a AS a, doc_b AS b FROM basejac
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM basejac
+    ), walk(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      WHERE doc_id % {_SHARD_MOD} <> {_SHARD_RESIDUE}
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN bedges e ON e.a = w.r
+    ), assign AS (
+      SELECT node AS base_doc, MIN(r) AS cluster_id FROM walk GROUP BY node
+    ), links AS (
+      SELECT doc_a AS new_doc, doc_b AS base_doc FROM jac_edges
+      WHERE doc_a % {_SHARD_MOD} = {_SHARD_RESIDUE}
+        AND doc_b % {_SHARD_MOD} <> {_SHARD_RESIDUE}
+      UNION ALL
+      SELECT doc_b AS new_doc, doc_a AS base_doc FROM jac_edges
+      WHERE doc_b % {_SHARD_MOD} = {_SHARD_RESIDUE}
+        AND doc_a % {_SHARD_MOD} <> {_SHARD_RESIDUE}
+    )
+    SELECT l.new_doc,
+           CAST(MIN(a.cluster_id) AS BIGINT) AS assigned_cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters_linked
+    FROM links l JOIN assign a USING (base_doc)
+    GROUP BY l.new_doc
+    """,
+)
+def incremental_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER the incremental near-dup gate in a production
+    ingest loop: each arriving document that near-duplicates existing
+    content gets assigned to the EXISTING duplicate cluster it joins —
+    ``(new_doc, assigned_cluster, n_links, n_clusters_linked)``, where
+    ``n_clusters_linked > 1`` is the cluster-MERGE signal (the arrival
+    bridges two previously-separate groups; a maintenance pass unions
+    them). Completes the arrival pipeline: gate
+    (:func:`neardup_incremental_ingest`) → assignment (this) →
+    keeper policy (the batch ``neardup_cluster_keepers`` rule applied
+    to the grown cluster).
+
+    Semantics: edges are the MAINTAINED exact-Jaccard pair artifact
+    (the same persisted/cached pair set every dedup consumer shares,
+    df-caps as of the full corpus snapshot); base clusters are
+    components over base-base edges only; links are the exactly-one-
+    endpoint-arriving pairs. assigned_cluster = min linked base
+    cluster id — deterministic and exactly what the closure over the
+    grown graph would fold the new doc into when n_clusters_linked = 1.
+
+    Plan: the pair artifact is read once and split three ways
+    (base-base, shard-base twice) — no new similarity work at all; the
+    component loop runs over o(corpus) base edges (log-diameter rounds,
+    session-cached result shared across the sweep); the assignment is
+    one join + one groupBy on new_doc.
+
+    Scale: at 100 TB arrival-time cost is |links| + the (amortized,
+    cached) base clustering — the corpus is never re-shingled; the
+    merge-signal column is precisely what lets a production system
+    defer full re-clustering until merges actually happen.
+    """
+    pairs = _jaccard_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+
+    def build_base_assign() -> DataFrame:
+        base_nodes = (
+            table(spark, sf_dir, "documents")
+            .filter(~_is_shard("doc_id"))
+            .select(F.col("doc_id").alias("node"))
+        )
+        base_edges = pairs.filter(
+            ~_is_shard("doc_a") & ~_is_shard("doc_b")
+        ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        return connected_components(base_nodes, base_edges)
+
+    base_assign = shared_cache(
+        spark,
+        ("incremental_base_clusters", sf_dir, 3, _SHINGLE_DF_CAP, 0.6),
+        build_base_assign,
+    )
+    links = (
+        pairs.filter(_is_shard("doc_a") & ~_is_shard("doc_b"))
+        .select(F.col("doc_a").alias("new_doc"), F.col("doc_b").alias("base_doc"))
+        .unionByName(
+            pairs.filter(_is_shard("doc_b") & ~_is_shard("doc_a")).select(
+                F.col("doc_b").alias("new_doc"), F.col("doc_a").alias("base_doc")
+            )
+        )
+    )
+    return (
+        links.join(base_assign.withColumnRenamed("node", "base_doc"), "base_doc")
+        .groupBy("new_doc")
+        .agg(
+            F.min("cluster_id").alias("assigned_cluster"),
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters_linked"),
+        )
+    )
+
+
 # --- SimHash --------------------------------------------------------------
 
 _SIMHASH_BITS = 64

@@ -491,3 +491,27 @@ def test_exact_substr_scrub_matches_python_replay(spark, sf_dir):
     }
     assert got == want
     assert any(v[2] > 0 for v in want.values()), "premise: something was cut"
+
+
+def test_incremental_cluster_assign_consistent_with_full_clustering(spark, sf_dir):
+    """Assignment invariants vs the full-graph clustering: every
+    arriving doc is a shard doc, every assigned cluster id is a BASE
+    doc id, and transitivity holds — the new doc and its assigned base
+    cluster land in the SAME component of the full (grown) graph that
+    dedup_clusters computes."""
+    from imdbmapreduce_spark.operators.dedup import _SHARD_MOD, _SHARD_RESIDUE
+
+    rows = registry.get("incremental_cluster_assign").fn(spark, sf_dir).collect()
+    assert rows, "test premise: the shard links at least one base cluster"
+    full = {
+        r.doc_id: r.cluster_id
+        for r in registry.get("dedup_clusters").fn(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.new_doc % _SHARD_MOD == _SHARD_RESIDUE, r
+        assert r.assigned_cluster % _SHARD_MOD != _SHARD_RESIDUE, r
+        assert 1 <= r.n_clusters_linked <= r.n_links, r
+        # grown-graph transitivity: new doc joins its assigned cluster's
+        # component (the full clustering may relabel to a smaller id)
+        assert full[r.new_doc] == full[r.assigned_cluster], r
+        assert full[r.new_doc] <= r.assigned_cluster, r
