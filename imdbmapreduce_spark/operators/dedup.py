@@ -834,6 +834,119 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(members)
 
 
+def _hamming_bands(dfp: DataFrame) -> DataFrame:
+    """(fp, tbl, key) band rows for the 20 permuted-block tables — one
+    (tbl, key) row per table; key packs the table's 3 block values into
+    16-bit lanes of one long (block width <= 11 < 16, no overlap).
+    Shared by the batch self-join (:func:`hamming_pairs`) and the
+    incremental shard lookup (:func:`hamming_lookup`)."""
+
+    def block(j: int) -> Column:
+        mask = (1 << _BLOCK_WIDTHS[j]) - 1
+        return F.shiftright("fp", _BLOCK_OFFSETS[j]).bitwiseAND(F.lit(mask)).cast("long")
+
+    structs = []
+    for ti, subset in enumerate(_simhash_tables()):
+        key: Column | None = None
+        for lane, j in enumerate(subset):
+            term = F.shiftleft(block(j), 16 * lane)
+            key = term if key is None else key + term
+        structs.append(F.struct(F.lit(ti).alias("tbl"), key.alias("key")))
+    return dfp.select("fp", F.explode(F.array(*structs)).alias("bb")).select(
+        "fp", F.col("bb.tbl").alias("tbl"), F.col("bb.key").alias("key")
+    )
+
+
+def hamming_lookup(
+    probe_members: DataFrame, base_members: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Cross-corpus variant of :func:`hamming_pairs`: every (probe,
+    base) pair within ``max_hamming`` bits — the ARRIVAL-time lookup of
+    the Hamming fingerprint family (token SimHash, image perceptual
+    hash, ...): probe fingerprints are the arriving shard's, the base
+    side is the existing index, and no probe-probe or base-base pair is
+    ever formed. Same 20 permuted-block tables, same completeness
+    guarantee (recall proven for distance <= 3), same
+    identical-fingerprint short-circuit.
+
+    Returns (probe_doc, base_doc, hamming).
+
+    Scale: band rows are 20 per DISTINCT fingerprint PER SIDE; the join
+    keys on (tbl, key) — probe side is shard-sized, so arrival cost is
+    proportional to the shard plus collision output, never the corpus.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 3-of-6 banding's "
+            "completeness guarantee (distance <= 3)"
+        )
+    p, b = probe_members.alias("p"), base_members.alias("b")
+    same = p.join(b, F.col("p.fp") == F.col("b.fp")).select(
+        F.col("p.doc_id").alias("probe_doc"),
+        F.col("b.doc_id").alias("base_doc"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    pb = _hamming_bands(probe_members.select("fp").distinct()).alias("pb")
+    bb = _hamming_bands(base_members.select("fp").distinct()).alias("bb")
+    fp_pairs = (
+        pb.join(
+            bb,
+            (F.col("pb.tbl") == F.col("bb.tbl"))
+            & (F.col("pb.key") == F.col("bb.key"))
+            & (F.col("pb.fp") != F.col("bb.fp")),
+        )
+        .select(
+            F.col("pb.fp").alias("fp_p"),
+            F.col("bb.fp").alias("fp_b"),
+            F.bit_count(F.col("pb.fp").bitwiseXOR(F.col("bb.fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["fp_p", "fp_b"])
+    )
+    cross = (
+        fp_pairs.join(
+            probe_members.select(F.col("fp").alias("fp_p"), F.col("doc_id").alias("probe_doc")),
+            "fp_p",
+        )
+        .join(
+            base_members.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("base_doc")),
+            "fp_b",
+        )
+        .select("probe_doc", "base_doc", "hamming")
+    )
+    return same.unionByName(cross)
+
+
+@query("simhash_incremental_ingest")  # no SQL oracle: xxhash SimHash family;
+# pinned hash-equal to the batch simhash_pairs restriction in
+# tests/test_dedup.py::test_simhash_incremental_equals_batch_restriction
+def simhash_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hamming-family twin of :func:`neardup_incremental_ingest` —
+    arriving documents fingerprinted fresh (SimHash over the shard
+    only) and looked up against the PERSISTED fingerprint artifact
+    (indexstore "text" group simhash_fp, filtered to base docs) through
+    the shared :func:`hamming_lookup` banded cross join. Together the
+    two gates cover both near-dup families a production ingest runs:
+    set-similarity (MinHash/Jaccard) and bit-similarity (SimHash /
+    perceptual hashes — the SAME lookup serves image pHash arrivals).
+
+    Plan: fresh work is one map-only fingerprint pass over the shard;
+    the lookup joins 20 slim band rows per distinct fingerprint per
+    side on (tbl, key); exact Hamming verify is one codegen'd XOR +
+    bit_count. Corpus side never recomputes.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shard_fp = simhash_fingerprints(docs.filter(_is_shard("doc_id")))
+    base_fp = _simhash_fp_cached(spark, sf_dir).filter(~_is_shard("doc_id"))
+    return (
+        hamming_lookup(shard_fp, base_fp)
+        .withColumnRenamed("probe_doc", "new_doc")
+        .withColumnRenamed("base_doc", "matched_doc")
+    )
+
+
 def hamming_pairs(members: DataFrame, max_hamming: int = 3) -> DataFrame:
     """All pairs within ``max_hamming`` bits over ANY (doc_id, fp) input —
     the fingerprint source is pluggable (token SimHash, image perceptual
@@ -881,23 +994,7 @@ def hamming_pairs(members: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
     dfp = members.select("fp").distinct()
-
-    def block(j: int) -> Column:
-        mask = (1 << _BLOCK_WIDTHS[j]) - 1
-        return F.shiftright("fp", _BLOCK_OFFSETS[j]).bitwiseAND(F.lit(mask)).cast("long")
-
-    # one (tbl, key) row per table: key packs the table's 3 block values
-    # into 16-bit lanes of one long (block width <= 11 < 16, no overlap)
-    structs = []
-    for ti, subset in enumerate(_simhash_tables()):
-        key: Column | None = None
-        for lane, j in enumerate(subset):
-            term = F.shiftleft(block(j), 16 * lane)
-            key = term if key is None else key + term
-        structs.append(F.struct(F.lit(ti).alias("tbl"), key.alias("key")))
-    bands = dfp.select(
-        "fp", F.explode(F.array(*structs)).alias("bb")
-    ).select("fp", F.col("bb.tbl").alias("tbl"), F.col("bb.key").alias("key"))
+    bands = _hamming_bands(dfp)
     a = bands.alias("a")
     b = bands.alias("b")
     fp_pairs = (

@@ -515,3 +515,26 @@ def test_incremental_cluster_assign_consistent_with_full_clustering(spark, sf_di
         # component (the full clustering may relabel to a smaller id)
         assert full[r.new_doc] == full[r.assigned_cluster], r
         assert full[r.new_doc] <= r.assigned_cluster, r
+
+
+def test_simhash_incremental_equals_batch_restriction(spark, sf_dir):
+    """The Hamming-family incremental lookup must equal the BATCH
+    simhash_pairs restricted to pairs with exactly one endpoint in the
+    shard — same band tables, same exact Hamming values, shard endpoint
+    surfaced as new_doc. The rows-only driver check's gate, like the
+    MinHash twin's."""
+    from imdbmapreduce_spark.operators.dedup import _SHARD_MOD, _SHARD_RESIDUE
+
+    inc = {
+        (r.new_doc, r.matched_doc, r.hamming)
+        for r in registry.get("simhash_incremental_ingest").fn(spark, sf_dir).collect()
+    }
+    want = set()
+    for r in registry.get("simhash_pairs").fn(spark, sf_dir).collect():
+        a_sh = r.doc_a % _SHARD_MOD == _SHARD_RESIDUE
+        b_sh = r.doc_b % _SHARD_MOD == _SHARD_RESIDUE
+        if a_sh != b_sh:
+            new, matched = (r.doc_a, r.doc_b) if a_sh else (r.doc_b, r.doc_a)
+            want.add((new, matched, r.hamming))
+    assert inc == want
+    assert want, "test premise: the shard has at least one Hamming match"
