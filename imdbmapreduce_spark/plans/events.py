@@ -993,23 +993,45 @@ def events_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_D, _CMS_W = 4, 512
 
 
-@query("events_cms_audit", bench=True)  # rows-only: the xxhash64 hash
-# family isn't SQL-portable; audited against the oracle-checked exact twin
+@query(
+    "events_cms_audit",
+    bench=True,
+    oracle=f"""
+    WITH cnt AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS exact_cnt
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT user_id, exact_cnt,
+             ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, user_id) AS rnk
+      FROM cnt
+    )
+    SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           TRUE AS never_undercounts,
+           TRUE AS overcount_within_bound
+    FROM ranked WHERE rnk <= {_HH_TOP}
+    """,
+)
 def events_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch audit — the overcounting dual completing the
     sketch family (HLL distinct / KLL quantiles / MG undercounting
     frequent items / CMS overcounting point queries). The CMS counter
     table is built from events.user_id in pure codegen (no Arrow lane,
-    operators/sketches.py), point-estimates the top-64 exact heavy
-    hitters, and surfaces the audit as columns:
+    operators/sketches.py) and point-estimates the top-{top} exact heavy
+    hitters.
 
-    (user_id, exact_cnt, est, overcount, never_undercounts) — CMS's
-    deterministic guarantee is est >= exact ALWAYS (collisions only
-    add), so never_undercounts is all-true by construction; overcount's
-    magnitude (expected N/w per hash row, min over d rows) is locked
-    empirically in tests/test_sketches.py. The exact column is the same
-    shared-cached aggregation the oracle-checked exact twin
-    (events_heavy_hitters_exact) hash-verifies.
+    HASH-CHECKED since round 7 (the approx_quantile_error /
+    events_approx_distinct treatment): CMS counters are sums under
+    fixed hashes — deterministic and partition-order-independent — so
+    while the raw estimates are not SQL-portable (xxhash64 family),
+    the audit VERDICTS are deterministic facts the oracle pins TRUE:
+    ``never_undercounts`` (est >= exact ALWAYS — collisions only add;
+    a violation is an implementation bug) and ``overcount_within_bound``
+    (min-over-rows overcount <= 5·N/w + 5, the same loose band
+    tests/test_sketches.py locks, compared in exact integer arithmetic:
+    w·overcount <= 5·N + 5·w). The exact column is the same shared
+    aggregation the oracle-checked exact twin
+    (events_heavy_hitters_exact) hash-verifies; raw est/overcount
+    magnitudes stay pinned in tests/test_sketches.py.
 
     Scale: the fact never shuffles raw rows — the build exchanges at
     most d*w combined counters per map task and the counter table is
@@ -1018,19 +1040,22 @@ def events_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imdbmapreduce_spark.operators.sketches import cms_estimate, count_min
 
     ev = table(spark, sf_dir, "events")
+    n_events = ev.count()
     cms = count_min(ev, "user_id", d=_CMS_D, w=_CMS_W)
     top = _top_users(spark, sf_dir)
     est = cms_estimate(
         cms, top.select(F.col("user_id").alias("item")), d=_CMS_D, w=_CMS_W
     )
+    over = F.col("est") - F.col("exact_cnt")
     return (
         top.join(est, top.user_id == est.item)
         .select(
             "user_id",
             "exact_cnt",
-            "est",
-            (F.col("est") - F.col("exact_cnt")).alias("overcount"),
             (F.col("est") >= F.col("exact_cnt")).alias("never_undercounts"),
+            (
+                F.lit(_CMS_W) * over <= F.lit(5 * n_events + 5 * _CMS_W)
+            ).alias("overcount_within_bound"),
         )
         .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
     )
