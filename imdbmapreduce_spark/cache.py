@@ -40,9 +40,17 @@ _CACHE: dict[tuple, DataFrame] = {}
 # plain Python threads) must not race the check-then-insert below: two
 # lanes double-.cache()-ing the same key leaks the losing entry's
 # storage (release_shared_caches never sees it) and mis-credits
-# index_hit_count. REENTRANT because a build() may itself call
-# shared_cache for a composed artifact.
-_LOCK = threading.RLock()
+# index_hit_count. Locking is PER KEY: the registry lock (_LOCK) guards
+# only the dict operations, while each key's build runs under its own
+# reentrant lock — a lane building one artifact never blocks other
+# lanes' hits or builds of unrelated keys (builds can run real jobs,
+# e.g. connected-components checkpoints). Reentrant per key because a
+# build() may itself call shared_cache for a composed artifact; nested
+# DIFFERENT keys are fine — artifact dependencies form a DAG consumed
+# in one consistent order, so opposite-order lock acquisition (the
+# deadlock shape) cannot arise.
+_LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple, threading.RLock] = {}
 
 # Extra teardown callbacks run by release_shared_caches — lets modules
 # with their own session-scoped memos (e.g. the BPE trained-tokenizer
@@ -76,11 +84,19 @@ def shared_cache(
     with _LOCK:
         df = _CACHE.get(full_key)
         if df is None:
-            loads_before = indexstore.load_count
-            df = build().cache()
-            if indexstore.load_count > loads_before:
-                _INDEX_BACKED.add(full_key)
-            _CACHE[full_key] = df
+            klock = _KEY_LOCKS.setdefault(full_key, threading.RLock())
+    if df is None:
+        with klock:
+            with _LOCK:
+                df = _CACHE.get(full_key)  # lost the build race -> hit
+            if df is None:
+                loads_before = indexstore.load_count
+                df = build().cache()
+                with _LOCK:
+                    if indexstore.load_count > loads_before:
+                        _INDEX_BACKED.add(full_key)
+                    _CACHE[full_key] = df
+    with _LOCK:
         if full_key in _INDEX_BACKED:
             index_hit_count += 1
     return df
@@ -95,6 +111,7 @@ def release_shared_caches() -> None:
             except Exception:
                 pass  # session already stopped — nothing to release
         _CACHE.clear()
+        _KEY_LOCKS.clear()
         _INDEX_BACKED.clear()  # rebuilt caches re-detect their provenance
         hooks = list(_RELEASE_HOOKS)
     for hook in hooks:

@@ -537,14 +537,25 @@ def shard_neardup_lookup(
     shard_bands = _bands_of(shard_sig)
     shard_sets = sh_rows.groupBy("doc_id").agg(F.collect_list("hx").alias("sh"))
 
-    # corpus side: persisted/cached artifacts, filtered to the base
-    base_sig = _minhash_sig_cached(spark, sf_dir).filter(~_is_shard("doc_id"))
-    base_bands = _bands_of(base_sig)
-    base_sets = (
-        _shingle_hx_cached(spark, sf_dir)
+    # Corpus side: persisted/cached artifacts filtered to the base —
+    # and the DERIVED band/set frames are themselves session-cached:
+    # the streaming gate calls this once per MICRO-BATCH, and without
+    # the cache each batch would re-run the full-corpus collect_list
+    # aggregation, violating the arrival-cost contract below.
+    base_bands = shared_cache(
+        spark,
+        ("neardup_base_bands", sf_dir, _SHARD_MOD, _SHARD_RESIDUE, _N_PERM, _N_BANDS),
+        lambda: _bands_of(
+            _minhash_sig_cached(spark, sf_dir).filter(~_is_shard("doc_id"))
+        ),
+    )
+    base_sets = shared_cache(
+        spark,
+        ("neardup_base_sets", sf_dir, _SHARD_MOD, _SHARD_RESIDUE, 3),
+        lambda: _shingle_hx_cached(spark, sf_dir)
         .filter(~_is_shard("doc_id"))
         .groupBy("doc_id")
-        .agg(F.collect_list("hx").alias("sh"))
+        .agg(F.collect_list("hx").alias("sh")),
     )
 
     s = shard_bands.alias("s")

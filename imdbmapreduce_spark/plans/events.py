@@ -1040,7 +1040,10 @@ def events_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imdbmapreduce_spark.operators.sketches import cms_estimate, count_min
 
     ev = table(spark, sf_dir, "events")
-    n_events = ev.count()
+    # N enters the plan as a broadcast 1-row aggregate, not a driver
+    # .count() — the builder stays lazy like every registered query
+    # (an eager count would re-scan events once per bench pass).
+    n_events = ev.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     cms = count_min(ev, "user_id", d=_CMS_D, w=_CMS_W)
     top = _top_users(spark, sf_dir)
     est = cms_estimate(
@@ -1049,12 +1052,13 @@ def events_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     over = F.col("est") - F.col("exact_cnt")
     return (
         top.join(est, top.user_id == est.item)
+        .crossJoin(F.broadcast(n_events))
         .select(
             "user_id",
             "exact_cnt",
             (F.col("est") >= F.col("exact_cnt")).alias("never_undercounts"),
             (
-                F.lit(_CMS_W) * over <= F.lit(5 * n_events + 5 * _CMS_W)
+                F.lit(_CMS_W) * over <= F.lit(5) * F.col("_n") + F.lit(5 * _CMS_W)
             ).alias("overcount_within_bound"),
         )
         .orderBy(F.desc("exact_cnt"), F.asc("user_id"))

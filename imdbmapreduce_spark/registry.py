@@ -103,10 +103,14 @@ def query_fingerprint(name: str) -> str:
     except (OSError, TypeError):
         src = ""  # unhashable source degrades to "always stale" — conservative
     blob = src + "\n--oracle--\n" + (rq.oracle or "")
-    stamp = (
-        _fixture_stamp() if "movies_dirty" in blob or "_FIXTURE" in blob
-        else _testdata_stamp()
-    )
+    # Fixture-marked queries stamp BOTH families: a marker in the source
+    # is a cheap text heuristic, and a query that read the fixture AND
+    # sf parquet would otherwise miss testdata regens — stamping both is
+    # at worst conservative (an extra re-verification). Everything else
+    # reads only the sf tables.
+    stamp = _testdata_stamp()
+    if "movies_dirty" in blob or "_FIXTURE" in blob:
+        stamp = _fixture_stamp() + stamp
     return hashlib.sha256((blob + "\n--input--\n" + stamp).encode()).hexdigest()
 
 

@@ -137,17 +137,26 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            if not q.awaitTermination(_STREAM_TIMEOUT_S):
-                q.stop()
-                raise TimeoutError(
-                    f"streaming query {name} exceeded {_STREAM_TIMEOUT_S}s drain cap"
-                )
-        except Exception:
-            if q.isActive:
-                q.stop()
-            raise
+        _await_drain(q, name)
     return spark.table(name)
+
+
+def _await_drain(q, label: str) -> None:
+    """The one drain contract every finite-stream run shares (memory
+    sinks and foreachBatch sinks alike): wall-clock-capped
+    awaitTermination, stop on timeout, stop on error — so a wedged
+    micro-batch costs a sweep _STREAM_TIMEOUT_S, never its whole
+    budget, and the cap lives in exactly one place."""
+    try:
+        if not q.awaitTermination(_STREAM_TIMEOUT_S):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {label} exceeded {_STREAM_TIMEOUT_S}s drain cap"
+            )
+    except Exception:
+        if q.isActive:
+            q.stop()
+        raise
 
 
 @query(
@@ -688,16 +697,7 @@ def _drain_foreach(stream_df: DataFrame, on_batch) -> None:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            if not q.awaitTermination(_STREAM_TIMEOUT_S):
-                q.stop()
-                raise TimeoutError(
-                    f"foreachBatch drain exceeded {_STREAM_TIMEOUT_S}s cap"
-                )
-        except Exception:
-            if q.isActive:
-                q.stop()
-            raise
+        _await_drain(q, "foreachBatch drain")
 
 
 @query("streaming_neardup_gate", bench=False)  # rows-only: xxhash64 band
@@ -740,9 +740,14 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     shard = table(spark, sf_dir, "documents").filter(_is_shard("doc_id"))
+    # Path carries the applicationId: concurrent processes running the
+    # gate on the same corpus (pytest beside driver_sim is routine here)
+    # must never overwrite each other's shard files mid-drain, and two
+    # corpora sharing a dir basename must not collide.
     path = os.path.join(
         tempfile.gettempdir(),
         "imdbmapreduce_neardup_stream",
+        spark.sparkContext.applicationId,
         os.path.basename(os.path.normpath(sf_dir)),
         "shard",
     )

@@ -200,7 +200,9 @@ def test_fingerprint_tracks_input_data_content(tmp_path, monkeypatch):
     DATA). Regenerating the movies fixture (the r6 85k regen is the
     motivating case) or the testdata parquet must change the affected
     queries' fingerprints — so they mismatch the committed manifest and
-    demote to tier 1 — while leaving the OTHER input family untouched.
+    demote to tier 1. sf-table queries never depend on the fixture;
+    fixture-marked queries stamp BOTH families (conservative: the text
+    marker can't prove the query reads only the fixture).
     Content-hashed, not mtime: git checkouts rewrite mtimes."""
     from imdbmapreduce_spark.sources import movies_csv
 
@@ -218,7 +220,8 @@ def test_fingerprint_tracks_input_data_content(tmp_path, monkeypatch):
         assert registry.query_fingerprint("q1_pricing_summary") == sf_fp0
         monkeypatch.undo()
 
-        # 2) testdata regen: sf queries demote, movies_* untouched
+        # 2) testdata regen: sf queries demote; fixture-marked queries
+        # demote too (both-families stamp — see query_fingerprint)
         td = tmp_path / "testdata" / "sf0.01"
         td.mkdir(parents=True)
         (td / "lineitem.parquet").write_bytes(b"not-the-same-bytes")
@@ -227,7 +230,7 @@ def test_fingerprint_tracks_input_data_content(tmp_path, monkeypatch):
         )
         registry.invalidate_caches()
         assert registry.query_fingerprint("q1_pricing_summary") != sf_fp0
-        assert registry.query_fingerprint("movies_title_levels") == fix_fp0
+        assert registry.query_fingerprint("movies_title_levels") != fix_fp0
     finally:
         monkeypatch.undo()
         registry.invalidate_caches()
