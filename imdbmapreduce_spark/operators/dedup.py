@@ -949,7 +949,14 @@ def simhash_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count. Corpus side never recomputes.
     """
     docs = table(spark, sf_dir, "documents")
-    shard_fp = simhash_fingerprints(docs.filter(_is_shard("doc_id")))
+    # The lookup consumes the probe side 4 ways (identical-fp join,
+    # distinct-fp bands, and the two expand joins); checkpoint the
+    # freshly-computed shard fingerprints once — shard-sized slim rows —
+    # so the tokenize/hash/bit-count pipeline doesn't re-execute per
+    # consumer.
+    shard_fp = stable_checkpoint(
+        simhash_fingerprints(docs.filter(_is_shard("doc_id")))
+    )
     base_fp = _simhash_fp_cached(spark, sf_dir).filter(~_is_shard("doc_id"))
     return (
         hamming_lookup(shard_fp, base_fp)
