@@ -51,6 +51,10 @@ _BNLJ_ALLOWED = {
     "bloom_semijoin_audit",
     # per-arm 1-row (counts) x (hits) scalar assembly, x4 index families
     "ann_recall_audit",
+    # 1-row event-count build side for the overcount bound (the q11
+    # scalar-threshold pattern; r7 — N entered the plan lazily instead
+    # of an eager driver .count())
+    "events_cms_audit",
 }
 
 
