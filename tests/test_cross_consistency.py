@@ -99,4 +99,8 @@ def test_cms_and_mg_audit_the_same_exact_counts(spark, sf_dir):
     assert both, "audits share no users — test premise broken"
     for u in both:
         assert mg[u].exact_cnt == cms[u].exact_cnt
-        assert mg[u].est <= mg[u].exact_cnt <= cms[u].est
+        # MG underestimates; CMS overestimates — the CMS side's raw est
+        # is no longer an emitted column (r7 hash-check conversion), so
+        # its half of the sandwich is the in-query verdict flag
+        assert mg[u].est <= mg[u].exact_cnt
+        assert cms[u].never_undercounts
