@@ -807,3 +807,186 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# Trigram interpolation weights (Jelinek-Mercer): trigram/bigram/unigram
+# MLEs. Every term is defined for every corpus trigram: its (w2,w3)
+# bigram and w3 unigram necessarily occur.
+_MIX3_TRI, _MIX3_BI, _MIX3_UNI = 0.6, 0.3, 0.1
+
+
+def _doc_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, adjacent-token-triple) counts — the single corpus pass
+    the trigram scorer builds everything from."""
+    docs = table(spark, sf_dir, "documents")
+    c = tokens("text")
+    return (
+        docs.select("doc_id", c.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 2),
+                    F.expr("slice(toks, 2, size(toks) - 2)"),
+                    F.expr("slice(toks, 3, size(toks) - 2)"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+            F.col("p.2").alias("w3"),
+        )
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+
+@query(
+    "doc_trigram_logprob",
+    oracle=f"""
+    WITH ex AS MATERIALIZED (
+      SELECT doc_id, toks FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), tg AS MATERIALIZED (
+      SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+               unnest(toks[2:len(toks)-1]) AS w2,
+               unnest(toks[3:len(toks)]) AS w3
+        FROM ex WHERE len(toks) >= 3
+      ) GROUP BY 1, 2, 3, 4
+    ), bgall AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+        SELECT unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM ex WHERE len(toks) >= 2
+      ) GROUP BY 1, 2
+    ), uni AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(toks) AS tok FROM ex) GROUP BY tok
+    ), t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total FROM uni),
+    tri AS (
+      SELECT w1, w2, w3, CAST(SUM(k) AS BIGINT) AS c123 FROM tg GROUP BY 1, 2, 3
+    ), pre12 AS (
+      SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS n12 FROM tri GROUP BY 1, 2
+    ), pre1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS n1 FROM bgall GROUP BY 1
+    ), model AS (
+      SELECT r.w1, r.w2, r.w3,
+             CAST(round(ln({_MIX3_TRI} * (CAST(r.c123 AS DOUBLE) / p.n12)
+                           + {_MIX3_BI} * (CAST(b.c12 AS DOUBLE) / q.n1)
+                           + {_MIX3_UNI} * (CAST(u.c1 AS DOUBLE)
+                                            / (SELECT total FROM t)))
+                        * {_LP_SCALE}) AS BIGINT) AS lp_q
+      FROM tri r
+      JOIN pre12 p ON r.w1 = p.w1 AND r.w2 = p.w2
+      JOIN bgall b ON r.w2 = b.w1 AND r.w3 = b.w2
+      JOIN pre1 q ON r.w2 = q.w1
+      JOIN uni u ON r.w3 = u.tok
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_trigrams,
+           CAST(SUM(d.k * m.lp_q) AS BIGINT) AS logprob_q,
+           CAST(SUM(d.k * m.lp_q) AS DOUBLE) / SUM(d.k) / {_LP_SCALE}
+             AS avg_logprob
+    FROM tg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2 AND d.w3 = m.w3
+    GROUP BY d.doc_id
+    """,
+)
+def doc_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM quality scoring: per document, the total and mean
+    per-trigram log-probability under a 3-way Jelinek-Mercer
+    interpolated model (0.6·P(w3|w1w2) + 0.3·P(w3|w2) + 0.1·P(w3))
+    trained on the corpus itself — the next rung of the n-gram ladder
+    above :func:`doc_bigram_logprob`, and structurally the KenLM shape
+    CCNet actually deploys (they use 5-grams; every additional order is
+    this same pattern: one more count table, one more prefix table, one
+    more model join).
+
+    Determinism: each conditional uses its PREFIX count (Σ over the
+    next word) so the distribution sums to 1; the interpolated log-prob
+    quantizes to 1e-6 at the MODEL level — one rounding per distinct
+    corpus trigram — making every per-doc reduction an exact integer
+    sum both engines replay bit-for-bit.
+
+    Plan: ONE corpus pass builds per-(doc, trigram) counts; the corpus
+    trigram/bigram/unigram tables and both prefix tables all derive
+    from shared-cached per-doc counts (the bigram table is the SAME
+    session artifact the bigram scorer uses — the ladder shares its
+    lower rungs). Model-build joins key on n-gram prefixes
+    (vocab-sized); the scoring join keys on the trigram and the final
+    agg on doc_id.
+
+    Scale: the model table is |distinct trigrams| slim rows — a shuffle
+    join at 100 TB (AQE decides); per-doc pre-combine caps hot-trigram
+    skew exactly as in the bigram op; everything else is vocab-sized.
+    No UDFs, no driver state beyond one scalar total.
+    """
+    from imdbmapreduce_spark.cache import shared_cache
+    from imdbmapreduce_spark.operators.text import _doc_token_counts
+
+    tg = shared_cache(
+        spark,
+        ("trigram_doc_counts", sf_dir),
+        lambda: _doc_trigram_counts(spark, sf_dir),
+    )
+    dgb = shared_cache(
+        spark,
+        ("bigram_doc_counts", sf_dir),
+        lambda: _doc_bigram_counts(spark, sf_dir),
+    )
+    tri = tg.groupBy("w1", "w2", "w3").agg(F.sum("k").alias("c123"))
+    pre12 = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("n12"))
+    big = dgb.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    pre1 = big.groupBy("w1").agg(F.sum("c12").alias("n1"))
+    uni = (
+        _doc_token_counts(spark, sf_dir).groupBy("tok").agg(F.sum("k").alias("c1"))
+    )
+    total_row = uni.agg(F.sum("c1")).first()[0]
+    if total_row is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_trigrams long, logprob_q long, avg_logprob double"
+        )
+    total = float(total_row)
+    model = (
+        tri.join(pre12, ["w1", "w2"])
+        .join(
+            big.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c12").alias("c23"),
+            ),
+            ["w2", "w3"],
+        )
+        .join(pre1.select(F.col("w1").alias("w2"), F.col("n1").alias("n2")), "w2")
+        .join(uni.select(F.col("tok").alias("w3"), F.col("c1").alias("c3")), "w3")
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(
+                F.log(
+                    F.lit(_MIX3_TRI) * (F.col("c123").cast("double") / F.col("n12"))
+                    + F.lit(_MIX3_BI) * (F.col("c23").cast("double") / F.col("n2"))
+                    + F.lit(_MIX3_UNI) * (F.col("c3").cast("double") / F.lit(total))
+                )
+                * _LP_SCALE
+            )
+            .cast("long")
+            .alias("lp_q"),
+        )
+    )
+    return (
+        tg.join(model, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_trigrams"),
+            F.sum(F.col("k") * F.col("lp_q")).alias("logprob_q"),
+            (
+                F.sum(F.col("k") * F.col("lp_q")).cast("double")
+                / F.sum("k")
+                / F.lit(_LP_SCALE)
+            ).alias("avg_logprob"),
+        )
+    )

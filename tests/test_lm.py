@@ -302,3 +302,55 @@ def test_bpe_persisted_tokenizer_cold_session_roundtrip(
     finally:
         monkeypatch.undo()
         release_shared_caches()
+
+
+def test_doc_trigram_logprob_matches_python_replay(spark, sf_dir):
+    """3-way Jelinek-Mercer trigram model (0.6·c123/n12 + 0.3·c23/n2 +
+    0.1·c3/T), log-prob quantized at the model level, exact integer
+    sums per doc."""
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    tri: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for r in rows:
+        ts = _toks(r.text)
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+        if len(ts) >= 3:
+            per_doc[r.doc_id] = Counter(zip(ts, ts[1:], ts[2:]))
+            tri.update(zip(ts, ts[1:], ts[2:]))
+    total = float(sum(uni.values()))
+    pre12: Counter = Counter()
+    for (w1, w2, _), n in tri.items():
+        pre12[(w1, w2)] += n
+    pre1: Counter = Counter()
+    for (w1, _), n in big.items():
+        pre1[w1] += n
+
+    def q(v: float) -> int:  # Spark round(): half away from zero
+        s = v * _LP_SCALE
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    lp_q = {
+        (w1, w2, w3): q(
+            math.log(
+                0.6 * (n / pre12[(w1, w2)])
+                + 0.3 * (big[(w2, w3)] / pre1[w2])
+                + 0.1 * (uni[w3] / total)
+            )
+        )
+        for (w1, w2, w3), n in tri.items()
+    }
+    got = {
+        r.doc_id: r
+        for r in registry.get("doc_trigram_logprob").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, c in per_doc.items():
+        n_trigrams = sum(c.values())
+        logprob_q = sum(k * lp_q[p] for p, k in c.items())
+        r = got[doc_id]
+        assert (r.n_trigrams, r.logprob_q) == (n_trigrams, logprob_q), doc_id
+        assert r.avg_logprob == logprob_q / n_trigrams / _LP_SCALE
+        assert r.avg_logprob < 0
