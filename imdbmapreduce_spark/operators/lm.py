@@ -990,3 +990,130 @@ def doc_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# Kneser-Ney absolute-discount parameter (the standard fixed setting;
+# modified-KN's count-bucketed discounts are a constant-table variant
+# of this same plan).
+_KN_D = 0.75
+
+
+@query(
+    "doc_kn_bigram_logprob",
+    oracle=f"""
+    WITH ex AS MATERIALIZED (
+      SELECT doc_id, toks FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), bg AS MATERIALIZED (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM ex WHERE len(toks) >= 2
+      ) GROUP BY 1, 2, 3
+    ), big AS MATERIALIZED (
+      SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+    ), pre AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS r1
+      FROM big GROUP BY 1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS l2 FROM big GROUP BY 1
+    ), types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM big),
+    model AS (
+      SELECT b.w1, b.w2,
+             CAST(round(ln(
+               (CAST(b.c12 AS DOUBLE) - {_KN_D}) / p.n1
+               + ({_KN_D} * p.r1 / p.n1)
+                 * (CAST(c.l2 AS DOUBLE) / (SELECT n_types FROM types))
+             ) * {_LP_SCALE}) AS BIGINT) AS lp_q
+      FROM big b
+      JOIN pre p ON b.w1 = p.w1
+      JOIN cont c ON b.w2 = c.w2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.k * m.lp_q) AS BIGINT) AS logprob_q,
+           CAST(SUM(d.k * m.lp_q) AS DOUBLE) / SUM(d.k) / {_LP_SCALE}
+             AS avg_logprob
+    FROM bg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+    GROUP BY d.doc_id
+    """,
+)
+def doc_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram scoring — the smoothing KenLM (and
+    thus the CCNet perplexity filter) actually uses, beside the
+    Jelinek-Mercer scorers:
+
+        P_KN(w2|w1) = (c12 - D)/n1 + (D * N1+(w1 .)/n1) * P_cont(w2)
+        P_cont(w2)  = N1+(. w2) / N1+(. .)
+
+    with D = 0.75 absolute discount. The continuation probability counts
+    DISTINCT LEFT CONTEXTS (how many different words precede w2), not
+    raw frequency — the insight that makes KN the strongest n-gram
+    smoother: "Francisco" is frequent but only ever follows "San", so
+    its continuation mass is tiny. Every factor here is an exact count
+    over the bigram-TYPE table: n1 = Σ c(w1,.), N1+(w1 .) = distinct
+    continuations of w1, N1+(. w2) = distinct contexts of w2, N1+(. .)
+    = distinct bigram types. Defined for every corpus bigram
+    (c12 >= 1 > D, all counts >= 1); quantized to 1e-6 at the model
+    level, so per-doc reductions are exact integer sums.
+
+    Plan: the SAME session-cached per-(doc, bigram) counts the JM
+    scorers share; the type table and its three marginals are
+    vocab-sized aggregations; one scalar (type count) enters via a
+    driver round-trip. Scoring join on the pair, final agg on doc_id —
+    the KenLM deployment shape: model table built once, joined
+    everywhere.
+
+    Scale: identical to :func:`doc_bigram_logprob` — the model table is
+    |distinct bigrams| slim rows, marginals vocab-sized, per-doc
+    pre-combine caps skew. No UDFs.
+    """
+    from imdbmapreduce_spark.cache import shared_cache
+
+    dg = shared_cache(
+        spark,
+        ("bigram_doc_counts", sf_dir),
+        lambda: _doc_bigram_counts(spark, sf_dir),
+    )
+    big = dg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    pre = big.groupBy("w1").agg(
+        F.sum("c12").alias("n1"), F.count(F.lit(1)).alias("r1")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("l2"))
+    types_row = big.agg(F.count(F.lit(1))).first()[0]
+    if not types_row:
+        return spark.createDataFrame(
+            [], "doc_id long, n_bigrams long, logprob_q long, avg_logprob double"
+        )
+    n_types = float(types_row)
+    model = (
+        big.join(pre, "w1")
+        .join(cont, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") - F.lit(_KN_D)) / F.col("n1")
+                    + (F.lit(_KN_D) * F.col("r1") / F.col("n1"))
+                    * (F.col("l2").cast("double") / F.lit(n_types))
+                )
+                * _LP_SCALE
+            )
+            .cast("long")
+            .alias("lp_q"),
+        )
+    )
+    return (
+        dg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("lp_q")).alias("logprob_q"),
+            (
+                F.sum(F.col("k") * F.col("lp_q")).cast("double")
+                / F.sum("k")
+                / F.lit(_LP_SCALE)
+            ).alias("avg_logprob"),
+        )
+    )

@@ -354,3 +354,51 @@ def test_doc_trigram_logprob_matches_python_replay(spark, sf_dir):
         assert (r.n_trigrams, r.logprob_q) == (n_trigrams, logprob_q), doc_id
         assert r.avg_logprob == logprob_q / n_trigrams / _LP_SCALE
         assert r.avg_logprob < 0
+
+
+def test_doc_kn_bigram_logprob_matches_python_replay(spark, sf_dir):
+    """Kneser-Ney bigram model: absolute discount D=0.75, continuation
+    probability over distinct left contexts, quantized at the model
+    level, exact integer sums per doc."""
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    big: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for r in rows:
+        ts = _toks(r.text)
+        if len(ts) >= 2:
+            per_doc[r.doc_id] = Counter(zip(ts, ts[1:]))
+            big.update(zip(ts, ts[1:]))
+    n1: Counter = Counter()
+    r1: Counter = Counter()
+    l2: Counter = Counter()
+    for (w1, w2), n in big.items():
+        n1[w1] += n
+        r1[w1] += 1
+        l2[w2] += 1
+    n_types = float(len(big))
+
+    def q(v: float) -> int:
+        s = v * _LP_SCALE
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    D = 0.75
+    lp_q = {
+        (w1, w2): q(
+            math.log(
+                (n - D) / n1[w1] + (D * r1[w1] / n1[w1]) * (l2[w2] / n_types)
+            )
+        )
+        for (w1, w2), n in big.items()
+    }
+    got = {
+        r.doc_id: r
+        for r in registry.get("doc_kn_bigram_logprob").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, c in per_doc.items():
+        n_bigrams = sum(c.values())
+        logprob_q = sum(k * lp_q[p] for p, k in c.items())
+        r = got[doc_id]
+        assert (r.n_bigrams, r.logprob_q) == (n_bigrams, logprob_q), doc_id
+        assert r.avg_logprob == logprob_q / n_bigrams / _LP_SCALE
+        assert r.avg_logprob < 0
