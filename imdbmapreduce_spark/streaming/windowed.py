@@ -716,16 +716,21 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     State across batches = the index manifest version: it is captured
     before the drain and re-checked after — a re-persist mid-drain
     (mixed index versions across micro-batches) fails loudly instead of
-    emitting pairs half against the old index. Match accumulation is
-    keyed per (new_doc, matched_doc), so a crash-replayed micro-batch
-    is idempotent — the checkpoint + idempotent-merge contract every
-    foreachBatch sink here follows.
+    emitting pairs half against the old index. Each micro-batch's
+    matches are written executor-side to an ``epoch=<id>`` parquet
+    partition with overwrite mode, so a crash-replayed micro-batch
+    rewrites its own partition instead of double-emitting — the
+    checkpoint + idempotent-sink contract every foreachBatch sink here
+    follows. Nothing is collected to the driver: a pathological shard
+    (today's crawl heavily duplicating the corpus) scales the SINK, not
+    driver memory, and the returned DataFrame is a scan of that sink.
 
     Determinism: lookups touch only (micro-batch docs) x (base index),
     never shard-vs-shard, so the union over any micro-batch partitioning
     equals the batch query exactly.
     """
     import os
+    import shutil
 
     from imdbmapreduce_spark import indexstore
     from imdbmapreduce_spark.operators.dedup import (
@@ -754,16 +759,22 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_documents_jsonl(shard.repartition(4), path)
 
     manifest_before = indexstore.group_manifest(sf_dir, "text", _text_params())
-    rows: list[tuple] = []
-    seen: set[tuple] = set()
+    # Sink dir is app-scoped like the shard path; wipe leftovers from a
+    # prior invocation in the same session so stale epochs never union in.
+    sink = os.path.join(os.path.dirname(path), "matches")
+    shutil.rmtree(sink, ignore_errors=True)
+    match_schema = "new_doc long, matched_doc long, jaccard double"
 
-    def on_batch(mb: DataFrame, _epoch: int) -> None:
+    def on_batch(mb: DataFrame, epoch: int) -> None:
         docs = clean_documents(mb).select("doc_id", "text")
-        for r in shard_neardup_lookup(spark, sf_dir, docs).collect():
-            key = (r["new_doc"], r["matched_doc"])
-            if key not in seen:  # replayed micro-batch -> idempotent
-                seen.add(key)
-                rows.append((key[0], key[1], r["jaccard"]))
+        matches = shard_neardup_lookup(spark, sf_dir, docs).select(
+            "new_doc", "matched_doc", "jaccard"
+        )
+        # Overwriting this epoch's own partition makes a crash-replayed
+        # micro-batch idempotent without any driver-side state.
+        matches.write.mode("overwrite").parquet(
+            os.path.join(sink, f"epoch={int(epoch)}")
+        )
 
     _drain_foreach(
         stream_documents_jsonl(spark, path, max_files_per_trigger=1), on_batch
@@ -773,6 +784,14 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text index re-persisted mid-drain: micro-batches served mixed "
             "index versions; re-run the gate against the committed index"
         )
-    return spark.createDataFrame(
-        rows, "new_doc long, matched_doc long, jaccard double"
+    if not os.path.isdir(sink):  # zero micro-batches fired
+        return spark.createDataFrame([], match_schema)
+    # Each doc lives in exactly one micro-batch file and lookups never
+    # pair shard-vs-shard, so pairs are unique across epochs; the
+    # dropDuplicates is the same defensive (new_doc, matched_doc) key
+    # the old driver-side `seen` set modeled (jaccard is functionally
+    # determined by the pair, so which duplicate survives is immaterial).
+    return (
+        spark.read.schema(match_schema).parquet(sink)
+        .dropDuplicates(["new_doc", "matched_doc"])
     )

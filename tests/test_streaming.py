@@ -594,3 +594,19 @@ def test_streaming_neardup_gate_equals_batch(spark, sf_dir):
     }
     assert got == want
     assert want, "test premise: the shard has at least one near-dup match"
+
+
+def test_streaming_neardup_gate_has_no_driver_collect():
+    """The arrival loop must never funnel matches through the driver: a
+    pathological shard (today's crawl heavily duplicating the corpus)
+    should scale the sink, not driver memory. Pin that the gate's source
+    contains no collect()/toPandas()/toLocalIterator — matches flow
+    executor-side into the epoch-partitioned parquet sink."""
+    import inspect
+
+    from imdbmapreduce_spark.registry import get
+
+    src = inspect.getsource(get("streaming_neardup_gate").fn)
+    for banned in (".collect(", ".toPandas(", ".toLocalIterator("):
+        assert banned not in src, f"driver-side {banned}) in the gate hot path"
+    assert 'mode("overwrite")' in src and "epoch=" in src
