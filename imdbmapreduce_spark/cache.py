@@ -52,6 +52,13 @@ _CACHE: dict[tuple, DataFrame] = {}
 _LOCK = threading.Lock()
 _KEY_LOCKS: dict[tuple, threading.RLock] = {}
 
+# Bumped by release_shared_caches under _LOCK. A builder captures the
+# generation before building and re-checks it before inserting: if a
+# release ran mid-build, inserting would create an entry that release
+# never saw (and so never unpersists — a storage leak), so the builder
+# unpersists its frame and returns it uncached instead.
+_GENERATION = 0
+
 # Extra teardown callbacks run by release_shared_caches — lets modules
 # with their own session-scoped memos (e.g. the BPE trained-tokenizer
 # memo in operators.lm) honor the same releasable-cache contract
@@ -83,6 +90,7 @@ def shared_cache(
     full_key = (spark.sparkContext.applicationId, *key)
     with _LOCK:
         df = _CACHE.get(full_key)
+        gen = _GENERATION
         if df is None:
             klock = _KEY_LOCKS.setdefault(full_key, threading.RLock())
     if df is None:
@@ -92,10 +100,23 @@ def shared_cache(
             if df is None:
                 loads_before = indexstore.load_count
                 df = build().cache()
+                stale = False
                 with _LOCK:
-                    if indexstore.load_count > loads_before:
-                        _INDEX_BACKED.add(full_key)
-                    _CACHE[full_key] = df
+                    if _GENERATION != gen:
+                        # release_shared_caches ran mid-build: that
+                        # release could not see this entry, so caching
+                        # it now would leak its storage forever.
+                        stale = True
+                    else:
+                        if indexstore.load_count > loads_before:
+                            _INDEX_BACKED.add(full_key)
+                        _CACHE[full_key] = df
+                if stale:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass  # session already stopped
+                    return df  # correct, just uncached for this caller
     with _LOCK:
         if full_key in _INDEX_BACKED:
             index_hit_count += 1
@@ -104,7 +125,9 @@ def shared_cache(
 
 def release_shared_caches() -> None:
     """Unpersist every shared artifact and forget it (idempotent)."""
+    global _GENERATION
     with _LOCK:
+        _GENERATION += 1  # invalidate builds in flight (see shared_cache)
         for df in _CACHE.values():
             try:
                 df.unpersist()

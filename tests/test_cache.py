@@ -50,6 +50,31 @@ def test_shared_cache_memoizes_and_releases(spark):
     release_shared_caches()
 
 
+def test_release_during_build_does_not_leak(spark):
+    """A release that fires while a builder is mid-build() must not leave
+    the builder's entry cached-but-unreleasable: the builder re-checks the
+    generation before inserting, unpersists, and hands back the frame
+    uncached (deterministic simulation: build() itself runs the release)."""
+    from imdbmapreduce_spark import cache as cache_mod
+
+    def build():
+        df = spark.range(7)
+        release_shared_caches()  # a concurrent sweep owner evicts mid-build
+        return df
+
+    key = ("race", "release-mid-build")
+    df = shared_cache(spark, key, build)
+    assert df.count() == 7, "result stays correct, just uncached"
+    full_key = (spark.sparkContext.applicationId, *key)
+    assert full_key not in cache_mod._CACHE, "stale entry must not register"
+    assert not df.storageLevel.useMemory, "stale entry must be unpersisted"
+
+    rebuilt = shared_cache(spark, key, lambda: spark.range(7))
+    assert full_key in cache_mod._CACHE, "next caller caches cleanly"
+    assert rebuilt.count() == 7
+    release_shared_caches()
+
+
 def test_sweep_does_not_accumulate_storage(spark, sf_dir):
     """Running the near-dup family twice must not double cached storage:
     the round-3 audit flagged per-query .cache() calls with no release;
