@@ -119,8 +119,11 @@ def _hash_file_into(h, path: str) -> None:
         with open(path, "rb") as f:
             for chunk in iter(lambda: f.read(1 << 20), b""):
                 h.update(chunk)
-    except OSError:
-        h.update(b"<unreadable>")  # missing input -> distinct stamp -> stale
+    except OSError as e:
+        # Missing input -> stale stamp. Path + exception class keep two
+        # DIFFERENT broken states distinguishable (a bare constant would
+        # make every unreadable file stamp identically).
+        h.update(f"<unreadable:{path}:{type(e).__name__}>".encode())
 
 
 @_cached
