@@ -528,6 +528,13 @@ def shard_neardup_lookup(
     matched_doc always a base-corpus doc. Shared by the batch
     :func:`neardup_incremental_ingest` and its streaming micro-batch
     twin (streaming/windowed.py) — one lookup definition, no drift.
+
+    Contract: the base side is the persisted index minus the standing
+    shard residue (``_SHARD_MOD``/``_SHARD_RESIDUE``), so ``shard_docs``
+    whose ids fall OUTSIDE that residue may still exist in the base; the
+    candidate join excludes new_doc == matched_doc so a re-delivered
+    known document can never emit a spurious jaccard-1.0 SELF-match —
+    its true near-dups (other base docs) still surface normally.
     """
     # shard-only shingles + signatures (the only fresh computation)
     sh_rows = _shingle_rows_of(shard_docs).select(
@@ -564,7 +571,10 @@ def shard_neardup_lookup(
         s.join(
             b,
             (F.col("s.band") == F.col("b.band"))
-            & (F.col("s.bucket") == F.col("b.bucket")),
+            & (F.col("s.bucket") == F.col("b.bucket"))
+            # a re-delivered doc whose id is already in the base index
+            # must not self-match (see the contract note above)
+            & (F.col("s.doc_id") != F.col("b.doc_id")),
         )
         .select(
             F.col("s.doc_id").alias("new_doc"),
@@ -892,7 +902,15 @@ def hamming_lookup(
             "completeness guarantee (distance <= 3)"
         )
     p, b = probe_members.alias("p"), base_members.alias("b")
-    same = p.join(b, F.col("p.fp") == F.col("b.fp")).select(
+    # doc_id inequality for the same reason as shard_neardup_lookup's
+    # candidate guard: a probe doc that still exists in the base index
+    # (caller passed ids outside the standing shard residue) must not
+    # emit a hamming-0 SELF-match.
+    same = p.join(
+        b,
+        (F.col("p.fp") == F.col("b.fp"))
+        & (F.col("p.doc_id") != F.col("b.doc_id")),
+    ).select(
         F.col("p.doc_id").alias("probe_doc"),
         F.col("b.doc_id").alias("base_doc"),
         F.lit(0).cast("int").alias("hamming"),
@@ -1380,7 +1398,9 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rn")
                 <= F.col("n_sh") - F.expr(f"({_PFX_TAU_NUM}*n_sh + {_PFX_TAU_DEN - 1}) div {_PFX_TAU_DEN}") + 1
             )
-            .select("doc_id", "shingle")
+            # n_sh + rn ride along for PPJoin's length + positional
+            # filters at candidate time (both already computed here)
+            .select("doc_id", "shingle", "n_sh", "rn")
         )
 
     # The df-ordered prefix table is the derivation half of the join
@@ -1390,15 +1410,42 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edit can never serve a stale prefix.
     pref = shared_cache(
         spark,
-        ("jaccard_prefix", sf_dir, 3, _PFX_TAU_NUM, _PFX_TAU_DEN),
+        ("jaccard_prefix_pp", sf_dir, 3, _PFX_TAU_NUM, _PFX_TAU_DEN),
         build_prefix,
+    )
+    # PPJoin tightening (Xiao et al. 2008) — two exact-integer predicates
+    # on columns the prefix table already carries, applied IN the
+    # candidate join so pruned pairs never reach the verify join:
+    # - length filter: J >= tau forces tau <= |smaller|/|larger|
+    #   (overlap <= min size, union >= max size), i.e.
+    #   DEN*least(n_a,n_b) >= NUM*greatest(n_a,n_b);
+    # - positional filter: at the FIRST common shingle in the global
+    #   (df, shingle) order — which the prefix theorem guarantees lies in
+    #   both prefixes — every other common shingle ranks strictly later
+    #   in BOTH docs' sorted sets, so the true overlap o is bounded by
+    #   ub = 1 + least(n_a - rn_a, n_b - rn_b); J >= tau needs
+    #   (NUM+DEN)*o >= NUM*(n_a+n_b), so any qualifying pair's
+    #   first-common-shingle occurrence satisfies the predicate and the
+    #   per-occurrence filter + distinct() loses no pair. Both bounds
+    #   prune near-threshold non-pairs that the plain prefix filter
+    #   admits in near-linear volume as the corpus grows (SCALE.md r7
+    #   named this query the suite's worst scaler).
+    _min_n = F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+    _max_n = F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    _ub = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
     )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (_PFX_TAU_DEN * _min_n >= _PFX_TAU_NUM * _max_n)
+            & (
+                (_PFX_TAU_NUM + _PFX_TAU_DEN) * _ub
+                >= _PFX_TAU_NUM * (F.col("a.n_sh") + F.col("b.n_sh"))
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -1429,6 +1476,192 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
         )
+    )
+
+
+# --- near-dup gate recall scoreboard ---------------------------------------
+
+
+def _hamming_truth_chunk16(members: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Independent exact-Hamming ground truth for the recall audit: 4
+    disjoint 16-bit chunks of the 64-bit fingerprint; a pair within
+    Hamming distance 3 leaves >= 1 chunk intact (pigeonhole over 4
+    chunks), so joining on equal (chunk, value) is COMPLETE for d <= 3.
+    Same theorem as :func:`hamming_pairs`' 20-table 3-of-6 scheme but
+    over a different decomposition sharing none of its constants
+    (``_simhash_tables`` / ``_BLOCK_WIDTHS``), so a bug there cannot
+    also hide in the truth side. Returns ordered (doc_a, doc_b).
+    """
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y, (F.col("x.fp") == F.col("y.fp")) & (F.col("x.doc_id") < F.col("y.doc_id"))
+    ).select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    dfp = members.select("fp").distinct()
+    chunks = dfp.select(
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("tbl"),
+                        F.shiftright("fp", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("long")
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("fp", F.col("c.tbl").alias("tbl"), F.col("c.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    fp_pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .select(
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["fp_a", "fp_b"])
+    )
+    cross = (
+        fp_pairs.join(
+            members.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("id_a")),
+            "fp_a",
+        )
+        .join(
+            members.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("id_b")),
+            "fp_b",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+    )
+    return intra.unionByName(cross)
+
+
+# Recall floors the scoreboard asserts per family (and pytest pins —
+# tests/test_dedup.py::test_neardup_recall_audit_floors). The SimHash
+# arms audit against the pigeonhole-COMPLETE chunk16 truth, so any
+# recall below 1.0 is an implementation bug, not tuning drift; the
+# MinHash arms are probabilistic (16 bands x 4 rows: a J=0.6 pair
+# misses all bands with p ~= 0.11), so their floor carries margin
+# below the currently-measured 1.0.
+_NEARDUP_RECALL_FLOORS = {
+    "minhash_lsh": 0.9,
+    "minhash_incremental": 0.9,
+    "simhash_hamming": 1.0,
+    "simhash_incremental": 1.0,
+}
+
+
+@query("neardup_recall_audit", bench=False)  # rows-only (xxhash band
+# families on every gate side); bench=False: the audit re-executes four
+# queries the sweep already times — keeping it in would double-count
+def neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall scoreboard for the band-family near-dup gates — the
+    text-dedup twin of :func:`~imdbmapreduce_spark.operators.similarity.
+    ann_recall_audit`: every gate re-scored against an EXACT truth each
+    round, so band-family drift lands in the driver row instead of only
+    in frozen pytest pins.
+
+    One row per family: MinHash LSH (batch + incremental arrival gate)
+    vs the cap-free exact-Jaccard>=0.6 pair set from
+    :func:`jaccard_prefix_join` (the in-Spark equivalent of the DuckDB
+    ``_DUCK_JAC_CTES`` truth), and SimHash (batch + incremental) vs an
+    INDEPENDENT pigeonhole-complete Hamming<=3 truth
+    (:func:`_hamming_truth_chunk16` — different block decomposition, no
+    shared constants). Incremental arms restrict the truth to pairs with
+    exactly one endpoint in the standing shard (their reachable set).
+    Columns: family, n_true, n_gate, n_hits, recall, floor, floor_ok —
+    floor_ok is deterministic (fixed hashes + fixed data), so a band
+    regression flips a committed boolean.
+
+    Scale: each arm is its own query's cost (all index-served after
+    persist); truth/gate sets are near-dup-volume-sized, checkpointed
+    once so the 12-branch tagged union never replays their lineage.
+    """
+    jac_truth = stable_checkpoint(
+        jaccard_prefix_join(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    ham_truth = stable_checkpoint(
+        _hamming_truth_chunk16(_simhash_fp_cached(spark, sf_dir))
+    )
+    one_end_shard = _is_shard("doc_a") != _is_shard("doc_b")  # boolean XOR
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("new_doc", "matched_doc").alias("doc_a"),
+            F.greatest("new_doc", "matched_doc").alias("doc_b"),
+        )
+
+    arms = [
+        (
+            "minhash_lsh",
+            minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+            jac_truth,
+        ),
+        (
+            "minhash_incremental",
+            norm(neardup_incremental_ingest(spark, sf_dir)),
+            jac_truth.filter(one_end_shard),
+        ),
+        (
+            "simhash_hamming",
+            simhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+            ham_truth,
+        ),
+        (
+            "simhash_incremental",
+            norm(simhash_incremental_ingest(spark, sf_dir)),
+            ham_truth.filter(one_end_shard),
+        ),
+    ]
+    parts = []
+    for name, gate, truth in arms:
+        gate = stable_checkpoint(gate.dropDuplicates(["doc_a", "doc_b"]))
+        hits = truth.join(gate, ["doc_a", "doc_b"]).select("doc_a", "doc_b")
+        for kind, df in (("n_true", truth), ("n_gate", gate), ("n_hits", hits)):
+            parts.append(
+                df.select(F.lit(name).alias("family"), F.lit(kind).alias("kind"))
+            )
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    counts = tagged.groupBy("family").agg(
+        *[
+            F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
+            .cast("long")
+            .alias(k)
+            for k in ("n_true", "n_gate", "n_hits")
+        ]
+    )
+    floors = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(_NEARDUP_RECALL_FLOORS.items())],
+        "family string, floor double",
+    )
+    recall = F.col("n_hits").cast("double") / F.greatest(F.col("n_true"), F.lit(1))
+    return (
+        counts.join(F.broadcast(floors), "family")
+        .select(
+            "family",
+            "n_true",
+            "n_gate",
+            "n_hits",
+            recall.alias("recall"),
+            "floor",
+            ((F.col("n_true") == 0) | (recall >= F.col("floor"))).alias("floor_ok"),
+        )
+        .orderBy("family")
     )
 
 

@@ -55,6 +55,27 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs: {sorted(missed)[:5]}"
 
 
+def test_neardup_recall_audit_floors(spark, sf_dir):
+    """The band-gate recall scoreboard: every family's floor holds, every
+    truth set is non-trivial (planted near-dups reach every arm, incl. the
+    shard-restricted incremental ones), and the SimHash arms — audited
+    against the pigeonhole-COMPLETE chunk16 truth — are exactly 1.0 (any
+    miss there is an implementation bug, not tuning drift)."""
+    from imdbmapreduce_spark.operators.dedup import _NEARDUP_RECALL_FLOORS
+
+    rows = {
+        r.family: r
+        for r in registry.get("neardup_recall_audit").fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(_NEARDUP_RECALL_FLOORS)
+    for fam, r in rows.items():
+        assert r.n_true > 0, f"{fam}: empty truth set — audit is vacuous"
+        assert r.floor_ok, (fam, r)
+        assert r.n_hits <= min(r.n_true, r.n_gate)
+    assert rows["simhash_hamming"].recall == 1.0
+    assert rows["simhash_incremental"].recall == 1.0
+
+
 def test_simhash_banding_is_complete(spark, sf_dir):
     """Banded candidate join must find EVERY pair at Hamming distance <= 3
     (4 intact-band pigeonhole) — verify against brute force over all
