@@ -922,7 +922,7 @@ def _top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-{top} users by event count — the oracle-checked twin the
+    """Exact top-64 (_HH_TOP) users by event count — the oracle-checked twin the
     Misra-Gries audit (events_heavy_hitters_sketch) references: its
     "exact_cnt" column is THIS aggregation (shared subplan), so the
     sketch's self-audit compares against an externally hash-verified
@@ -1016,7 +1016,7 @@ def events_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch family (HLL distinct / KLL quantiles / MG undercounting
     frequent items / CMS overcounting point queries). The CMS counter
     table is built from events.user_id in pure codegen (no Arrow lane,
-    operators/sketches.py) and point-estimates the top-{top} exact heavy
+    operators/sketches.py) and point-estimates the top-64 (_HH_TOP) exact heavy
     hitters.
 
     HASH-CHECKED since round 7 (the approx_quantile_error /

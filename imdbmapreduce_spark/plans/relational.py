@@ -943,7 +943,7 @@ def approx_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only. Emitted: the exact median (quantized — repo rule: never
     hash a raw interpolated double) and the boolean `sketch_within_bound`
     verdict of the sketch's DETERMINISTIC contract (GK with accuracy
-    {acc} bounds rank error at 1/{acc} by construction, not with
+    _AQ_ACC=10000 bounds rank error at 1/10000 by construction, not with
     probability). The raw sketch estimate is partition-order-dependent
     and engine-specific, so it cannot be a hashed column — but whether
     it HONORS ITS CONTRACT is deterministic, and that is the claim the
