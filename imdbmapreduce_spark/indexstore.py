@@ -53,7 +53,14 @@ GROUPS = {"vector": "embeddings.parquet", "text": "documents.parquet"}
 # InMemoryRelation. A counter, not a log: zero growth.
 load_count = 0
 # the vector group's artifact set (fixed — persist_group checks it)
-INDEX_ARTIFACTS = ("ivf_codebook", "ivf_lists", "pq_codebook", "pq_codes")
+INDEX_ARTIFACTS = (
+    "ivf_codebook",
+    "ivf_lists",
+    "pq_codebook",
+    "pq_codes",
+    "dedup_codebook",
+    "dedup_cells",
+)
 _MANIFEST = "_INDEX_MANIFEST.json"
 
 

@@ -115,7 +115,7 @@ WHERE rank <= {_TOP_K}
 
 @query("knn_bruteforce", oracle=_KNN_ORACLE)
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-{k}: each probe vector vs the whole corpus.
+    """Exact cosine top-5 (_TOP_K): each probe vector vs the whole corpus.
 
     Plan: explode probe components (tiny — broadcast), explode corpus
     components, equi-join on position, one hash-agg keyed (q_id, vec_id)
@@ -280,8 +280,8 @@ def _mmr_oracle_sql(k: int = _MMR_K) -> str:
 @query("mmr_diversified_topk", oracle=_mmr_oracle_sql())
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking: for each probe, take the
-    top-{pool} relevance candidates (exact cosine, the knn stage) and
-    greedily select {k} of them maximizing ``0.7·rel − 0.3·max_sim`` to
+    top-20 (_MMR_POOL) relevance candidates (exact cosine, the knn stage) and
+    greedily select 5 (_MMR_K) of them maximizing ``0.7·rel − 0.3·max_sim`` to
     the already-selected set — the standard diversification step a
     RAG/retrieval pipeline runs so the context window isn't five copies
     of the same document. Tie-break on vec_id; scores are doubles over
@@ -293,7 +293,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe (a self-join of pool-sized candidate lists on position —
     never corpus×corpus); the greedy loop runs per probe in ONE
     Arrow-cogrouped pandas lane (`FlatMapCoGroupsInPandas`), each group
-    {pool} relevance rows + {pool}² similarity rows — constant work,
+    _MMR_POOL relevance rows + _MMR_POOL² similarity rows — constant work,
     distributed across probes. The oracle unrolls the greedy recurrence
     one CTE pair per selection step.
 
@@ -595,15 +595,15 @@ def _exact_rescore_topk(ex: DataFrame, cand: DataFrame) -> DataFrame:
 
 @query("ann_lsh_topk")  # no SQL oracle: hash-family specifics; see tests
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-{k}: score only LSH-bucket-colliding candidates.
+    """Approximate top-5 (_TOP_K): score only LSH-bucket-colliding candidates.
 
-    Pipeline: quantize -> {tables} sign-LSH codes per vector -> probe/corpus
+    Pipeline: quantize -> 16 (_LSH_TABLES) sign-LSH codes per vector -> probe/corpus
     bucket equi-join on (tbl, code) -> distinct candidate pairs -> exact
     integer rescore of candidates only -> per-probe top-k.
 
     Scale: replaces brute-force's |probes| x |corpus| scored pairs with
     only colliding ones (collision prob (1/2)^bits per table for random
-    pairs). The bucket join keys on (tbl, code) — {tables} x 2^bits
+    pairs). The bucket join keys on (tbl, code) — 16 (_LSH_TABLES) x 2^bits
     distinct keys; a hot bucket (dense cluster) is the skew case AQE
     splits. Rescoring joins components back per candidate, so exactness
     of the final cosine is preserved; only recall is approximate.
@@ -654,16 +654,18 @@ def _cell_assignment(target: DataFrame, cents: DataFrame) -> DataFrame:
     return aff.select("vec_id", "cell", F.row_number().over(w).alias("cr"))
 
 
-def _ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coarse IVF codebook: hash-sample init + Lloyd rounds (shared by
-    the standalone IVF plan and the IVFPQ composition)."""
-    ex = _shared_components(spark, sf_dir)
-    corpus = ex.filter(F.col("vec_id") >= _N_PROBES)
+def _lloyd_codebook(target: DataFrame, n_cells: int) -> DataFrame:
+    """Coarse codebook over a component table ``target`` (vec_id, pos, v):
+    hash-sampled init (deterministic, no training job) + Lloyd rounds,
+    integer-rounded centroids so assignment dot products stay exact
+    int64. Shared by the search IVF codebook (fixed {_IVF_CELLS} cells —
+    its nprobe/C recall ratio is test-pinned) and the SemDeDup layout
+    (adaptive C, :func:`_dedup_cell_count`)."""
     cent_ids = (
-        corpus.select("vec_id")
+        target.select("vec_id")
         .distinct()
         .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(_IVF_CELLS)
+        .limit(n_cells)
         .select(
             "vec_id",
             F.row_number()
@@ -671,13 +673,13 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cell"),
         )
     )
-    cents = ex.join(F.broadcast(cent_ids), "vec_id").select(
+    cents = target.join(F.broadcast(cent_ids), "vec_id").select(
         "cell", "pos", F.col("v").alias("cv")
     )
     for _ in range(_IVF_LLOYD_ROUNDS):
-        assigned = _cell_assignment(corpus, cents).filter(F.col("cr") == 1)
+        assigned = _cell_assignment(target, cents).filter(F.col("cr") == 1)
         cents = (
-            corpus.join(assigned.select("vec_id", "cell"), "vec_id")
+            target.join(assigned.select("vec_id", "cell"), "vec_id")
             .groupBy("cell", "pos")
             .agg(
                 F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
@@ -686,6 +688,31 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return cents
+
+
+def _ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse IVF codebook: hash-sample init + Lloyd rounds (shared by
+    the standalone IVF plan and the IVFPQ composition)."""
+    ex = _shared_components(spark, sf_dir)
+    return _lloyd_codebook(ex.filter(F.col("vec_id") >= _N_PROBES), _IVF_CELLS)
+
+
+def _dedup_cell_count(n: int) -> int:
+    """Cell count for the SemDeDup layout: C = max({_IVF_CELLS}, floor(sqrt(n))).
+
+    sqrt(n) balances the two cost terms that both depend on C — the
+    assignment pass is O(n*d*C) and the in-cell gram work is
+    Sigma|cell|^2 ~= n^2/C with balanced cells — at O(n^1.5 * d) each,
+    where a FIXED C leaves the gram term quadratic (SCALE.md's round-7
+    table measured exactly that: Sigma|cell|^2 growth at C=16 while n
+    grew 100x). At 1000-executor scale the same rule holds; past ~1e9
+    vectors a two-level (coarse-then-sub-cell) assignment drops the
+    assignment term to O(n*d*sqrt(C)) — the documented upgrade, not
+    needed at any tested sf.
+    """
+    import math
+
+    return max(_IVF_CELLS, math.isqrt(max(n, 0)))
 
 
 def _vector_params() -> dict:
@@ -700,6 +727,10 @@ def _vector_params() -> dict:
         "ivf_lloyd_rounds": _IVF_LLOYD_ROUNDS,
         "pq_m": _PQ_M,
         "pq_k": _PQ_K,
+        # adaptive-C rule for the dedup cell layout (the resolved count
+        # is data-derived; the corpus source stamp already invalidates
+        # the artifacts when the data changes)
+        "dedup_cell_rule": "isqrt_v1",
     }
 
 
@@ -744,6 +775,51 @@ def _ivf_lists_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_codebook_cached(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
+    """Adaptive-C codebook for the SemDeDup layout, built over ALL
+    vectors (dedup has no probe/corpus split). ``n_cells`` pins a fixed
+    C for tests; the default resolves :func:`_dedup_cell_count` from the
+    corpus count. The fixed-C path is session-cached only (never
+    persisted) so a test pin can't poison the on-disk index."""
+    ex = _shared_components(spark, sf_dir)
+    if n_cells is not None:
+        return shared_cache(
+            spark,
+            ("dedup_codebook_fixed", sf_dir, n_cells),
+            lambda: _lloyd_codebook(ex, n_cells),
+        )
+    return _vector_artifact(
+        spark,
+        sf_dir,
+        "dedup_codebook",
+        lambda: _lloyd_codebook(
+            ex, _dedup_cell_count(table(spark, sf_dir, "embeddings").count())
+        ),
+    )
+
+
+def _dedup_cells_cached(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
+    """(vec_id, cell) for EVERY vector under the adaptive dedup codebook
+    — the persisted cell layout :func:`neardup_embedding_cells` grams
+    within."""
+    ex = _shared_components(spark, sf_dir)
+    cents = _dedup_codebook_cached(spark, sf_dir, n_cells)
+    build = (
+        lambda: _cell_assignment(ex, cents)
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "cell")
+    )
+    if n_cells is not None:
+        return shared_cache(
+            spark, ("dedup_cells_fixed", sf_dir, n_cells), build
+        )
+    return _vector_artifact(spark, sf_dir, "dedup_cells", build)
+
+
 def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _vector_artifact(
         spark, sf_dir, "pq_codebook", lambda: _pq_codebook(spark, sf_dir)
@@ -762,17 +838,21 @@ def _pq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_vector_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All four index artifacts (cached; built or loaded as available)."""
+    """All six index artifacts (cached; built or loaded as available):
+    the search-side IVF/PQ structures plus the adaptive-C SemDeDup cell
+    layout."""
     return {
         "ivf_codebook": _ivf_codebook_cached(spark, sf_dir),
         "ivf_lists": _ivf_lists_cached(spark, sf_dir),
         "pq_codebook": _pq_codebook_cached(spark, sf_dir),
         "pq_codes": _pq_codes_cached(spark, sf_dir),
+        "dedup_codebook": _dedup_codebook_cached(spark, sf_dir),
+        "dedup_cells": _dedup_cells_cached(spark, sf_dir),
     }
 
 
 def persist_vector_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (or reuse) the four index artifacts and write them as the
+    """Build (or reuse) the six index artifacts and write them as the
     on-disk index; returns the index directory. Later sessions' ann_*
     queries then answer from the prebuilt index."""
     from imdbmapreduce_spark import indexstore
@@ -788,15 +868,15 @@ def persist_vector_index(spark: SparkSession, sf_dir: str) -> str:
 
 @query("ann_ivf_topk")  # no SQL oracle: sampled-centroid specifics; see tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-{k}, IVF-style: inverted file over coarse cells
+    """Approximate top-5 (_TOP_K), IVF-style: inverted file over coarse cells
     with Lloyd-refined centroids.
 
-    Pipeline: hash-sample {cells} corpus vectors as init centroids
+    Pipeline: hash-sample 16 (_IVF_CELLS) corpus vectors as init centroids
     (broadcast) -> assign the corpus to nearest centroids -> LLOYD
     REFINE: new centroid = integer-rounded mean of each cell's assigned
     vectors (the embedding_centroids combiner keyed on cell instead of
     label — the same partial/final mergeable agg) -> re-assign corpus +
-    probes to the refined centroids -> probes keep their {nprobe}
+    probes to the refined centroids -> probes keep their 4 (_IVF_NPROBE)
     nearest cells -> candidates = corpus rows in any probed cell ->
     exact integer rescore (shared with the LSH plan) -> per-probe top-k.
 
@@ -1035,16 +1115,16 @@ def _adc_shortlist(
 
 @query("ann_pq_topk")  # no SQL oracle: codebook-sample specifics; see tests
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-{k} via PRODUCT QUANTIZATION: per-subspace
-    codebooks compress each corpus vector to {m} 4-bit codes (4 bytes vs
+    """Approximate top-5 (_TOP_K) via PRODUCT QUANTIZATION: per-subspace
+    codebooks compress each corpus vector to 8 (_PQ_M) 4-bit codes (4 bytes vs
     256 bytes of floats — 64×), probes score candidates through an ADC
     lookup table, and the ADC shortlist is re-ranked exactly.
 
-    Pipeline: split the 64 dims into {m} subspaces × {sd} dims → per-
-    subspace codebook ({k} codes, hash-sample init + one Lloyd round;
+    Pipeline: split the 64 dims into 8 (_PQ_M) subspaces × 8 dims → per-
+    subspace codebook (16 (_PQ_K) codes, hash-sample init + one Lloyd round;
     the IVF refine shape keyed on (s, code)) → encode the corpus (argmin
     integer L2 per subspace) → probe LUT = dot(q_s, c_{{s,code}}) for
-    every (probe, s, code) — |probes|·{m}·{k} integer entries, broadcast
+    every (probe, s, code) — |probes|·_PQ_M·_PQ_K integer entries, broadcast
     → ADC score = Σ_s LUT[s, code_s(x)], normalized by the RECONSTRUCTED
     norm ‖x̂‖ = sqrt(Σ_s ‖c_{{s,code}}‖²) → top-{rr} shortlist per probe
     → exact integer re-rank (shared `_exact_rescore_topk`, same math as
@@ -1052,11 +1132,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is the memory-bound regime's index — at 100 TB of
     embeddings the raw vectors don't fit anywhere hot, but PQ codes are
-    64× smaller and ADC touches {m} longs per candidate instead of 64.
+    64× smaller and ADC touches 8 (_PQ_M) longs per candidate instead of 64.
     The codebook + codes are per-corpus build artifacts in the bounded
     releasable cache (vector stores persist exactly these two tables);
     scoring shuffles |corpus|×|probes| map-side-combined rows, same key
-    shape as brute force but {m}/64 the per-pair work, and the exact
+    shape as brute force but _PQ_M/64 the per-pair work, and the exact
     re-rank reads only |probes|·{rr} full vectors. Composes with IVF
     (IVF cells to prune, PQ codes to score) in the standard IVFPQ
     layout.
@@ -1161,7 +1241,7 @@ def _rp_signs(spark: SparkSession) -> DataFrame:
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss dimension reduction: project every
-    embedding onto {k} Rademacher directions — the standard shrink
+    embedding onto 16 (_RP_K) Rademacher directions — the standard shrink
     before indexing/clustering when 64+ dims are too hot (JL: pairwise
     distances survive within ε at k = O(log n / ε²); sparse/±1
     projections carry the same guarantee as Gaussian ones, Achlioptas
@@ -1169,16 +1249,16 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     units: the projection of quantized components is an integer dot
     with ±1 — order-independent, bit-reproducible, and directly
     consumable by the banded-Hamming or sign-LSH machinery (sign(proj)
-    IS a {k}-bit sign-LSH code).
+    IS a 16 (_RP_K)-bit sign-LSH code).
 
     Plan: the shared quantized-component artifact joins the broadcast
-    sign table (dims × {k} rows built once per plan — no per-fact-row
+    sign table (dims × _RP_K rows built once per plan — no per-fact-row
     hashing) and reduces with one partial/final agg keyed
-    (vec_id, k) — map-side combine collapses each vector's {k} sums
-    before the exchange, so shuffle volume is |vectors| × {k} longs.
+    (vec_id, k) — map-side combine collapses each vector's _RP_K sums
+    before the exchange, so shuffle volume is |vectors| × _RP_K longs.
 
     Scale: this is the compute-then-index shape — at 100 TB the
-    projected table is dims/{k}× smaller than the raw embeddings and
+    projected table is dims/_RP_K× smaller than the raw embeddings and
     becomes the input to every downstream ANN/dedup pass; the sign
     table stays KBs regardless of corpus size.
     """
@@ -1210,25 +1290,19 @@ def neardup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the all-pairs block plan shuffles n·B rows and does the full
     O(n²d) arithmetic; this shuffles each vector ONCE (to its cell) and
-    does Σ_c |cell_c|² work — with balanced cells, 1/C of the
-    arithmetic. The cell assignment reuses the cached/persisted IVF
-    codebook, so the index amortizes across dedup AND search.
+    does Σ_c |cell_c|² work. The cell count is ADAPTIVE —
+    C = max(16, floor(sqrt(n))) via :func:`_dedup_cell_count` — so both
+    the assignment pass (n·d·C) and the in-cell gram term (~n²/C)
+    stay O(n^1.5·d) as the corpus grows; a fixed C left the gram term
+    quadratic (SCALE.md round-7 named exactly that). The cell layout is
+    a persisted index artifact (dedup_codebook + dedup_cells in the
+    vector group), so the build amortizes across rounds like the
+    search-side IVF lists.
     """
     import numpy as np
     import pandas as pd
 
-    ex = _shared_components(spark, sf_dir)
-    cents = _ivf_codebook_cached(spark, sf_dir)
-    # corpus cells come from the cached/PERSISTED inverted lists — the
-    # amortization the docstring promises (review r5); only the tiny
-    # probe slice (vec_id < _N_PROBES, excluded from ivf_lists) is
-    # assigned fresh here
-    probe_cells = (
-        _cell_assignment(ex.filter(F.col("vec_id") < _N_PROBES), cents)
-        .filter(F.col("cr") == 1)
-        .select("vec_id", "cell")
-    )
-    cells = _ivf_lists_cached(spark, sf_dir).unionByName(probe_cells)
+    cells = _dedup_cells_cached(spark, sf_dir)
     emb = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")

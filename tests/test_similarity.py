@@ -298,6 +298,41 @@ def test_random_projection_matches_numpy_replay(spark, sf_dir):
             assert got[(vid, k)] == int(q @ s), (vid, k)
 
 
+def test_dedup_cell_count_is_sqrt_adaptive(spark, sf_dir):
+    """The SemDeDup layout's C follows max(16, floor(sqrt(n))) — the rule
+    that keeps assignment and in-cell gram work balanced at O(n^1.5·d) —
+    and the persisted cell layout actually uses it: distinct cells <= C
+    (Lloyd can empty a cell, never add one) and every vector is assigned
+    exactly once. The fixed-C override (tests' knob) is honored and, at
+    C=1, reproduces the all-pairs reachable set: one cell holding the
+    whole corpus."""
+    import math
+
+    from imdbmapreduce_spark.cache import release_shared_caches
+    from imdbmapreduce_spark.operators import similarity as S
+
+    assert S._dedup_cell_count(0) == 16
+    assert S._dedup_cell_count(255) == 16
+    assert S._dedup_cell_count(257) == 16
+    assert S._dedup_cell_count(2000) == 44
+    assert S._dedup_cell_count(10**9) == 31622
+
+    release_shared_caches()
+    try:
+        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        want_c = S._dedup_cell_count(n)
+        cells = S._dedup_cells_cached(spark, sf_dir)
+        assert cells.count() == n, "every vector assigned exactly once"
+        n_cells = cells.select("cell").distinct().count()
+        assert 1 < n_cells <= want_c
+
+        one = S._dedup_cells_cached(spark, sf_dir, n_cells=1)
+        assert one.select("cell").distinct().count() == 1
+        assert one.count() == n
+    finally:
+        release_shared_caches()
+
+
 def test_semantic_cell_dedup_is_exactly_the_same_cell_subset(spark, sf_dir):
     """The SemDeDup-style plan's contract is an identity, not a recall
     sample: emitted pairs == { exact all-pairs results whose endpoints
@@ -312,7 +347,7 @@ def test_semantic_cell_dedup_is_exactly_the_same_cell_subset(spark, sf_dir):
             for r in registry.get("neardup_embedding_cosine").fn(spark, sf_dir).collect()
         }
         ex = S._shared_components(spark, sf_dir)
-        cents = S._ivf_codebook_cached(spark, sf_dir)
+        cents = S._dedup_codebook_cached(spark, sf_dir)
         cell_of = {
             r.vec_id: r.cell
             for r in S._cell_assignment(ex, cents).filter(F.col("cr") == 1).collect()
