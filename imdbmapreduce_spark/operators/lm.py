@@ -992,6 +992,241 @@ def doc_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 5-way Jelinek-Mercer weights (5-gram .. unigram), the order CCNet's
+# KenLM filter actually deploys; fixed weights like the lower rungs.
+_MIX5 = (0.4, 0.25, 0.2, 0.1, 0.05)
+
+
+def _doc_ngram_counts(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Per-(doc, adjacent n-token window) counts for any order — the
+    generic form of :func:`_doc_bigram_counts` / :func:`_doc_trigram_counts`
+    (kept as-is: their session-cache keys and oracle pairings predate
+    this). Columns (doc_id, w1..wn, k)."""
+    docs = table(spark, sf_dir, "documents")
+    c = tokens("text")
+    zipped = F.arrays_zip(
+        F.slice("toks", 1, F.size("toks") - (n - 1)),
+        *[F.expr(f"slice(toks, {i}, size(toks) - {n - 1})") for i in range(2, n + 1)],
+    )
+    return (
+        docs.select("doc_id", c.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(zipped).alias("p"))
+        .select(
+            "doc_id", *[F.col(f"p.{i}").alias(f"w{i + 1}") for i in range(n)]
+        )
+        .groupBy("doc_id", *[f"w{i}" for i in range(1, n + 1)])
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+
+def _5gram_oracle() -> str:
+    l5, l4, l3, l2, l1 = _MIX5
+    return f"""
+    WITH ex AS MATERIALIZED (
+      SELECT doc_id, toks FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), pg AS MATERIALIZED (
+      SELECT doc_id, w1, w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id, unnest(toks[1:len(toks)-4]) AS w1,
+               unnest(toks[2:len(toks)-3]) AS w2,
+               unnest(toks[3:len(toks)-2]) AS w3,
+               unnest(toks[4:len(toks)-1]) AS w4,
+               unnest(toks[5:len(toks)]) AS w5
+        FROM ex WHERE len(toks) >= 5
+      ) GROUP BY 1, 2, 3, 4, 5, 6
+    ), qgall AS MATERIALIZED (
+      SELECT w1, w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS c4 FROM (
+        SELECT unnest(toks[1:len(toks)-3]) AS w1,
+               unnest(toks[2:len(toks)-2]) AS w2,
+               unnest(toks[3:len(toks)-1]) AS w3,
+               unnest(toks[4:len(toks)]) AS w4
+        FROM ex WHERE len(toks) >= 4
+      ) GROUP BY 1, 2, 3, 4
+    ), tgall AS MATERIALIZED (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+        SELECT unnest(toks[1:len(toks)-2]) AS w1,
+               unnest(toks[2:len(toks)-1]) AS w2,
+               unnest(toks[3:len(toks)]) AS w3
+        FROM ex WHERE len(toks) >= 3
+      ) GROUP BY 1, 2, 3
+    ), bgall AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+        SELECT unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM ex WHERE len(toks) >= 2
+      ) GROUP BY 1, 2
+    ), uni AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(toks) AS tok FROM ex) GROUP BY tok
+    ), t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total FROM uni),
+    five AS MATERIALIZED (
+      SELECT w1, w2, w3, w4, w5, CAST(SUM(k) AS BIGINT) AS c5g
+      FROM pg GROUP BY 1, 2, 3, 4, 5
+    ), pre1234 AS (
+      SELECT w1, w2, w3, w4, CAST(SUM(c5g) AS BIGINT) AS n1234
+      FROM five GROUP BY 1, 2, 3, 4
+    ), pre234 AS (
+      SELECT w1, w2, w3, CAST(SUM(c4) AS BIGINT) AS n234 FROM qgall GROUP BY 1, 2, 3
+    ), pre34 AS (
+      SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS n34 FROM tgall GROUP BY 1, 2
+    ), pre4 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS n4 FROM bgall GROUP BY 1
+    ), model AS (
+      SELECT r.w1, r.w2, r.w3, r.w4, r.w5,
+             CAST(round(ln({l5} * (CAST(r.c5g AS DOUBLE) / p.n1234)
+                           + {l4} * (CAST(g.c4 AS DOUBLE) / s.n234)
+                           + {l3} * (CAST(h.c3 AS DOUBLE) / v.n34)
+                           + {l2} * (CAST(b.c2 AS DOUBLE) / q.n4)
+                           + {l1} * (CAST(u.c1 AS DOUBLE)
+                                     / (SELECT total FROM t)))
+                        * {_LP_SCALE}) AS BIGINT) AS lp_q
+      FROM five r
+      JOIN pre1234 p ON r.w1 = p.w1 AND r.w2 = p.w2 AND r.w3 = p.w3 AND r.w4 = p.w4
+      JOIN qgall g ON r.w2 = g.w1 AND r.w3 = g.w2 AND r.w4 = g.w3 AND r.w5 = g.w4
+      JOIN pre234 s ON r.w2 = s.w1 AND r.w3 = s.w2 AND r.w4 = s.w3
+      JOIN tgall h ON r.w3 = h.w1 AND r.w4 = h.w2 AND r.w5 = h.w3
+      JOIN pre34 v ON r.w3 = v.w1 AND r.w4 = v.w2
+      JOIN bgall b ON r.w4 = b.w1 AND r.w5 = b.w2
+      JOIN pre4 q ON r.w4 = q.w1
+      JOIN uni u ON r.w5 = u.tok
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_5grams,
+           CAST(SUM(d.k * m.lp_q) AS BIGINT) AS logprob_q,
+           CAST(SUM(d.k * m.lp_q) AS DOUBLE) / SUM(d.k) / {_LP_SCALE}
+             AS avg_logprob
+    FROM pg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2 AND d.w3 = m.w3
+                          AND d.w4 = m.w4 AND d.w5 = m.w5
+    GROUP BY d.doc_id
+    """
+
+
+@query("doc_5gram_logprob", oracle=_5gram_oracle())
+def doc_5gram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram-LM quality scoring: per document, the total and mean
+    per-5-gram log-probability under a 5-way Jelinek-Mercer interpolated
+    model (0.4·P(w5|w1..w4) + 0.25·P(w5|w2..w4) + 0.2·P(w5|w3w4) +
+    0.1·P(w5|w4) + 0.05·P(w5)) trained on the corpus itself — the order
+    CCNet's KenLM filter actually deploys, proving the trigram
+    docstring's claim that "every additional order is this same
+    pattern": one more count table, one more prefix table, one more
+    model join per rung.
+
+    Determinism: each conditional uses its PREFIX count so the
+    distribution sums to 1; the interpolated log-prob quantizes to 1e-6
+    at the MODEL level — one rounding per distinct corpus 5-gram — so
+    every per-doc reduction is an exact integer sum both engines replay
+    bit-for-bit.
+
+    Plan: the bigram/trigram per-doc count artifacts are the SAME
+    session-cached tables the lower rungs score with (the ladder shares
+    its lower rungs); the only fresh corpus passes are the new 4-gram
+    and 5-gram window extractions. Model-build joins key on n-gram
+    prefixes; the scoring join keys on the 5-gram and the final agg on
+    doc_id.
+
+    Scale: the model table is |distinct 5-grams| slim rows — the big
+    one at 100 TB, but a pure shuffle join (AQE decides); per-doc
+    pre-combine caps hot-window skew exactly as in the lower rungs;
+    everything else is vocab- or prefix-sized. No UDFs, one scalar
+    total to the driver.
+    """
+    from imdbmapreduce_spark.cache import shared_cache
+    from imdbmapreduce_spark.operators.text import _doc_token_counts
+
+    l5, l4, l3, l2, l1 = _MIX5
+    pg = shared_cache(
+        spark,
+        ("fivegram_doc_counts", sf_dir),
+        lambda: _doc_ngram_counts(spark, sf_dir, 5),
+    )
+    qg = shared_cache(
+        spark,
+        ("quadgram_doc_counts", sf_dir),
+        lambda: _doc_ngram_counts(spark, sf_dir, 4),
+    )
+    tgd = shared_cache(
+        spark,
+        ("trigram_doc_counts", sf_dir),
+        lambda: _doc_trigram_counts(spark, sf_dir),
+    )
+    dgb = shared_cache(
+        spark,
+        ("bigram_doc_counts", sf_dir),
+        lambda: _doc_bigram_counts(spark, sf_dir),
+    )
+    five = pg.groupBy("w1", "w2", "w3", "w4", "w5").agg(F.sum("k").alias("c5g"))
+    pre1234 = five.groupBy("w1", "w2", "w3", "w4").agg(F.sum("c5g").alias("n1234"))
+    quad = qg.groupBy("w1", "w2", "w3", "w4").agg(F.sum("k").alias("c4"))
+    pre234 = quad.groupBy("w1", "w2", "w3").agg(F.sum("c4").alias("n234"))
+    tri = tgd.groupBy("w1", "w2", "w3").agg(F.sum("k").alias("c3"))
+    pre34 = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("n34"))
+    big = dgb.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    pre4 = big.groupBy("w1").agg(F.sum("c2").alias("n4"))
+    uni = (
+        _doc_token_counts(spark, sf_dir).groupBy("tok").agg(F.sum("k").alias("c1"))
+    )
+    total_row = uni.agg(F.sum("c1")).first()[0]
+    if total_row is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_5grams long, logprob_q long, avg_logprob double"
+        )
+    total = float(total_row)
+
+    def shift(df: DataFrame, by: int, keep: dict) -> DataFrame:
+        """Re-key a lower-order table's w1..wi onto the 5-gram's last
+        columns: w_j -> w_{j+by}, value columns renamed per ``keep``."""
+        cols = [
+            F.col(c).alias(f"w{int(c[1:]) + by}")
+            for c in df.columns
+            if c.startswith("w")
+        ] + [F.col(src).alias(dst) for src, dst in keep.items()]
+        return df.select(*cols)
+
+    model = (
+        five.join(pre1234, ["w1", "w2", "w3", "w4"])
+        .join(shift(quad, 1, {"c4": "c2345"}), ["w2", "w3", "w4", "w5"])
+        .join(shift(pre234, 1, {"n234": "n234s"}), ["w2", "w3", "w4"])
+        .join(shift(tri, 2, {"c3": "c345"}), ["w3", "w4", "w5"])
+        .join(shift(pre34, 2, {"n34": "n34s"}), ["w3", "w4"])
+        .join(shift(big, 3, {"c2": "c45"}), ["w4", "w5"])
+        .join(shift(pre4, 3, {"n4": "n4s"}), ["w4"])
+        .join(uni.select(F.col("tok").alias("w5"), F.col("c1").alias("c5")), "w5")
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "w4",
+            "w5",
+            F.round(
+                F.log(
+                    F.lit(l5) * (F.col("c5g").cast("double") / F.col("n1234"))
+                    + F.lit(l4) * (F.col("c2345").cast("double") / F.col("n234s"))
+                    + F.lit(l3) * (F.col("c345").cast("double") / F.col("n34s"))
+                    + F.lit(l2) * (F.col("c45").cast("double") / F.col("n4s"))
+                    + F.lit(l1) * (F.col("c5").cast("double") / F.lit(total))
+                )
+                * _LP_SCALE
+            )
+            .cast("long")
+            .alias("lp_q"),
+        )
+    )
+    return (
+        pg.join(model, ["w1", "w2", "w3", "w4", "w5"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_5grams"),
+            F.sum(F.col("k") * F.col("lp_q")).alias("logprob_q"),
+            (
+                F.sum(F.col("k") * F.col("lp_q")).cast("double")
+                / F.sum("k")
+                / F.lit(_LP_SCALE)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 # Kneser-Ney absolute-discount parameter (the standard fixed setting;
 # modified-KN's count-bucketed discounts are a constant-table variant
 # of this same plan).

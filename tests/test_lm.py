@@ -356,6 +356,59 @@ def test_doc_trigram_logprob_matches_python_replay(spark, sf_dir):
         assert r.avg_logprob < 0
 
 
+def test_doc_5gram_logprob_matches_python_replay(spark, sf_dir):
+    """5-way Jelinek-Mercer 5-gram model (0.4/0.25/0.2/0.1/0.05 across
+    the five conditionals, each normalized by its true prefix count),
+    log-prob quantized at the model level, exact integer sums per doc —
+    the CCNet deployment order."""
+    from imdbmapreduce_spark.operators.lm import _MIX5
+
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    counts = [Counter() for _ in range(6)]  # index n = corpus n-gram counts
+    per_doc: dict[int, Counter] = {}
+    for r in rows:
+        ts = _toks(r.text)
+        for n in range(1, 6):
+            counts[n].update(zip(*[ts[i:] for i in range(n)]))
+        if len(ts) >= 5:
+            per_doc[r.doc_id] = Counter(zip(*[ts[i:] for i in range(5)]))
+    total = float(sum(counts[1].values()))
+    pre = [Counter() for _ in range(6)]  # prefix counts of the n-gram tables
+    for n in range(2, 6):
+        for g, k in counts[n].items():
+            pre[n][g[:-1]] += k
+
+    def q(v: float) -> int:  # Spark round(): half away from zero
+        s = v * _LP_SCALE
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    l5, l4, l3, l2, l1 = _MIX5
+    lp_q = {
+        g: q(
+            math.log(
+                l5 * (k / pre[5][g[:4]])
+                + l4 * (counts[4][g[1:]] / pre[4][g[1:4]])
+                + l3 * (counts[3][g[2:]] / pre[3][g[2:4]])
+                + l2 * (counts[2][g[3:]] / pre[2][g[3:4]])
+                + l1 * (counts[1][g[4:]] / total)
+            )
+        )
+        for g, k in counts[5].items()
+    }
+    got = {
+        r.doc_id: r
+        for r in registry.get("doc_5gram_logprob").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, c in per_doc.items():
+        n_5grams = sum(c.values())
+        logprob_q = sum(k * lp_q[g] for g, k in c.items())
+        r = got[doc_id]
+        assert (r.n_5grams, r.logprob_q) == (n_5grams, logprob_q), doc_id
+        assert r.avg_logprob == logprob_q / n_5grams / _LP_SCALE
+        assert r.avg_logprob < 0
+
+
 def test_doc_kn_bigram_logprob_matches_python_replay(spark, sf_dir):
     """Kneser-Ney bigram model: absolute discount D=0.75, continuation
     probability over distinct left contexts, quantized at the model
