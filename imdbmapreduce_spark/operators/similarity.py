@@ -1331,6 +1331,107 @@ def neardup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("cell").applyInPandas(gram, "a_id long, b_id long, cosine double")
 
 
+@query("embedding_incremental_ingest")  # rows-only: cells come from the
+# hash-sampled Lloyd codebook (not SQL-portable); pinned hash-equal to
+# the batch neardup_embedding_cells restriction in
+# tests/test_similarity.py::test_embedding_incremental_equals_batch_restriction
+def embedding_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-family arrival gate, completing the incremental
+    ingest trio (MinHash set-similarity, SimHash bit-similarity, and now
+    dense-vector semantic similarity — the three near-dup families a
+    production pipeline checks on every shard delivery): arriving
+    vectors (vec_id % 10 == 7, the same standing-shard split as the
+    text gates) are assigned FRESH against the PERSISTED dedup codebook
+    — the only new compute, O(|shard|·d·C) — and then cross-grammed
+    ONLY against base vectors in the cells they landed in, served from
+    the persisted dedup_cells artifact. Returns
+    (new_vec, matched_vec, cosine) with exact quantized cosine >=
+    0.45 (_NEARDUP_THETA), matched_vec always a base vector.
+
+    Correctness pin: the same codebook yields the same cell for a
+    vector whether assigned at index-build time or at arrival, so the
+    emitted set is hash-equal to the batch
+    :func:`neardup_embedding_cells` restricted to pairs with exactly
+    one endpoint in the shard — and the cosine doubles are bit-equal
+    because both lanes compute the identical int64 dot / double-product
+    expression over :func:`_quant_batch` rows.
+
+    Scale: shard-side assignment is shard-proportional; the cogrouped
+    gram touches only (shard rows) x (base rows in shard-hit cells) —
+    never corpus x corpus. Arrival cost ∝ shard, the same contract as
+    the text gates (reference analog: the arrival path
+    /root/reference/Code/dataToServers.erl:28-53, generalized to
+    additive vector data).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from imdbmapreduce_spark.operators.dedup import _is_shard
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _dedup_codebook_cached(spark, sf_dir)
+    # fresh work: assign ONLY the arriving vectors against the
+    # persisted codebook
+    shard_cells = (
+        _cell_assignment(
+            _shared_components(spark, sf_dir).filter(_is_shard("vec_id")), cents
+        )
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "cell")
+    )
+    # corpus side: the persisted cell layout, base vectors only —
+    # session-cached for the same multi-consumer reason as the text
+    # gates' base_bands
+    base_cells = shared_cache(
+        spark,
+        ("embedding_base_cells", sf_dir),
+        lambda: _dedup_cells_cached(spark, sf_dir).filter(~_is_shard("vec_id")),
+    )
+    # Both cogroup sides derive from the same embeddings scan; aliases
+    # don't satisfy Spark's ambiguous-self-join check for cogroup, so
+    # checkpoint the SHARD side — shard-sized slim rows, and the same
+    # break the SimHash gate applies to its multi-consumer shard
+    # fingerprints.
+    from imdbmapreduce_spark.cache import stable_checkpoint
+
+    shard_emb = stable_checkpoint(emb.join(shard_cells, "vec_id"))
+    base_emb = emb.join(base_cells, "vec_id")
+    _quant = _quant_batch
+
+    def cross_gram(sh: "pd.DataFrame", ba: "pd.DataFrame") -> "pd.DataFrame":
+        if len(sh) == 0 or len(ba) == 0:
+            return pd.DataFrame(
+                {
+                    "new_vec": pd.Series([], dtype="int64"),
+                    "matched_vec": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        sid = sh["vec_id"].to_numpy(dtype=np.int64)
+        bid = ba["vec_id"].to_numpy(dtype=np.int64)
+        Qs, Qb = _quant(sh["embedding"]), _quant(ba["embedding"])
+        dot = Qs @ Qb.T  # exact int64
+        ss = np.sqrt((Qs * Qs).sum(axis=1).astype(np.float64))
+        sb = np.sqrt((Qb * Qb).sum(axis=1).astype(np.float64))
+        # identical expression shape to the batch gram lane, so the
+        # doubles are bit-equal to neardup_embedding_cells' cosines
+        cos = dot.astype(np.float64) / (ss[:, None] * sb[None, :])
+        keep = cos >= _NEARDUP_THETA
+        si, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"new_vec": sid[si], "matched_vec": bid[bi], "cosine": cos[si, bi]}
+        )
+
+    return (
+        shard_emb.groupBy("cell")
+        .cogroup(base_emb.groupBy("cell"))
+        .applyInPandas(
+            lambda left, right: cross_gram(left, right),
+            "new_vec long, matched_vec long, cosine double",
+        )
+    )
+
+
 # --- RRF hybrid retrieval: lexical + dense rank fusion ---------------------
 
 RRF_K = 60  # the canonical rank-smoothing constant (Cormack et al. 2009)

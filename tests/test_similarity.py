@@ -367,6 +367,52 @@ def test_semantic_cell_dedup_is_exactly_the_same_cell_subset(spark, sf_dir):
         release_shared_caches()
 
 
+def test_embedding_incremental_equals_batch_restriction(spark, sf_dir):
+    """Arrival gate == batch restriction for the embedding family: the
+    incremental ingest (fresh shard assignment against the persisted
+    codebook + cross-gram against base cells) must emit EXACTLY the
+    batch neardup_embedding_cells pairs with one endpoint in the
+    standing shard — same pairs, bit-identical cosines — because the
+    same codebook assigns a vector to the same cell at index-build time
+    and at arrival."""
+    from imdbmapreduce_spark.cache import release_shared_caches
+    from imdbmapreduce_spark.operators.dedup import _SHARD_MOD, _SHARD_RESIDUE
+
+    def shard(v: int) -> bool:
+        return v % _SHARD_MOD == _SHARD_RESIDUE
+
+    def compare(sf: str) -> dict:
+        batch = registry.get("neardup_embedding_cells").fn(spark, sf).collect()
+        want = {
+            (r.a_id, r.b_id) if shard(r.a_id) else (r.b_id, r.a_id): r.cosine
+            for r in batch
+            if shard(r.a_id) != shard(r.b_id)
+        }
+        got = {
+            (r.new_vec, r.matched_vec): r.cosine
+            for r in registry.get("embedding_incremental_ingest")
+            .fn(spark, sf)
+            .collect()
+        }
+        assert got == want, sf  # same pairs, bit-identical cosines
+        assert all(shard(n) and not shard(m) for n, m in got)
+        return got
+
+    release_shared_caches()
+    try:
+        # At the tiny fixture the shard's two semantic near-dups land in
+        # different cells (the documented cluster-recall boundary), so
+        # equality holds on an EMPTY set — still a real check that the
+        # gate emits nothing spurious. The non-empty premise runs at
+        # sf0.01, where three pairs cross the shard boundary in-cell.
+        compare(sf_dir)
+        release_shared_caches()
+        got = compare("/root/testdata/sf0.01")
+        assert got, "premise: the sf0.01 shard has semantic near-dups"
+    finally:
+        release_shared_caches()
+
+
 def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
     """Independent replay: quantized-int cosines in numpy, greedy MMR
     (0.7·rel − 0.3·max-sim, vec_id tie-break) in pure Python, compared
