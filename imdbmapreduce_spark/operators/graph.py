@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from imdbmapreduce_spark.cache import shared_cache, stable_checkpoint_lazy
+from imdbmapreduce_spark.cache import (
+    shared_cache,
+    stable_checkpoint,
+    stable_checkpoint_lazy,
+)
 from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.registry import query
 
@@ -505,16 +509,25 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph's measured peel depth; parity holds at ANY fixed count
     because both engines run the same rounds).
 
-    Plan: the distinct edge table is the shared-cached artifact; per
-    round, two semi-joins restrict edges to survivors and one agg
-    recomputes degrees — survivor lists are node-sized and
-    localCheckpointed so round lineage stays flat.
+    Plan: DELTA-PEELING (round 8; previously each round recomputed every
+    survivor's degree with two edge semi-joins + a full re-aggregation).
+    Degrees are computed ONCE over the full graph; each round then (a)
+    splits the maintained (node, deg) table into removed (< k) and
+    survivors, (b) counts only the edges INTO the just-removed frontier
+    (edges ⋈ removed, grouped by src — output frontier-sized), and (c)
+    subtracts that delta from the survivors' degrees. The synchronous
+    per-round semantics — and therefore the oracle's unrolled-CTE
+    result — are unchanged: degree-within-subgraph after removals
+    equals old degree minus edges to removed nodes. The loop exits
+    early at the fixpoint (empty frontier makes every later round a
+    no-op), and the final maintained degrees ARE the core_deg output —
+    no closing recompute.
 
-    Scale: each round is O(surviving edges) with node-sized exchanges;
-    rounds needed = peel depth (small for real graphs). At 100 TB the
-    classic optimization is delta-peeling (only recompute degrees of
-    neighbors of removed nodes) — same plan shape with a smaller
-    frontier join, worth it once rounds × edges dominates.
+    Scale: round cost drops from O(surviving edges) re-aggregated per
+    round to one edge-table scan filtered to the frontier (output
+    frontier-sized, node-sized exchanges); total work across the peel
+    is O(edges + Σ frontier degrees) — each edge's removal is charged
+    once — instead of O(rounds × edges).
     """
     nodes = shared_cache(
         spark,
@@ -538,29 +551,42 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("k"),
         )
     k = n_edges // n_nodes + 1
-    surv = nodes
-    for _ in range(KCORE_ROUNDS):
-        deg = (
-            edges.join(surv.withColumnRenamed("node", "src"), "src")
-            .join(surv.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        surv = (
-            deg.filter(F.col("deg") >= k)
-            .select(F.col("src").alias("node"))
-            .transform(stable_checkpoint_lazy)
-        )
-    core_deg = (
-        edges.join(surv.withColumnRenamed("node", "src"), "src")
-        .join(surv.withColumnRenamed("node", "dst"), "dst")
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    # full-graph degrees, computed ONCE (round-0 survivors = all nodes;
+    # isolated nodes get coalesce(0) and peel in round 1)
+    full_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    surv_deg = (
+        nodes.join(full_deg.withColumnRenamed("src", "node"), "node", "left")
+        .select("node", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+        .transform(stable_checkpoint)
     )
+    for _ in range(KCORE_ROUNDS):
+        removed = surv_deg.filter(F.col("deg") < k).select("node")
+        if removed.isEmpty():
+            break  # fixpoint: every later round is a no-op
+        # delta = per surviving src, edges lost to the removed frontier
+        delta = (
+            edges.join(removed.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("lost"))
+            .withColumnRenamed("src", "node")
+        )
+        surv_deg = (
+            surv_deg.filter(F.col("deg") >= k)
+            .join(delta, "node", "left")
+            .select(
+                "node",
+                (F.col("deg") - F.coalesce("lost", F.lit(0)))
+                .cast("long")
+                .alias("deg"),
+            )
+            .transform(stable_checkpoint)
+        )
+    # the maintained degrees ARE the within-core degrees of the final
+    # survivor set — no closing recompute
     return (
-        nodes.join(surv.withColumn("in_core", F.lit(True)), "node", "left")
-        .join(core_deg.withColumnRenamed("src", "node"), "node", "left")
-        .select(
+        nodes.join(
+            surv_deg.withColumn("in_core", F.lit(True)), "node", "left"
+        ).select(
             "node",
             F.coalesce("in_core", F.lit(False)).alias("in_core"),
             F.coalesce("deg", F.lit(0)).cast("long").alias("core_deg"),
