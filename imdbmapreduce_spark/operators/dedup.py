@@ -1555,12 +1555,22 @@ def _hamming_truth_chunk16(members: DataFrame, max_hamming: int = 3) -> DataFram
 # recall below 1.0 is an implementation bug, not tuning drift; the
 # MinHash arms are probabilistic (16 bands x 4 rows: a J=0.6 pair
 # misses all bands with p ~= 0.11), so their floor carries margin
-# below the currently-measured 1.0.
+# below the currently-measured 1.0. The embedding arms are
+# OBSERVABILITY rows tracking the SemDeDup cluster-recall boundary vs
+# the exact all-pairs cosine truth: on this synthetic corpus (random
+# unit vectors, theta=0.45 — the distribution tail) near-dup pairs
+# barely co-locate under ANY Voronoi layout, so measured recall is
+# structurally low (0.18-0.57 across sfs; a real corpus dedups at
+# cos 0.9+, where near-identical vectors share a cell with
+# probability -> 1). Their CORRECTNESS contract is the same-cell-subset
+# identity / batch-restriction pin in tests, not these floors.
 _NEARDUP_RECALL_FLOORS = {
     "minhash_lsh": 0.9,
     "minhash_incremental": 0.9,
     "simhash_hamming": 1.0,
     "simhash_incremental": 1.0,
+    "embedding_cells": 0.1,
+    "embedding_incremental": 0.0,
 }
 
 
@@ -1582,6 +1592,10 @@ def neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_hamming_truth_chunk16` — different block decomposition, no
     shared constants). Incremental arms restrict the truth to pairs with
     exactly one endpoint in the standing shard (their reachable set).
+    The two embedding arms track the SemDeDup cluster-recall boundary
+    vs the exact all-pairs cosine truth (see the floors comment — on
+    this corpus that recall is structurally low; the rows exist so the
+    boundary is a measured per-round number, not prose).
     Columns: family, n_true, n_gate, n_hits, recall, floor, floor_ok —
     floor_ok is deterministic (fixed hashes + fixed data), so a band
     regression flips a committed boolean.
@@ -1590,11 +1604,22 @@ def neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist); truth/gate sets are near-dup-volume-sized, checkpointed
     once so the 12-branch tagged union never replays their lineage.
     """
+    from imdbmapreduce_spark.operators.similarity import (
+        embedding_incremental_ingest,
+        neardup_embedding_cells,
+        neardup_embedding_cosine,
+    )
+
     jac_truth = stable_checkpoint(
         jaccard_prefix_join(spark, sf_dir).select("doc_a", "doc_b")
     )
     ham_truth = stable_checkpoint(
         _hamming_truth_chunk16(_simhash_fp_cached(spark, sf_dir))
+    )
+    emb_truth = stable_checkpoint(
+        neardup_embedding_cosine(spark, sf_dir).select(
+            F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+        )
     )
     one_end_shard = _is_shard("doc_a") != _is_shard("doc_b")  # boolean XOR
 
@@ -1624,6 +1649,21 @@ def neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simhash_incremental",
             norm(simhash_incremental_ingest(spark, sf_dir)),
             ham_truth.filter(one_end_shard),
+        ),
+        (
+            "embedding_cells",
+            neardup_embedding_cells(spark, sf_dir).select(
+                F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+            ),
+            emb_truth,
+        ),
+        (
+            "embedding_incremental",
+            embedding_incremental_ingest(spark, sf_dir).select(
+                F.least("new_vec", "matched_vec").alias("doc_a"),
+                F.greatest("new_vec", "matched_vec").alias("doc_b"),
+            ),
+            emb_truth.filter(one_end_shard),
         ),
     ]
     parts = []
