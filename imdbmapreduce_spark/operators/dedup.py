@@ -1602,7 +1602,7 @@ def neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each arm is its own query's cost (all index-served after
     persist); truth/gate sets are near-dup-volume-sized, checkpointed
-    once so the 12-branch tagged union never replays their lineage.
+    once so the per-arm tagged union never replays their lineage.
     """
     from imdbmapreduce_spark.operators.similarity import (
         embedding_incremental_ingest,
