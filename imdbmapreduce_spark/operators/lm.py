@@ -650,20 +650,15 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized. No UDFs, no driver state.
     """
     from imdbmapreduce_spark.cache import shared_cache
-    from imdbmapreduce_spark.operators.text import _doc_token_counts
 
     dg = shared_cache(
         spark,
         ("bigram_doc_counts", sf_dir),
         lambda: _doc_bigram_counts(spark, sf_dir),
     )
-    big = dg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    big = _corpus_ngram_counts(spark, sf_dir, 2).withColumnRenamed("c", "c12")
     pre = big.groupBy("w1").agg(F.sum("c12").alias("n1"))
-    uni = (
-        _doc_token_counts(spark, sf_dir)
-        .groupBy("tok")
-        .agg(F.sum("k").alias("c1"))
-    )
+    uni = _corpus_ngram_counts(spark, sf_dir, 1).withColumnRenamed("c", "c1")
     total_row = uni.agg(F.sum("c1")).first()[0]
     if total_row is None:
         return spark.createDataFrame(
@@ -924,25 +919,17 @@ def doc_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     No UDFs, no driver state beyond one scalar total.
     """
     from imdbmapreduce_spark.cache import shared_cache
-    from imdbmapreduce_spark.operators.text import _doc_token_counts
 
     tg = shared_cache(
         spark,
         ("trigram_doc_counts", sf_dir),
         lambda: _doc_trigram_counts(spark, sf_dir),
     )
-    dgb = shared_cache(
-        spark,
-        ("bigram_doc_counts", sf_dir),
-        lambda: _doc_bigram_counts(spark, sf_dir),
-    )
-    tri = tg.groupBy("w1", "w2", "w3").agg(F.sum("k").alias("c123"))
+    tri = _corpus_ngram_counts(spark, sf_dir, 3).withColumnRenamed("c", "c123")
     pre12 = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("n12"))
-    big = dgb.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    big = _corpus_ngram_counts(spark, sf_dir, 2).withColumnRenamed("c", "c12")
     pre1 = big.groupBy("w1").agg(F.sum("c12").alias("n1"))
-    uni = (
-        _doc_token_counts(spark, sf_dir).groupBy("tok").agg(F.sum("k").alias("c1"))
-    )
+    uni = _corpus_ngram_counts(spark, sf_dir, 1).withColumnRenamed("c", "c1")
     total_row = uni.agg(F.sum("c1")).first()[0]
     if total_row is None:
         return spark.createDataFrame(
@@ -1018,6 +1005,52 @@ def _doc_ngram_counts(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         .groupBy("doc_id", *[f"w{i}" for i in range(1, n + 1)])
         .agg(F.count(F.lit(1)).alias("k"))
     )
+
+
+def _corpus_ngram_counts(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Corpus-level n-gram count table — (w1..wn, c) for n >= 2,
+    (tok, c) for n = 1 — the "trained counts" artifact every ladder rung
+    consumes. Session-cached: the bigram table alone is re-derived by
+    three scorers otherwise, and the 4/5-gram tables are the dominant
+    per-run cost of the 5-gram model build. Derives from the (already
+    cached) per-doc count artifacts, so the build is ONE aggregation,
+    never a fresh corpus pass."""
+    from imdbmapreduce_spark.cache import shared_cache
+    from imdbmapreduce_spark.operators.text import _doc_token_counts
+
+    def build() -> DataFrame:
+        if n == 1:
+            return (
+                _doc_token_counts(spark, sf_dir)
+                .groupBy("tok")
+                .agg(F.sum("k").alias("c"))
+            )
+        doc_counts = {
+            2: lambda: shared_cache(
+                spark,
+                ("bigram_doc_counts", sf_dir),
+                lambda: _doc_bigram_counts(spark, sf_dir),
+            ),
+            3: lambda: shared_cache(
+                spark,
+                ("trigram_doc_counts", sf_dir),
+                lambda: _doc_trigram_counts(spark, sf_dir),
+            ),
+            4: lambda: shared_cache(
+                spark,
+                ("quadgram_doc_counts", sf_dir),
+                lambda: _doc_ngram_counts(spark, sf_dir, 4),
+            ),
+            5: lambda: shared_cache(
+                spark,
+                ("fivegram_doc_counts", sf_dir),
+                lambda: _doc_ngram_counts(spark, sf_dir, 5),
+            ),
+        }[n]()
+        keys = [f"w{i}" for i in range(1, n + 1)]
+        return doc_counts.groupBy(*keys).agg(F.sum("k").alias("c"))
+
+    return shared_cache(spark, ("corpus_ngram_counts", sf_dir, n), build)
 
 
 def _5gram_oracle() -> str:
@@ -1132,7 +1165,6 @@ def doc_5gram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total to the driver.
     """
     from imdbmapreduce_spark.cache import shared_cache
-    from imdbmapreduce_spark.operators.text import _doc_token_counts
 
     l5, l4, l3, l2, l1 = _MIX5
     pg = shared_cache(
@@ -1140,32 +1172,17 @@ def doc_5gram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fivegram_doc_counts", sf_dir),
         lambda: _doc_ngram_counts(spark, sf_dir, 5),
     )
-    qg = shared_cache(
-        spark,
-        ("quadgram_doc_counts", sf_dir),
-        lambda: _doc_ngram_counts(spark, sf_dir, 4),
-    )
-    tgd = shared_cache(
-        spark,
-        ("trigram_doc_counts", sf_dir),
-        lambda: _doc_trigram_counts(spark, sf_dir),
-    )
-    dgb = shared_cache(
-        spark,
-        ("bigram_doc_counts", sf_dir),
-        lambda: _doc_bigram_counts(spark, sf_dir),
-    )
-    five = pg.groupBy("w1", "w2", "w3", "w4", "w5").agg(F.sum("k").alias("c5g"))
+    # corpus count tables are the session-cached trained-counts
+    # artifacts (shared across the whole ladder)
+    five = _corpus_ngram_counts(spark, sf_dir, 5).withColumnRenamed("c", "c5g")
     pre1234 = five.groupBy("w1", "w2", "w3", "w4").agg(F.sum("c5g").alias("n1234"))
-    quad = qg.groupBy("w1", "w2", "w3", "w4").agg(F.sum("k").alias("c4"))
+    quad = _corpus_ngram_counts(spark, sf_dir, 4).withColumnRenamed("c", "c4")
     pre234 = quad.groupBy("w1", "w2", "w3").agg(F.sum("c4").alias("n234"))
-    tri = tgd.groupBy("w1", "w2", "w3").agg(F.sum("k").alias("c3"))
+    tri = _corpus_ngram_counts(spark, sf_dir, 3).withColumnRenamed("c", "c3")
     pre34 = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("n34"))
-    big = dgb.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    big = _corpus_ngram_counts(spark, sf_dir, 2).withColumnRenamed("c", "c2")
     pre4 = big.groupBy("w1").agg(F.sum("c2").alias("n4"))
-    uni = (
-        _doc_token_counts(spark, sf_dir).groupBy("tok").agg(F.sum("k").alias("c1"))
-    )
+    uni = _corpus_ngram_counts(spark, sf_dir, 1).withColumnRenamed("c", "c1")
     total_row = uni.agg(F.sum("c1")).first()[0]
     if total_row is None:
         return spark.createDataFrame(
