@@ -305,10 +305,11 @@ def _minhash_sig_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_agg_cols() -> list:
     """The {_N_PERM} per-permutation min-hash aggregate columns over
     hashed shingles (``hx``) — shared by the full-corpus signature build
-    and the shard-only incremental build so the two can never drift."""
-    return [
-        F.min(F.xxhash64("hx", F.lit(i))).alias(f"mh{i}") for i in range(_N_PERM)
-    ]
+    and the shard-only incremental build so the two can never drift.
+    SQL strings, one parse each, for the same fresh-plan-cost reason as
+    :func:`simhash_fingerprints` (the arrival gate builds this plan per
+    shard; Column-operator construction cost ~200 py4j round-trips)."""
+    return [F.expr(f"min(xxhash64(hx, {i})) as mh{i}") for i in range(_N_PERM)]
 
 
 def _bands_of(sig: DataFrame) -> DataFrame:
@@ -318,24 +319,19 @@ def _bands_of(sig: DataFrame) -> DataFrame:
     (:func:`minhash_lsh_pairs`) and the incremental shard lookup
     (:func:`shard_neardup_lookup`)."""
     rows_per_band = _N_PERM // _N_BANDS
+    # one SQL parse instead of ~100 py4j calls per plan instance (see
+    # simhash_fingerprints — this plan is rebuilt per arriving shard)
+    structs = ", ".join(
+        "struct(cast({bi} as int) as band, xxhash64({cols}) as bucket)".format(
+            bi=bi,
+            cols=", ".join(
+                f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(_N_BANDS)
+    )
     return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                f"mh{bi * rows_per_band + r}"
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(_N_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
