@@ -860,20 +860,25 @@ def _hamming_bands(dfp: DataFrame) -> DataFrame:
     (tbl, key) row per table; key packs the table's 3 block values into
     16-bit lanes of one long (block width <= 11 < 16, no overlap).
     Shared by the batch self-join (:func:`hamming_pairs`) and the
-    incremental shard lookup (:func:`hamming_lookup`)."""
+    incremental shard lookup (:func:`hamming_lookup`). Built as one
+    parsed SQL string — this plan is rebuilt per arriving shard (see
+    simhash_fingerprints for the fresh-plan-cost measurement)."""
 
-    def block(j: int) -> Column:
+    def block(j: int) -> str:
         mask = (1 << _BLOCK_WIDTHS[j]) - 1
-        return F.shiftright("fp", _BLOCK_OFFSETS[j]).bitwiseAND(F.lit(mask)).cast("long")
+        return f"cast(shiftright(fp, {_BLOCK_OFFSETS[j]}) & {mask} as bigint)"
 
-    structs = []
-    for ti, subset in enumerate(_simhash_tables()):
-        key: Column | None = None
-        for lane, j in enumerate(subset):
-            term = F.shiftleft(block(j), 16 * lane)
-            key = term if key is None else key + term
-        structs.append(F.struct(F.lit(ti).alias("tbl"), key.alias("key")))
-    return dfp.select("fp", F.explode(F.array(*structs)).alias("bb")).select(
+    structs = ", ".join(
+        "struct(cast({ti} as int) as tbl, {key} as key)".format(
+            ti=ti,
+            key=" + ".join(
+                f"shiftleft({block(j)}, {16 * lane})"
+                for lane, j in enumerate(subset)
+            ),
+        )
+        for ti, subset in enumerate(_simhash_tables())
+    )
+    return dfp.select("fp", F.expr(f"explode(array({structs}))").alias("bb")).select(
         "fp", F.col("bb.tbl").alias("tbl"), F.col("bb.key").alias("key")
     )
 
