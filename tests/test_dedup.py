@@ -120,6 +120,68 @@ def test_simhash_token_cap_truncates_deterministically(spark):
     assert fps[1] == fps[2]
 
 
+def test_sql_string_builds_match_operator_forms(spark, sf_dir):
+    """The SQL-string expression builds (round-8 fresh-plan-cost fix:
+    one F.expr parse instead of hundreds of py4j Column calls per plan
+    instance) must stay value-identical to the Column-operator forms
+    they replaced — pinned here with the operator forms as the spec.
+    (simhash_fingerprints is already cross-checked against the spec
+    simhash() by test_simhash_banding_is_complete.)"""
+    from imdbmapreduce_spark.operators import dedup as D
+
+    hx = D._shingle_hx_cached(spark, sf_dir)
+    sig_new = hx.groupBy("doc_id").agg(*D._minhash_agg_cols())
+    sig_spec = hx.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("hx", F.lit(i))).alias(f"mh{i}") for i in range(D._N_PERM)]
+    )
+    assert {tuple(r) for r in sig_new.collect()} == {
+        tuple(r) for r in sig_spec.collect()
+    }
+
+    rpb = D._N_PERM // D._N_BANDS
+    bands_spec = sig_spec.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[f"mh{bi * rpb + r}" for r in range(rpb)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(D._N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band"), F.col("bb.bucket"))
+    assert {tuple(r) for r in D._bands_of(sig_new).collect()} == {
+        tuple(r) for r in bands_spec.collect()
+    }
+
+    fps = D._simhash_fp_cached(spark, sf_dir).select("fp").distinct()
+
+    def block(j):
+        mask = (1 << D._BLOCK_WIDTHS[j]) - 1
+        return (
+            F.shiftright("fp", D._BLOCK_OFFSETS[j]).bitwiseAND(F.lit(mask)).cast("long")
+        )
+
+    structs = []
+    for ti, subset in enumerate(D._simhash_tables()):
+        key = None
+        for lane, j in enumerate(subset):
+            term = F.shiftleft(block(j), 16 * lane)
+            key = term if key is None else key + term
+        structs.append(F.struct(F.lit(ti).alias("tbl"), key.alias("key")))
+    hb_spec = fps.select("fp", F.explode(F.array(*structs)).alias("bb")).select(
+        "fp", F.col("bb.tbl"), F.col("bb.key")
+    )
+    assert {tuple(r) for r in D._hamming_bands(fps).collect()} == {
+        tuple(r) for r in hb_spec.collect()
+    }
+
+
 def test_minhash_signature_similarity_monotone(spark):
     """Identical docs agree on all permutations; disjoint docs on ~none."""
     from imdbmapreduce_spark.operators.dedup import minhash_signature
