@@ -15,8 +15,11 @@ interleave) — JVM-side, codegen-friendly, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from imdbmapreduce_spark.catalog import table
+from imdbmapreduce_spark.registry import query
 
 __all__ = [
     "morton_interleave",
@@ -221,3 +224,234 @@ def write_with_metrics(
         exprs.append(col.alias(name))
     df.observe(obs, *exprs).write.mode("overwrite").parquet(path)
     return obs.get
+
+
+# --- driver-verified pruning audit -----------------------------------------
+
+# Probe boxes in grid units [0, 2^_BITS): (name, lo1, hi1, lo2, hi2).
+# Unconstrained dimensions carry the full range so flag/selection math is
+# uniform across probes.
+_GRID_MAX = (1 << _BITS) - 1
+_PROBES = [
+    ("c1_mid16", 28672, 32767, 0, _GRID_MAX),  # 1/16 slice of column 1
+    ("c2_mid16", 0, _GRID_MAX, 28672, 32767),  # 1/16 slice of column 2
+    ("both_low_quad", 0, 16383, 0, 16383),  # selective box on both
+    ("c2_top16", 0, _GRID_MAX, 61440, _GRID_MAX),  # tail slice of column 2
+]
+_N_FILE_SHIFT = 28  # z in [0, 2^32) >> 28 -> 16 files
+_SORT_SHIFT = _BITS - 4  # u1 >> 12 -> 16 files for the sorted-by-c1 layout
+
+
+def _morton_sql(u1: str, u2: str, bits: int, dialect: str) -> str:
+    """The Morton interleave as ONE parsed SQL expression (the round-8
+    fresh-plan rule: O(bits)-term expression families parse once as SQL,
+    not as a Python loop of Column ops). Spark spells shifts as
+    functions, DuckDB as operators; the bit math is identical."""
+    terms = []
+    for i in range(bits):
+        if dialect == "spark":
+            terms.append(
+                f"shiftleft(shiftrightunsigned({u1}, {i}) & 1, {2 * i + 1})"
+                f" + shiftleft(shiftrightunsigned({u2}, {i}) & 1, {2 * i})"
+            )
+        else:
+            terms.append(
+                f"((({u1} >> {i}) & 1) << {2 * i + 1})"
+                f" + ((({u2} >> {i}) & 1) << {2 * i})"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    probes_values = ",\n      ".join(
+        f"('{p}', {a}, {b}, {c}, {d})" for p, a, b, c, d in _PROBES
+    )
+    return f"""
+    WITH mm AS (
+      SELECT CAST(MIN(l_orderkey) AS BIGINT) AS lo1,
+             CAST(MAX(l_orderkey) AS BIGINT) AS hi1,
+             CAST(MIN(l_partkey) AS BIGINT) AS lo2,
+             CAST(MAX(l_partkey) AS BIGINT) AS hi2
+      FROM lineitem
+    ),
+    g AS MATERIALIZED (
+      SELECT ((CAST(l_orderkey AS BIGINT) - mm.lo1) * {_GRID_MAX})
+               // GREATEST(mm.hi1 - mm.lo1, 1) AS u1,
+             ((CAST(l_partkey AS BIGINT) - mm.lo2) * {_GRID_MAX})
+               // GREATEST(mm.hi2 - mm.lo2, 1) AS u2
+      FROM lineitem, mm
+    ),
+    z AS (SELECT u1, u2, {_morton_sql("u1", "u2", _BITS, "duckdb")} AS z FROM g),
+    files AS (
+      SELECT 'zorder' AS layout, z >> {_N_FILE_SHIFT} AS file_id, u1, u2 FROM z
+      UNION ALL
+      SELECT 'sorted_c1' AS layout, u1 >> {_SORT_SHIFT} AS file_id, u1, u2 FROM z
+    ),
+    stats AS (
+      SELECT layout, file_id,
+             MIN(u1) AS min1, MAX(u1) AS max1,
+             MIN(u2) AS min2, MAX(u2) AS max2
+      FROM files GROUP BY 1, 2
+    ),
+    probes(probe, plo1, phi1, plo2, phi2) AS (VALUES
+      {probes_values}),
+    scan AS (
+      SELECT s.layout, p.probe,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN s.min1 <= p.phi1 AND s.max1 >= p.plo1
+                            AND s.min2 <= p.phi2 AND s.max2 >= p.plo2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned
+      FROM stats s CROSS JOIN probes p GROUP BY 1, 2
+    ),
+    sel AS (
+      SELECT p.probe,
+             CAST(SUM(CASE WHEN g.u1 BETWEEN p.plo1 AND p.phi1
+                            AND g.u2 BETWEEN p.plo2 AND p.phi2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rows_selected
+      FROM g CROSS JOIN probes p GROUP BY 1
+    )
+    SELECT scan.layout, scan.probe, scan.n_files, scan.files_scanned,
+           sel.rows_selected
+    FROM scan JOIN sel USING (probe)
+    """
+
+
+@query("zorder_pruning_audit", oracle=_zorder_oracle())
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified data-skipping audit for the Z-order layout: lay
+    lineitem out 16-files-per-layout two ways — clustered on the
+    Morton curve of (l_orderkey, l_partkey) vs sorted by l_orderkey
+    alone — and for four probe boxes report how many files each
+    layout's per-file min/max stats would let a scan SKIP. This is
+    the measurement behind :func:`zorder_layout`'s claim (selective
+    filters on EITHER column prune under Z-order; the single-column
+    sort only prunes its own column), expressed as the file-pruning
+    arithmetic every lakehouse reader runs against footer stats.
+
+    Determinism: coordinates quantize to the 16-bit grid with pure
+    integer arithmetic ((x-lo)·65535 // span — floor division on
+    non-negatives, identical in both engines); file assignment is a
+    value-range split of the key space (z >> 28 / u1 >> 12 — the
+    static form of repartitionByRange, no sampling); probe bounds
+    are literals. No floats anywhere.
+
+    Plan: ONE pass over the scan computes both layouts' per-file
+    stats (the layout twin-row explode is map-only); probe flags are
+    literal-array explodes (map-only, no join); the rows-selected
+    leg is a second aggregate over the same base. Total: two
+    aggregations over one cached grid projection, a broadcast join
+    of two ≤8-row results.
+
+    Scale: per-file min/max over value-range files is exactly the
+    parquet footer-stats model; at 100 TB file count grows with data
+    but the stats table stays |files|-sized and the audit's cost is
+    the one scan. Reference analog: the reference has no layout
+    optimizer — this is north-star surface (SURVEY.md §2 additive).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_orderkey"),
+        F.max("l_orderkey"),
+        F.min("l_partkey"),
+        F.max("l_partkey"),
+    ).first()
+    if mm[0] is None:
+        return spark.createDataFrame(
+            [],
+            "layout string, probe string, n_files long, "
+            "files_scanned long, rows_selected long",
+        )
+    lo1, hi1, lo2, hi2 = (int(v) for v in mm)
+    span1, span2 = max(hi1 - lo1, 1), max(hi2 - lo2, 1)
+    g = li.select(
+        F.expr(
+            f"((CAST(l_orderkey AS BIGINT) - {lo1}) * {_GRID_MAX}) div {span1}"
+        ).alias("u1"),
+        F.expr(
+            f"((CAST(l_partkey AS BIGINT) - {lo2}) * {_GRID_MAX}) div {span2}"
+        ).alias("u2"),
+    ).withColumn("z", F.expr(_morton_sql("u1", "u2", _BITS, "spark")))
+
+    files = g.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftrightunsigned("z", _N_FILE_SHIFT).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("sorted_c1").alias("layout"),
+                    F.shiftrightunsigned("u1", _SORT_SHIFT).alias("file_id"),
+                ),
+            )
+        ).alias("f"),
+        "u1",
+        "u2",
+    ).select("f.layout", "f.file_id", "u1", "u2")
+    stats = files.groupBy("layout", "file_id").agg(
+        F.min("u1").alias("min1"),
+        F.max("u1").alias("max1"),
+        F.min("u2").alias("min2"),
+        F.max("u2").alias("max2"),
+    )
+    scan = (
+        stats.select(
+            "layout",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("probe"),
+                            (
+                                (F.col("min1") <= phi1)
+                                & (F.col("max1") >= plo1)
+                                & (F.col("min2") <= phi2)
+                                & (F.col("max2") >= plo2)
+                            )
+                            .cast("long")
+                            .alias("hit"),
+                        )
+                        for p, plo1, phi1, plo2, phi2 in _PROBES
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("layout", "x.probe", "x.hit")
+        .groupBy("layout", "probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("hit").alias("files_scanned"),
+        )
+    )
+    sel = (
+        g.agg(
+            *[
+                F.sum(
+                    (
+                        F.col("u1").between(plo1, phi1)
+                        & F.col("u2").between(plo2, phi2)
+                    ).cast("long")
+                ).alias(p)
+                for p, plo1, phi1, plo2, phi2 in _PROBES
+            ]
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("probe"),
+                            F.col(p).alias("rows_selected"),
+                        )
+                        for p, *_ in _PROBES
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.probe", "x.rows_selected")
+    )
+    return scan.join(F.broadcast(sel), "probe").select(
+        "layout", "probe", "n_files", "files_scanned", "rows_selected"
+    )
+
+

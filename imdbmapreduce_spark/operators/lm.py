@@ -584,10 +584,10 @@ def doc_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX2 = 0.7  # interpolation weight on the bigram MLE (0.3 on unigram)
 
-
-@query(
-    "doc_bigram_logprob",
-    oracle=f"""
+# The bigram scorer's oracle as a named constant: ccnet_perplexity_buckets
+# embeds it as a CTE so the bucket labels and the scores they derive from
+# cannot drift apart (same lockstep pattern as split_leakage_audit).
+_BIGRAM_ORACLE = f"""
     WITH ex AS MATERIALIZED (
       SELECT doc_id, toks FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
     ), uni AS MATERIALIZED (
@@ -619,8 +619,10 @@ _MIX2 = 0.7  # interpolation weight on the bigram MLE (0.3 on unigram)
              AS avg_logprob
     FROM bg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
     GROUP BY d.doc_id
-    """,
-)
+    """
+
+
+@query("doc_bigram_logprob", oracle=_BIGRAM_ORACLE)
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring: per document, the total and mean
     per-bigram log-probability under an INTERPOLATED bigram model
@@ -1368,4 +1370,89 @@ def doc_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(_LP_SCALE)
             ).alias("avg_logprob"),
         )
+    )
+
+
+# CCNet-style perplexity bucketing: tertile cutoffs over the integer
+# per-bigram score. Both engines spell the order statistic as "value at
+# rank ceil(q*n) in ascending order" (SQL-standard PERCENTILE_DISC).
+_PPL_Q1 = 0.3333333333333333
+_PPL_Q2 = 0.6666666666666666
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH scores AS ({_BIGRAM_ORACLE}),
+    s AS (
+      SELECT doc_id,
+             CAST(floor(CAST(logprob_q AS DOUBLE) / n_bigrams) AS BIGINT)
+               AS avg_q
+      FROM scores
+    ),
+    n AS (SELECT COUNT(*) AS n FROM s),
+    r AS (SELECT avg_q, row_number() OVER (ORDER BY avg_q) AS rn FROM s),
+    c AS (
+      SELECT
+        (SELECT avg_q FROM r
+          WHERE rn = (SELECT CAST(ceil({_PPL_Q1} * n) AS BIGINT) FROM n)) AS c1,
+        (SELECT avg_q FROM r
+          WHERE rn = (SELECT CAST(ceil({_PPL_Q2} * n) AS BIGINT) FROM n)) AS c2
+    )
+    SELECT s.doc_id, s.avg_q,
+           CASE WHEN s.avg_q <= (SELECT c1 FROM c) THEN 'tail'
+                WHEN s.avg_q <= (SELECT c2 FROM c) THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
+    FROM s
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's corpus partitioning: score every document under the
+    corpus LM, then split the corpus into head / middle / tail thirds by
+    perplexity — the filter CCNet runs before anything else touches a
+    crawl (head ≈ Wikipedia-like, tail ≈ noise). Scores come from the
+    registered interpolated-bigram model (:func:`doc_bigram_logprob` —
+    shared-cached artifacts, so this adds no corpus pass), and the oracle
+    embeds that scorer's SQL verbatim so the labels can never drift from
+    the scores.
+
+    Determinism: the per-doc score is floor(logprob_q / n_bigrams) — an
+    integer both engines derive from the same exact-int division — and
+    the tertile cutoffs are ORDER STATISTICS of that integer multiset
+    (value at rank ceil(n/3), ceil(2n/3)): no interpolation, so no
+    cross-engine float boundary. Ties share a bucket by construction
+    (labels compare values, not ranks). Higher avg log-prob = lower
+    perplexity = 'head'.
+
+    Scale: scoring is the ladder's model join; the cutoffs are TWO order
+    statistics (percentile_disc — at 100 TB swap for approx_percentile
+    trained on a sample shard, the labeling map-pass is unchanged; CCNet
+    itself fits cutoffs on a sample). Labeling is map-only against two
+    broadcast scalars.
+    """
+    scores = doc_bigram_logprob(spark, sf_dir)
+    s = scores.select(
+        "doc_id",
+        F.floor(F.col("logprob_q").cast("double") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("avg_q"),
+    )
+    cuts = s.agg(
+        F.expr(
+            f"percentile_disc({_PPL_Q1}) WITHIN GROUP (ORDER BY avg_q)"
+        ).alias("c1"),
+        F.expr(
+            f"percentile_disc({_PPL_Q2}) WITHIN GROUP (ORDER BY avg_q)"
+        ).alias("c2"),
+    ).first()
+    if cuts is None or cuts["c1"] is None:
+        return spark.createDataFrame([], "doc_id long, avg_q long, ppl_bucket string")
+    c1, c2 = int(cuts["c1"]), int(cuts["c2"])
+    return s.select(
+        "doc_id",
+        "avg_q",
+        F.when(F.col("avg_q") <= c1, "tail")
+        .when(F.col("avg_q") <= c2, "middle")
+        .otherwise("head")
+        .alias("ppl_bucket"),
     )

@@ -1006,3 +1006,180 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+# --- DSIR: data selection with importance resampling ----------------------
+
+_DSIR_B = 512  # hashed n-gram feature buckets (DSIR's 10k, sized to corpus)
+_DSIR_SCALE = 1_000_000  # log-ratio quantum: 1e-6 (the LM ladder's quantum)
+
+# Hashed-feature extraction shared by both engines: unigrams + space-joined
+# bigrams, md5-hashed into _DSIR_B buckets (portable hex→int spelling).
+_DSIR_FEATS_SQL = f"""
+    ex AS MATERIALIZED (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(toks) AS g FROM ex
+      UNION ALL
+      SELECT doc_id, w1 || ' ' || w2 AS g FROM (
+        SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM ex WHERE len(toks) >= 2
+      )
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % {_DSIR_B} AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2
+    )
+"""
+
+
+def _dsir_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, hashed-feature-bucket) counts — unigrams + bigrams
+    md5-hashed into _DSIR_B buckets. Derives from the session-cached
+    per-doc n-gram artifacts (no fresh corpus pass); session-cached
+    itself because the raw/target models and the scoring join all
+    consume it."""
+    from imdbmapreduce_spark.operators.lm import _doc_bigram_counts
+    from imdbmapreduce_spark.operators.text import _doc_token_counts
+
+    def bucket(g):
+        return (F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % _DSIR_B)
+
+    def build() -> DataFrame:
+        uni = _doc_token_counts(spark, sf_dir).select(
+            "doc_id", bucket(F.col("tok")).alias("b"), "k"
+        )
+        bi = shared_cache(
+            spark,
+            ("bigram_doc_counts", sf_dir),
+            lambda: _doc_bigram_counts(spark, sf_dir),
+        ).select(
+            "doc_id",
+            bucket(F.concat_ws(" ", "w1", "w2")).alias("b"),
+            "k",
+        )
+        return (
+            uni.unionByName(bi)
+            .groupBy("doc_id", "b")
+            .agg(F.sum("k").alias("c"))
+        )
+
+    return shared_cache(spark, ("dsir_doc_buckets", sf_dir), build)
+
+
+_TOKS_FOR_DSIR = _DUCK_TOKS
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_FEATS_SQL.format(toks=_TOKS_FOR_DSIR)},
+    tgt AS (
+      SELECT doc_id FROM ex
+      WHERE len(toks) >= 20 AND len(list_distinct(toks)) * 4 >= len(toks)
+    ),
+    raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM feats GROUP BY b),
+    tgtb AS (
+      SELECT f.b, CAST(SUM(f.c) AS BIGINT) AS ct
+      FROM feats f JOIN tgt USING (doc_id) GROUP BY f.b
+    ),
+    tot AS (
+      SELECT (SELECT SUM(cr) FROM raw) AS tr,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgtb) AS tt
+    ),
+    model AS (
+      SELECT r.b,
+             CAST(round((
+               ln((COALESCE(t.ct, 0) + 1)
+                  / (CAST((SELECT tt FROM tot) AS DOUBLE) + {_DSIR_B}))
+               - ln((r.cr + 1)
+                  / (CAST((SELECT tr FROM tot) AS DOUBLE) + {_DSIR_B}))
+             ) * {_DSIR_SCALE}) AS BIGINT) AS llr_q
+      FROM raw r LEFT JOIN tgtb t ON r.b = t.b
+    )
+    SELECT f.doc_id,
+           CAST(SUM(f.c) AS BIGINT) AS n_feats,
+           CAST(SUM(f.c * m.llr_q) AS BIGINT) AS logweight_q,
+           CAST(SUM(f.c * m.llr_q) AS DOUBLE) / SUM(f.c) / {_DSIR_SCALE}
+             AS avg_logweight
+    FROM feats f JOIN model m ON f.b = m.b
+    GROUP BY f.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how much it
+    looks like the TARGET distribution, as the log importance weight
+    under two bag-of-hashed-n-grams models — log p_target(doc) −
+    log p_raw(doc) = Σ_b c_doc(b)·(log p_t(b) − log p_r(b)) over
+    unigram+bigram features md5-hashed into 512 buckets, add-one
+    smoothed. The target here is the registered quality gate's passing
+    set (doc_quality's rule, inlined byte-for-byte so the two stay in
+    lockstep); downstream, corpus_mix_resample-style hash selection
+    resamples by these weights.
+
+    Determinism: the per-bucket log-ratio quantizes to 1e-6 at the MODEL
+    level (one rounding per bucket, the LM ladder's rule), so per-doc
+    sums are exact integer reductions; the hash is the portable
+    md5-hex→int spelling both engines share.
+
+    Scale: feature extraction derives from the session-cached per-doc
+    n-gram artifacts (zero fresh scans in a sweep); both models are
+    ≤512-row aggregates (_DSIR_B); scoring is a BROADCAST join of the
+    512-row model against per-doc bucket counts — one shuffle on doc_id
+    for the final agg, nothing keyed on a skewable token. At 100 TB the
+    model table is still 512 rows: the whole selection pass is map-side.
+    """
+    db = _dsir_doc_buckets(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    tgt = docs.select(
+        "doc_id", F.size(toks).alias("n"), F.size(F.array_distinct(toks)).alias("d")
+    ).filter((F.col("n") >= 20) & (F.col("d") * 4 >= F.col("n"))).select("doc_id")
+
+    raw = db.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgtb = db.join(tgt, "doc_id").groupBy("b").agg(F.sum("c").alias("ct"))
+    tr = raw.agg(F.sum("cr")).first()[0]
+    if tr is None:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_feats long, logweight_q long, avg_logweight double",
+        )
+    tt = tgtb.agg(F.sum("ct")).first()[0] or 0
+    model = (
+        raw.join(tgtb, "b", "left")
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / F.lit(float(tt) + _DSIR_B)
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double") / F.lit(float(tr) + _DSIR_B)
+                    )
+                )
+                * _DSIR_SCALE
+            )
+            .cast("long")
+            .alias("llr_q"),
+        )
+    )
+    return (
+        db.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("llr_q")).alias("logweight_q"),
+            (
+                F.sum(F.col("c") * F.col("llr_q")).cast("double")
+                / F.sum("c")
+                / F.lit(_DSIR_SCALE)
+            ).alias("avg_logweight"),
+        )
+    )

@@ -334,6 +334,7 @@ def _load_plans() -> None:
     from imdbmapreduce_spark.operators import audit  # noqa: F401
     from imdbmapreduce_spark.operators import bloomjoin  # noqa: F401
     from imdbmapreduce_spark.operators import dedup  # noqa: F401
+    from imdbmapreduce_spark.operators import layout  # noqa: F401
     from imdbmapreduce_spark.operators import multimodal  # noqa: F401
     from imdbmapreduce_spark.plans import tpch2  # noqa: F401
     from imdbmapreduce_spark.streaming import windowed  # noqa: F401

@@ -239,3 +239,33 @@ def test_write_with_metrics_observes_in_one_pass(spark, tmp_path):
     # the built-in count is reserved — a caller metric must not shadow it
     with pytest.raises(ValueError, match="rows_written"):
         write_with_metrics(df, path, {"rows_written": F.sum("v")})
+
+
+def test_zorder_pruning_audit_invariants(spark, sf_dir):
+    """Structural claims of the pruning audit: the single-column sort
+    cannot prune the other column (scans every file for c2-only probes),
+    Z-order prunes BOTH columns (strictly fewer than all files on every
+    probe), and rows_selected is layout-invariant."""
+    from imdbmapreduce_spark import registry
+
+    rows = registry.get("zorder_pruning_audit").fn(spark, sf_dir).collect()
+    by = {(r.layout, r.probe): r for r in rows}
+    assert len(by) == 8
+    probes = {p for _, p in by}
+    for p in probes:
+        z, s = by[("zorder", p)], by[("sorted_c1", p)]
+        assert z.rows_selected == s.rows_selected  # selection is layout-free
+        assert z.n_files == s.n_files
+        # a scan never reads fewer files than 1 or more than all
+        for r in (z, s):
+            assert 1 <= r.files_scanned <= r.n_files
+    for p in ("c2_mid16", "c2_top16"):
+        # sorted-by-c1 has no c2 clustering: every file intersects
+        assert by[("sorted_c1", p)].files_scanned == by[("sorted_c1", p)].n_files
+        # z-order prunes the same probe
+        assert by[("zorder", p)].files_scanned < by[("zorder", p)].n_files
+    # on its own column the sort is at least as tight as z-order
+    assert (
+        by[("sorted_c1", "c1_mid16")].files_scanned
+        <= by[("zorder", "c1_mid16")].files_scanned
+    )

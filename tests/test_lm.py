@@ -455,3 +455,34 @@ def test_doc_kn_bigram_logprob_matches_python_replay(spark, sf_dir):
         assert (r.n_bigrams, r.logprob_q) == (n_bigrams, logprob_q), doc_id
         assert r.avg_logprob == logprob_q / n_bigrams / _LP_SCALE
         assert r.avg_logprob < 0
+
+
+def test_ccnet_perplexity_buckets_matches_python_replay(spark, sf_dir):
+    """Bucket labels replayed in pure Python from the registered bigram
+    scores: floor-divide to the integer score, take the order statistics
+    at ranks ceil(n/3) / ceil(2n/3), label by value comparison."""
+    import math as _m
+
+    scores = {
+        r.doc_id: (r.logprob_q, r.n_bigrams)
+        for r in registry.get("doc_bigram_logprob").fn(spark, sf_dir).collect()
+    }
+    avg_q = {d: _m.floor(lp / n) for d, (lp, n) in scores.items()}
+    ordered = sorted(avg_q.values())
+    n = len(ordered)
+    c1 = ordered[_m.ceil(0.3333333333333333 * n) - 1]
+    c2 = ordered[_m.ceil(0.6666666666666666 * n) - 1]
+    want = {
+        d: ("tail" if q <= c1 else "middle" if q <= c2 else "head")
+        for d, q in avg_q.items()
+    }
+
+    got = registry.get("ccnet_perplexity_buckets").fn(spark, sf_dir).collect()
+    assert {r.doc_id: r.avg_q for r in got} == avg_q
+    assert {r.doc_id: r.ppl_bucket for r in got} == want
+    # every bucket is populated and head scores strictly beat tail scores
+    by_bucket: dict[str, list[int]] = {}
+    for r in got:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.avg_q)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) > max(by_bucket["tail"])

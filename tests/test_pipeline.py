@@ -331,3 +331,70 @@ def test_weighted_sample_matches_python_replay(spark, sf_dir):
     mean_all = sum(x[2] for x in scored) / len(scored)
     mean_sample = sum(r.weight for r in got) / len(got)
     assert mean_sample > mean_all
+
+
+def test_dsir_importance_weights_matches_python_replay(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights replayed in pure Python:
+    md5-bucketed unigram+bigram counts, add-one smoothed target/raw
+    models, 1e-6-quantized per-bucket log-ratio, exact integer per-doc
+    sums."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+
+    B, SCALE = 512, 1_000_000
+    rows = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def toks(t):
+        return [x for x in t.strip().split() if x]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    per_doc: dict[int, Counter] = {}
+    target: set[int] = set()
+    for r in rows:
+        ts = toks(r.text)
+        feats = Counter(bucket(g) for g in ts)
+        feats.update(bucket(f"{a} {b}") for a, b in zip(ts, ts[1:]))
+        if feats:
+            per_doc[r.doc_id] = feats
+        if len(ts) >= 20 and len(set(ts)) * 4 >= len(ts):
+            target.add(r.doc_id)
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for d, feats in per_doc.items():
+        raw.update(feats)
+        if d in target:
+            tgt.update(feats)
+    tr, tt = float(sum(raw.values())), float(sum(tgt.values()))
+
+    def q(v: float) -> int:  # Spark round(): half away from zero
+        s = v * SCALE
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    llr_q = {
+        b: q(math.log((tgt.get(b, 0) + 1) / (tt + B)) - math.log((cr + 1) / (tr + B)))
+        for b, cr in raw.items()
+    }
+
+    got = {
+        r.doc_id: r
+        for r in registry.get("dsir_importance_weights").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for d, feats in per_doc.items():
+        n_feats = sum(feats.values())
+        lw_q = sum(k * llr_q[b] for b, k in feats.items())
+        r = got[d]
+        assert (r.n_feats, r.logweight_q) == (n_feats, lw_q), d
+        assert r.avg_logweight == lw_q / n_feats / SCALE
+    # target docs should on average out-score non-target docs
+    t_avg = [got[d].avg_logweight for d in per_doc if d in target]
+    o_avg = [got[d].avg_logweight for d in per_doc if d not in target]
+    if t_avg and o_avg:
+        assert sum(t_avg) / len(t_avg) > sum(o_avg) / len(o_avg)
