@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -850,3 +851,150 @@ def image_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cache it like the SimHash fingerprints: build once, serve all.
     members = shared_cache(spark, ("phash_fp", sf_dir), build_members)
     return hamming_pairs(members).orderBy("doc_a", "doc_b")
+
+
+# Spectral analysis lane: fixed-point DFT bin energies per analysis
+# window — the actual math of audio fingerprinting / VAD front-ends
+# (Goertzel-style single-bin DFT), in integer arithmetic so every engine
+# (and every partitioning) reproduces it bit-for-bit. The coefficient
+# tables quantize cos/sin to 1/128 steps (Q7 fixed point): products stay
+# exact in int64 (|s|·128·window ≤ 32767·128·256 ≈ 2^30 per term,
+# ≤ 2^38 per window sum).
+_SPEC_WIN = 256  # samples per spectral window
+_SPEC_BINS = (1, 2, 4, 8)  # DFT bin indices (cycles per window)
+_SPEC_SCALE = 128  # Q7 coefficient quantization
+
+
+def _spec_tables() -> tuple[list[int], list[int]]:
+    """Q7 cosine/sine tables, one entry per phase step j/_SPEC_WIN of a
+    turn. round-half-away (the engines' round()), though no entry lands
+    on .5 for _SPEC_WIN=256/_SPEC_SCALE=128."""
+    import math
+
+    def q(v: float) -> int:
+        s = v * _SPEC_SCALE
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    cos_t = [q(math.cos(2.0 * math.pi * j / _SPEC_WIN)) for j in range(_SPEC_WIN)]
+    sin_t = [q(math.sin(2.0 * math.pi * j / _SPEC_WIN)) for j in range(_SPEC_WIN)]
+    return cos_t, sin_t
+
+
+_SPEC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("bin", LongType()),
+        StructField("re_q", LongType()),
+        StructField("im_q", LongType()),
+        StructField("power", DoubleType()),
+    ]
+)
+
+
+def _spec_oracle() -> str:
+    cos_t, sin_t = _spec_tables()
+    bins = ", ".join(str(k) for k in _SPEC_BINS)
+    return f"""
+    WITH a AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) // 2 AS ns
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    smp AS MATERIALIZED (
+      SELECT doc_id, ns,
+             list_transform(
+               list_transform(range(0, ns), i ->
+                 CAST(('0x' || substring(h, 4*i + 1, 2)) AS BIGINT)
+                 + 256 * CAST(('0x' || substring(h, 4*i + 3, 2)) AS BIGINT)),
+               v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS s
+      FROM a
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+             s[(CAST(t.i AS BIGINT)*{_SPEC_WIN} + 1):
+               (LEAST(CAST(t.i AS BIGINT)*{_SPEC_WIN} + {_SPEC_WIN}, ns))] AS w
+      FROM smp CROSS JOIN range(0, 100000) t(i)
+      WHERE CAST(t.i AS BIGINT)*{_SPEC_WIN} < ns
+    ),
+    coef(cq, sq) AS (VALUES ({cos_t}, {sin_t})),
+    spec AS (
+      SELECT c.doc_id, c.chunk_idx, CAST(b.k AS BIGINT) AS bin,
+             CAST(list_sum(list_transform(range(0, len(c.w)),
+               n -> c.w[n + 1] * f.cq[((b.k * n) % {_SPEC_WIN}) + 1]))
+               AS BIGINT) AS re_q,
+             CAST(list_sum(list_transform(range(0, len(c.w)),
+               n -> c.w[n + 1] * f.sq[((b.k * n) % {_SPEC_WIN}) + 1]))
+               AS BIGINT) AS im_q
+      FROM chunks c
+      CROSS JOIN (SELECT unnest([{bins}]) AS k) b
+      CROSS JOIN coef f
+    )
+    SELECT doc_id, chunk_idx, bin, re_q, im_q,
+           CAST(re_q AS DOUBLE) * CAST(re_q AS DOUBLE)
+             + CAST(im_q AS DOUBLE) * CAST(im_q AS DOUBLE) AS power
+    FROM spec
+    """
+
+
+@query("audio_spectral_features", oracle=_spec_oracle())
+def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral feature extraction over the audio lane: per analysis
+    window of 256 int16 PCM samples (_SPEC_WIN), the DFT response at
+    bins 1/2/4/8 (Goertzel-style single-bin DFT — the front-end of audio
+    fingerprinting, pitch tracking and VAD), computed in Q7 FIXED-POINT
+    arithmetic. Fixed point isn't a test convenience: it's how
+    production DSP gets run-to-run reproducibility — float DFTs differ
+    across SIMD widths and summation orders, integer ones never do —
+    and it makes even this Arrow lane externally provable (DuckDB
+    rebuilds the PCM bytes and replays the same integer dot products).
+
+    re_q/im_q are exact int64 (coefficient tables quantized once,
+    module constant); power is one float expression over the exact
+    ints, spelled identically in both engines.
+
+    Scale: shuffle-free narrow mapInPandas lane — vectorized numpy
+    int64 dot products inside each Arrow batch, emitting
+    |samples|/256 × 4 rows/doc; parallelism = scan splits;
+    payloads never shuffle (the repo's multimodal rule).
+    """
+    import numpy as np
+
+    mm = with_payload(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "audio"
+    )
+    cos_l, sin_l = _spec_tables()
+    cos_t, sin_t = np.array(cos_l, dtype=np.int64), np.array(sin_l, dtype=np.int64)
+
+    def spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                samples = np.frombuffer(
+                    data[: len(data) - (len(data) % 2)], dtype="<i2"
+                ).astype(np.int64)
+                for ci in range(0, -(-len(samples) // _SPEC_WIN)):
+                    w = samples[ci * _SPEC_WIN : (ci + 1) * _SPEC_WIN]
+                    n = np.arange(len(w), dtype=np.int64)
+                    for k in _SPEC_BINS:
+                        idx = (k * n) % _SPEC_WIN
+                        re_q = int((w * cos_t[idx]).sum())
+                        im_q = int((w * sin_t[idx]).sum())
+                        rows.append(
+                            (
+                                int(doc_id),
+                                ci,
+                                k,
+                                re_q,
+                                im_q,
+                                float(re_q) * float(re_q)
+                                + float(im_q) * float(im_q),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "chunk_idx", "bin", "re_q", "im_q", "power"],
+            )
+
+    return mm.mapInPandas(spec, _SPEC_SCHEMA)

@@ -271,3 +271,63 @@ def test_bmp_decoder_roundtrip_and_rejects():
     ]:
         with _pytest.raises(ValueError):
             decode_bmp_features(bad)
+
+
+def test_audio_spectral_features_matches_float_dft(spark, sf_dir):
+    """The Q7 fixed-point DFT must (a) replay exactly in pure Python
+    int math and (b) track the true float DFT within the coefficient
+    quantization bound: |re_q/128 - Re(X_k)| <= sum|s| * (0.5/128)."""
+    import numpy as np
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.multimodal import (
+        _SPEC_BINS,
+        _SPEC_SCALE,
+        _SPEC_WIN,
+        _spec_tables,
+    )
+
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in table(spark, sf_dir, "documents").collect()
+        if r.doc_id % 3 == 1
+    }
+    cos_l, sin_l = _spec_tables()
+    cos_t, sin_t = np.array(cos_l, dtype=np.int64), np.array(sin_l, dtype=np.int64)
+
+    want = {}
+    for doc_id, data in docs.items():
+        s = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(
+            np.int64
+        )
+        for ci in range(0, -(-len(s) // _SPEC_WIN)):
+            w = s[ci * _SPEC_WIN : (ci + 1) * _SPEC_WIN]
+            n = np.arange(len(w), dtype=np.int64)
+            for k in _SPEC_BINS:
+                idx = (k * n) % _SPEC_WIN
+                want[(doc_id, ci, k)] = (
+                    int((w * cos_t[idx]).sum()),
+                    int((w * sin_t[idx]).sum()),
+                )
+
+    rows = registry.get("audio_spectral_features").fn(spark, sf_dir).collect()
+    got = {(r.doc_id, r.chunk_idx, r.bin): (r.re_q, r.im_q) for r in rows}
+    assert got == want
+
+    # float-DFT parity within the quantization bound
+    checked = 0
+    for (doc_id, ci, k), (re_q, im_q) in list(want.items())[:64]:
+        data = docs[doc_id]
+        s = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(
+            np.float64
+        )
+        w = s[ci * _SPEC_WIN : (ci + 1) * _SPEC_WIN]
+        n = np.arange(len(w))
+        true_re = float((w * np.cos(2 * np.pi * k * n / _SPEC_WIN)).sum())
+        true_im = float((w * np.sin(2 * np.pi * k * n / _SPEC_WIN)).sum())
+        bound = np.abs(w).sum() * (0.5 / _SPEC_SCALE) + 1e-9
+        assert abs(re_q / _SPEC_SCALE - true_re) <= bound
+        assert abs(im_q / _SPEC_SCALE - true_im) <= bound
+        checked += 1
+    assert checked > 0
