@@ -743,3 +743,109 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr).cast("long"))
         .select("src", "dst", "n_common", "aa_q", "aa_score", "rank")
     )
+
+
+# --- label propagation communities -----------------------------------------
+
+LPA_ROUNDS = 4
+# Synchronous LPA mixes like the power method: on this dense co-supplier
+# graph the partition is stable after 2-3 rounds; 4 gives margin while
+# keeping the unrolled oracle readable. The recurrence is deterministic
+# (max-count label, ties to the SMALLEST label), so any round count is
+# bit-reproducible — no convergence luck involved.
+
+
+def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Unroll the synchronous label-propagation recurrence as chained
+    CTEs — possible because every round is integer counting plus a
+    total-ordered argmax (count DESC, label ASC), both engines replay it
+    exactly."""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""n{t} AS (
+      SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+      FROM edges e JOIN l{t - 1} l ON e.src = l.node GROUP BY 1, 2
+    ), b{t} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM n{t}
+      ) WHERE rn = 1
+    ), l{t} AS (
+      SELECT nd.node, COALESCE(b.lbl, p.lbl) AS lbl
+      FROM nodes nd
+      LEFT JOIN b{t} b ON nd.node = b.node
+      JOIN l{t - 1} p ON nd.node = p.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH ds AS (
+      SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.s AS src, b.s AS dst
+      FROM ds a JOIN ds b ON a.k = b.k WHERE a.s <> b.s
+    ), nodes AS (
+      SELECT s_suppkey AS node FROM supplier
+    ), l0 AS (
+      SELECT node, node AS lbl FROM nodes
+    ),
+    {chain}
+    SELECT node, lbl AS community FROM l{rounds}
+    """
+
+
+@query("lpa_supplier_communities", oracle=_lpa_oracle_sql())
+def lpa_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-supplier graph — the third member of the iterative trio
+    (components = reachability, PageRank = centrality, LPA = community
+    structure; RAK 2007). Each node starts as its own label; every
+    round it adopts the most frequent label among its neighbors, ties
+    broken to the SMALLEST label — the deterministic variant of LPA's
+    usual random tie-break, which makes the algorithm a pure function
+    of the graph and lets the oracle unroll it CTE-per-round
+    (the pagerank/kcore pattern).
+
+    Plan per round: edges ⋈ labels on src (one hash join keyed on the
+    bounded-fan-out src), count per (dst, label), argmax via one
+    integer struct-max aggregation — no window, no sort. Labels
+    checkpoint per round (the iterative-plan rule).
+
+    Scale: per-round cost is O(|edges|) shuffle keyed on dst — exactly
+    Pregel's message volume; the argmax aggregation is map-side
+    combinable. Dense-community skew concentrates on popular labels,
+    not on join keys, so AQE's skew handling applies.
+    """
+    nodes = shared_cache(
+        spark,
+        ("cosupplier_nodes", sf_dir),
+        lambda: table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("node")
+        ),
+    )
+    edges = shared_cache(
+        spark,
+        ("cosupplier_edges_flat", sf_dir),  # kcore's artifact — one build
+        lambda: cosupplier_edges(spark, sf_dir),
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(LPA_ROUNDS):
+        counted = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            counted.groupBy("dst")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.neg")).alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .transform(stable_checkpoint_lazy)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -1183,3 +1183,90 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logweight"),
         )
     )
+
+
+_DSIR_KEEP_Q = 0.75  # selection cutoff: keep the top quarter by weight
+
+
+@query(
+    "dsir_topk_selection",
+    oracle=f"""
+    WITH {_DSIR_FEATS_SQL.format(toks=_TOKS_FOR_DSIR)},
+    tgt AS (
+      SELECT doc_id FROM ex
+      WHERE len(toks) >= 20 AND len(list_distinct(toks)) * 4 >= len(toks)
+    ),
+    raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM feats GROUP BY b),
+    tgtb AS (
+      SELECT f.b, CAST(SUM(f.c) AS BIGINT) AS ct
+      FROM feats f JOIN tgt USING (doc_id) GROUP BY f.b
+    ),
+    tot AS (
+      SELECT (SELECT SUM(cr) FROM raw) AS tr,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgtb) AS tt
+    ),
+    model AS (
+      SELECT r.b,
+             CAST(round((
+               ln((COALESCE(t.ct, 0) + 1)
+                  / (CAST((SELECT tt FROM tot) AS DOUBLE) + {_DSIR_B}))
+               - ln((r.cr + 1)
+                  / (CAST((SELECT tr FROM tot) AS DOUBLE) + {_DSIR_B}))
+             ) * {_DSIR_SCALE}) AS BIGINT) AS llr_q
+      FROM raw r LEFT JOIN tgtb t ON r.b = t.b
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(floor(CAST(SUM(f.c * m.llr_q) AS DOUBLE) / SUM(f.c))
+               AS BIGINT) AS avgw_q
+      FROM feats f JOIN model m ON f.b = m.b
+      GROUP BY f.doc_id
+    ),
+    n AS (SELECT COUNT(*) AS n FROM scored),
+    r AS (SELECT avgw_q, row_number() OVER (ORDER BY avgw_q) AS rn FROM scored),
+    c AS (
+      SELECT (SELECT avgw_q FROM r
+               WHERE rn = (SELECT CAST(ceil({_DSIR_KEEP_Q} * n) AS BIGINT) FROM n))
+             AS cut
+    )
+    SELECT doc_id, avgw_q, avgw_q > (SELECT cut FROM c) AS selected
+    FROM scored
+    """,
+)
+def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step DSIR's weights exist FOR: keep the top quarter
+    of the corpus by per-feature importance weight — the deterministic
+    top-k variant of DSIR's Gumbel-noise resampling (at equal weights
+    Gumbel sampling IS uniform over the tied set; here ties share the
+    cutoff's fate so selection is a pure function of content). Composes
+    the registered scorer verbatim (oracle embeds the same model CTEs;
+    Spark side reuses the session-cached bucket artifacts — zero extra
+    scans in a sweep).
+
+    Determinism: the per-doc score integerizes as floor(logweight_q /
+    n_feats) — floor of one exact double division, identical in both
+    engines — and the cutoff is the order statistic at rank
+    ceil(0.75·n) (the ccnet_perplexity_buckets rule). Docs strictly
+    above the cutoff are selected: ~25% of the corpus, ties excluded
+    together.
+
+    Scale: scoring is the DSIR broadcast-model join; the cutoff is ONE
+    order statistic (swap for approx_percentile at 100 TB); the
+    selection flag is a map-only comparison against a broadcast scalar.
+    """
+    scored = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("logweight_q").cast("double") / F.col("n_feats"))
+        .cast("long")
+        .alias("avgw_q"),
+    )
+    cut = scored.agg(
+        F.expr(
+            f"percentile_disc({_DSIR_KEEP_Q}) WITHIN GROUP (ORDER BY avgw_q)"
+        ).alias("cut")
+    ).first()["cut"]
+    if cut is None:
+        return spark.createDataFrame([], "doc_id long, avgw_q long, selected boolean")
+    return scored.select(
+        "doc_id", "avgw_q", (F.col("avgw_q") > int(cut)).alias("selected")
+    )

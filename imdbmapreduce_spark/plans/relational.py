@@ -2261,3 +2261,61 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query(
+    "part_price_size_skyline",
+    oracle="""
+    SELECT p.p_partkey,
+           CAST(p.p_retailprice AS DOUBLE) AS price,
+           CAST(p.p_size AS BIGINT) AS size_v
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+         OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)
+    )
+    """,
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (minimize p_retailprice, maximize p_size) — the classic
+    multi-criteria shortlist ("no part is both cheaper and at least as
+    large"). The textbook definition is a quadratic NOT EXISTS
+    self-join; the oracle keeps that naive form as ground truth while
+    the Spark plan uses the 2-D sort-scan identity: a part is dominated
+    iff (a) some strictly-cheaper part has size >= its size — a running
+    max over prices below its own — or (b) a same-price part has a
+    strictly larger size — the per-price group max. Both are O(n log n)
+    aggregates/windows, no self-join at all.
+
+    Determinism: dominance compares exact DECIMAL prices and integer
+    sizes (the money-in-DECIMAL rule; the DOUBLE cast happens only at
+    projection). Equal-(price, size) duplicates are mutually
+    non-dominating and survive together.
+
+    Scale: one |distinct price|-sized aggregate, one window over that
+    DOMAIN-BOUNDED table (TPC-H prices: ~100k distinct values at any
+    SF, so the global window ranks a bounded frame — the
+    repo's global-window rule), and one broadcast-join of the
+    per-price dominance thresholds back to parts. The naive self-join
+    the oracle runs would be |part|² at scale; this plan never forms a
+    pair.
+    """
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("mx"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresholds = per_price.withColumn("prev_mx", F.max("mx").over(w))
+    joined = parts.join(F.broadcast(thresholds), "p_retailprice")
+    dominated = (
+        F.col("prev_mx").isNotNull() & (F.col("prev_mx") >= F.col("p_size"))
+    ) | (F.col("mx") > F.col("p_size"))
+    return joined.filter(~dominated).select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("long").alias("size_v"),
+    )

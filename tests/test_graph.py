@@ -314,3 +314,41 @@ def test_adamic_adar_matches_python_replay(spark, sf_dir):
         assert r.aa_score == r.aa_q / _AA_SCALE
         assert (r.src, r.dst) not in wedges  # predicted links only
     assert got, "co-part graph must yield non-adjacent candidates"
+
+
+def test_lpa_matches_python_replay(spark, sf_dir):
+    """Synchronous deterministic LPA replayed in pure Python: 4 rounds of
+    most-frequent-neighbor-label with smallest-label tie-break."""
+    from collections import Counter, defaultdict
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.operators.graph import (
+        LPA_ROUNDS,
+        cosupplier_edges,
+    )
+    from imdbmapreduce_spark.catalog import table
+
+    edges = defaultdict(list)
+    for r in cosupplier_edges(spark, sf_dir).collect():
+        edges[r.dst].append(r.src)
+    nodes = [r.s_suppkey for r in table(spark, sf_dir, "supplier").collect()]
+    lbl = {v: v for v in nodes}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for v in nodes:
+            if v not in edges:
+                nxt[v] = lbl[v]
+                continue
+            c = Counter(lbl[u] for u in edges[v])
+            nxt[v] = min(
+                (l for l, k in c.items() if k == max(c.values()))
+            )
+        lbl = nxt
+
+    got = {
+        r.node: r.community
+        for r in registry.get("lpa_supplier_communities").fn(spark, sf_dir).collect()
+    }
+    assert got == lbl
+    # community ids are member node ids (labels propagate, never invent)
+    assert set(got.values()) <= set(nodes)

@@ -398,3 +398,26 @@ def test_dsir_importance_weights_matches_python_replay(spark, sf_dir):
     o_avg = [got[d].avg_logweight for d in per_doc if d not in target]
     if t_avg and o_avg:
         assert sum(t_avg) / len(t_avg) > sum(o_avg) / len(o_avg)
+
+
+def test_dsir_topk_selection_consistent_with_weights(spark, sf_dir):
+    """Selection = strictly-above-the-75th-order-statistic on the
+    integerized weight; selected and unselected sets are value-separated
+    and the selected fraction is ~25% (ties excluded together)."""
+    import math
+
+    from imdbmapreduce_spark import registry
+
+    w = {
+        r.doc_id: math.floor(r.logweight_q / r.n_feats)
+        for r in registry.get("dsir_importance_weights").fn(spark, sf_dir).collect()
+    }
+    ordered = sorted(w.values())
+    cut = ordered[math.ceil(0.75 * len(ordered)) - 1]
+
+    rows = registry.get("dsir_topk_selection").fn(spark, sf_dir).collect()
+    assert {r.doc_id: r.avgw_q for r in rows} == w
+    sel = {r.doc_id for r in rows if r.selected}
+    assert sel == {d for d, q in w.items() if q > cut}
+    assert 0 < len(sel) <= len(w) - math.ceil(0.75 * len(w)) + 1
+    assert min(w[d] for d in sel) > max(w[d] for d in w if d not in sel)

@@ -123,3 +123,32 @@ def test_rollup_incremental_single_day_edge(spark, tmp_path):
         n, s = want.get(key, (0, 0.0))
         want[key] = (n + 1, round(s + 1.25 * i, 2))
     assert {k: (n, round(s, 2)) for k, (n, s) in got.items()} == want
+
+
+def test_skyline_matches_naive_python(spark, sf_dir):
+    """The sort-scan skyline must equal the quadratic dominance
+    definition replayed in pure Python, and every returned point must
+    be pairwise non-dominating."""
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+
+    pts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p):
+        return any(
+            (q[1] < p[1] and q[2] >= p[2]) or (q[1] <= p[1] and q[2] > p[2])
+            for q in pts
+        )
+
+    want = {p[0] for p in pts if not dominated(p)}
+    got = registry.get("part_price_size_skyline").fn(spark, sf_dir).collect()
+    assert {r.p_partkey for r in got} == want
+    sky = [(r.price, r.size_v) for r in got]
+    for a in sky:
+        for b in sky:
+            assert not ((b[0] < a[0] and b[1] >= a[1]) or (b[0] <= a[0] and b[1] > a[1]))
