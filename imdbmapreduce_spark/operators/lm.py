@@ -1456,3 +1456,234 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("head")
         .alias("ppl_bucket"),
     )
+
+
+# --- unigram-LM tokenizer (the SentencePiece model family) -----------------
+
+_UNI_V = 256  # vocabulary cap: all single chars + top multi-char pieces
+_UNI_MAXW = 16  # DP horizon: words longer than this are excluded (both engines)
+_UNI_MAXP = 4  # max piece length
+_UNI_RADIX = 32  # Viterbi state radix: state = score_q*RADIX + (MAXW - n_pieces)
+
+
+def _uni_dp_term(dialect: str, i: int, j: int) -> str:
+    """One Viterbi candidate: extend best[i] with piece w[i+1..j].
+
+    The DP state packs (score_q, n_pieces) into ONE int64 —
+    state = score_q·RADIX + (MAXW − np), np ≤ MAXW < RADIX — so the
+    argmax over (max score, then MIN pieces) is integer greatest(), and
+    the transition is state + lp·RADIX − 1. A missing piece makes the
+    lookup NULL, NULL propagates through the arithmetic, and greatest()
+    skips NULLs in both engines: invalid candidates eliminate
+    themselves."""
+    k = i * _UNI_RADIX + j
+    lp = f"try_element_at(wm, {k})" if dialect == "spark" else f"wm[{k}][1]"
+    prev = str(_UNI_MAXW) if i == 0 else f"b{i}"  # b0 = MAXW - 0 pieces
+    return f"({prev} + {lp} * {_UNI_RADIX} - 1)"
+
+
+def _uni_dp_expr(dialect: str, j: int) -> str:
+    terms = [_uni_dp_term(dialect, i, j) for i in range(max(0, j - _UNI_MAXP), j)]
+    body = terms[0] if len(terms) == 1 else f"greatest({', '.join(terms)})"
+    return f"CASE WHEN {j} <= wl THEN {body} ELSE NULL END"
+
+
+def _uni_decode_sql() -> tuple[str, str]:
+    """(score_q, np) decode of the packed final state `st` — floor-mod
+    spelled identically in both engines (% is sign-of-dividend in both)."""
+    dig = f"((st % {_UNI_RADIX}) + {_UNI_RADIX}) % {_UNI_RADIX}"
+    return (f"(st - ({dig})) DIV {_UNI_RADIX}", f"{_UNI_MAXW} - ({dig})")
+
+
+def _unigram_oracle() -> str:
+    dp_ctes, prev = [], "wm0"
+    for j in range(1, _UNI_MAXW + 1):
+        dp_ctes.append(
+            f"d{j} AS (SELECT *, {_uni_dp_expr('duckdb', j)} AS b{j} FROM {prev})"
+        )
+        prev = f"d{j}"
+    final_case = " ".join(f"WHEN {j} THEN b{j}" for j in range(1, _UNI_MAXW + 1))
+    score_sql, np_sql = _uni_decode_sql()
+    score_sql = score_sql.replace(" DIV ", " // ")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    dt AS MATERIALIZED (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM toks GROUP BY 1, 2
+    ),
+    words AS MATERIALIZED (
+      SELECT w, CAST(SUM(k) AS BIGINT) AS wcnt, CAST(len(w) AS BIGINT) AS wl
+      FROM dt GROUP BY w HAVING len(w) <= {_UNI_MAXW}
+    ),
+    cands AS MATERIALIZED (
+      SELECT w, CAST(t.i AS BIGINT) AS i, CAST(l.l AS BIGINT) AS l,
+             substring(w, CAST(t.i AS INT) + 1, CAST(l.l AS INT)) AS piece, wcnt
+      FROM words
+      CROSS JOIN range(0, {_UNI_MAXW}) t(i)
+      CROSS JOIN range(1, {_UNI_MAXP + 1}) l(l)
+      WHERE CAST(t.i AS BIGINT) + CAST(l.l AS BIGINT) <= wl
+    ),
+    pcnt AS (
+      SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt, len(piece) AS pl
+      FROM cands GROUP BY piece
+    ),
+    chars AS (SELECT piece, cnt FROM pcnt WHERE pl = 1),
+    multis AS (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        FROM pcnt WHERE pl >= 2
+      ) WHERE rn <= {_UNI_V} - (SELECT COUNT(*) FROM chars)
+    ),
+    vocab AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round(ln(CAST(cnt AS DOUBLE)
+                           / (SELECT CAST(SUM(cnt) AS DOUBLE)
+                              FROM (SELECT cnt FROM chars
+                                    UNION ALL SELECT cnt FROM multis)))
+                        * {_LP_SCALE}) AS BIGINT) AS lp_q
+      FROM (SELECT * FROM chars UNION ALL SELECT * FROM multis)
+    ),
+    wm0 AS MATERIALIZED (
+      SELECT c.w, w2.wl,
+             map_from_entries(list({{'k': CAST(c.i * {_UNI_RADIX} + c.i + c.l
+                                               AS INT),
+                                     'v': v.lp_q}})) AS wm
+      FROM cands c
+      JOIN vocab v ON c.piece = v.piece
+      JOIN words w2 ON c.w = w2.w
+      GROUP BY c.w, w2.wl
+    ),
+    {", ".join(dp_ctes)},
+    ws AS (SELECT w, (CASE wl {final_case} END) AS st FROM {prev}),
+    dec AS (SELECT w, {score_sql} AS score_q, {np_sql} AS np FROM ws)
+    SELECT d.doc_id,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.k * x.np) AS BIGINT) AS n_pieces,
+           CAST(SUM(d.k * x.score_q) AS BIGINT) AS score_q,
+           CAST(SUM(d.k * x.score_q) AS DOUBLE) / SUM(d.k * x.np) / {_LP_SCALE}
+             AS avg_piece_logprob
+    FROM dt d JOIN dec x ON d.w = x.w
+    GROUP BY d.doc_id
+    """
+
+
+@query("unigram_tokenizer_encode", oracle=_unigram_oracle())
+def unigram_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER tokenizer family: a unigram-LM (SentencePiece-model)
+    tokenizer — seed a piece vocabulary from corpus substring counts
+    (all single chars + the top multi-char substrings up to length 4,
+    256 pieces total), score pieces by their corpus log-frequency, and
+    encode every word by VITERBI best segmentation (max total log-prob,
+    ties to the fewest pieces). Complements the trained-merge BPE rung
+    (:func:`bpe_encode_stats`): BPE is bottom-up greedy, unigram is
+    top-down optimal — the two families that cover production
+    subword tokenization (Kudo 2018).
+
+    The whole encode is PURE SQL in both engines: the Viterbi state
+    (score, n_pieces) packs into one int64 (score_q·32 + (16−np)), so
+    the DP transition is integer add and the argmax is greatest() —
+    the DP unrolls to 16 chained projections over a per-word piece MAP
+    (the fresh-plan SQL-string rule), no UDF anywhere. Log-probs
+    quantize at 1e-6 at the vocabulary level (the LM ladder's rule), so
+    every reduction is an exact integer sum. Words longer than 16 chars
+    fall outside the DP horizon and are excluded by BOTH engines (the
+    documented contract; none exist in this corpus — asserted in
+    tests).
+
+    Plan: per-doc token counts (session-cached artifact) → vocab-sized
+    substring aggregation → per-WORD DP over a 64-entry map (|distinct
+    words| rows, not |tokens|) → one doc-keyed scoring join. Scale: the
+    DP table is vocabulary-sized (Zipf-bounded), the scoring join is
+    the same shape as every LM rung; the substring explode is ≤64
+    rows/word over the distinct-word table, not the corpus.
+    """
+    from imdbmapreduce_spark.operators.text import _doc_token_counts
+
+    dt = _doc_token_counts(spark, sf_dir).withColumnRenamed("tok", "w")
+    words = (
+        dt.groupBy("w")
+        .agg(F.sum("k").alias("wcnt"))
+        .withColumn("wl", F.length("w").cast("long"))
+        .filter(F.col("wl") <= _UNI_MAXW)
+    )
+    cands = (
+        words.select(
+            "w",
+            "wl",
+            "wcnt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, int(wl) - 1), i -> "
+                    f"transform(sequence(1, least({_UNI_MAXP}, int(wl) - i)), "
+                    f"l -> struct(i AS i, l AS l, "
+                    f"substring(w, i + 1, l) AS piece))))"
+                )
+            ).alias("c"),
+        )
+        .select("w", "wl", "wcnt", "c.i", "c.l", "c.piece")
+    )
+    pcnt = cands.groupBy("piece").agg(F.sum("wcnt").alias("cnt")).withColumn(
+        "pl", F.length("piece")
+    )
+    chars = pcnt.filter(F.col("pl") == 1).select("piece", "cnt")
+    n_chars = chars.count()
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    multis = (
+        pcnt.filter(F.col("pl") >= 2)
+        .select("piece", "cnt", F.row_number().over(w_rank).alias("rn"))
+        .filter(F.col("rn") <= _UNI_V - n_chars)
+        .select("piece", "cnt")
+    )
+    vocab = chars.unionByName(multis)
+    total = vocab.agg(F.sum("cnt")).first()[0]
+    if total is None:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_tokens long, n_pieces long, score_q long, "
+            "avg_piece_logprob double",
+        )
+    vocab = vocab.select(
+        "piece",
+        F.round(F.log(F.col("cnt").cast("double") / F.lit(float(total))) * _LP_SCALE)
+        .cast("long")
+        .alias("lp_q"),
+    )
+    wm = (
+        cands.join(F.broadcast(vocab), "piece")
+        .groupBy("w", "wl")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("i") * _UNI_RADIX + F.col("i") + F.col("l"))
+                        .cast("int")
+                        .alias("k"),
+                        F.col("lp_q").alias("v"),
+                    )
+                )
+            ).alias("wm")
+        )
+    )
+    for j in range(1, _UNI_MAXW + 1):
+        wm = wm.selectExpr("*", f"{_uni_dp_expr('spark', j)} AS b{j}")
+    final_case = " ".join(f"WHEN {j} THEN b{j}" for j in range(1, _UNI_MAXW + 1))
+    score_sql, np_sql = _uni_decode_sql()
+    dec = wm.selectExpr(
+        "w", f"CASE wl {final_case} END AS st"
+    ).selectExpr("w", f"{score_sql} AS score_q", f"{np_sql} AS np")
+    return (
+        dt.join(dec, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("np")).alias("n_pieces"),
+            F.sum(F.col("k") * F.col("score_q")).alias("score_q"),
+            (
+                F.sum(F.col("k") * F.col("score_q")).cast("double")
+                / F.sum(F.col("k") * F.col("np"))
+                / F.lit(_LP_SCALE)
+            ).alias("avg_piece_logprob"),
+        )
+    )

@@ -486,3 +486,83 @@ def test_ccnet_perplexity_buckets_matches_python_replay(spark, sf_dir):
         by_bucket.setdefault(r.ppl_bucket, []).append(r.avg_q)
     assert set(by_bucket) == {"head", "middle", "tail"}
     assert min(by_bucket["head"]) > max(by_bucket["tail"])
+
+
+def test_unigram_tokenizer_encode_matches_python_viterbi(spark, sf_dir):
+    """Full pure-Python replay of the unigram tokenizer: substring-count
+    vocabulary seeding, 1e-6-quantized piece log-probs, and per-word
+    Viterbi (max score, ties to fewest pieces) — the packed-int64 DP in
+    the engine must reproduce the explicit tuple DP exactly."""
+    from collections import Counter
+
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.lm import (
+        _UNI_MAXP,
+        _UNI_MAXW,
+        _UNI_V,
+    )
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ]
+    dt: dict[int, Counter] = {}
+    words: Counter = Counter()
+    for did, text in docs:
+        toks = _toks(text)
+        assert all(len(t) <= _UNI_MAXW for t in toks)  # the DP-horizon contract
+        c = Counter(toks)
+        if c:
+            dt[did] = c
+            words.update(c)
+
+    pcnt: Counter = Counter()
+    for w, wc in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(_UNI_MAXP, len(w) - i) + 1):
+                pcnt[w[i : i + ln]] += wc
+    chars = {p: c for p, c in pcnt.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in pcnt.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: _UNI_V - len(chars)]
+    vocab = dict(chars)
+    vocab.update(dict(multis))
+    total = float(sum(vocab.values()))
+
+    def q(v: float) -> int:
+        s = v * _LP_SCALE
+        return int(math.floor(s + 0.5)) if s >= 0 else -int(math.floor(-s + 0.5))
+
+    lp = {p: q(math.log(c / total)) for p, c in vocab.items()}
+
+    def viterbi(w: str) -> tuple[int, int]:
+        best: list[tuple[int, int] | None] = [None] * (len(w) + 1)
+        best[0] = (0, 0)
+        for j in range(1, len(w) + 1):
+            cand = [
+                (best[i][0] + lp[w[i:j]], best[i][1] + 1)
+                for i in range(max(0, j - _UNI_MAXP), j)
+                if best[i] is not None and w[i:j] in lp
+            ]
+            best[j] = max(cand, key=lambda sn: (sn[0], -sn[1]))
+        return best[len(w)]  # type: ignore[return-value]
+
+    want = {}
+    for did, c in dt.items():
+        nt = np_ = sq = 0
+        for w, k in c.items():
+            s, n = viterbi(w)
+            nt += k
+            np_ += k * n
+            sq += k * s
+        want[did] = (nt, np_, sq)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pieces, r.score_q)
+        for r in registry.get("unigram_tokenizer_encode").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the tokenizer actually merges: strictly fewer pieces than chars
+    n_chars_total = sum(k * len(w) for c in dt.values() for w, k in c.items())
+    assert sum(v[1] for v in got.values()) < n_chars_total
