@@ -2079,3 +2079,131 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_shared_shingles"),
         F.sum("doc_pairs").cast("long").alias("n_doc_pairs"),
     )
+
+
+# --- asymmetric containment join (near-subset detection) -------------------
+
+# Containment threshold as an exact rational: C(a→b) = o/|a| >= 4/5
+# <=> 5*o >= 4*n_a. Containment catches what Jaccard can't: a short doc
+# quoted inside a long one has high containment but low Jaccard (the
+# union is dominated by the long side).
+_CNT_TAU_NUM, _CNT_TAU_DEN = 4, 5
+
+
+@query(
+    "containment_prefix_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{toks}} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)-1),
+                                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(p.n_common AS DOUBLE) / sa.n_sh AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE {_CNT_TAU_DEN} * p.n_common >= {_CNT_TAU_NUM} * sa.n_sh
+    """.format(toks=_DUCK_TOKS),
+)
+def containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT join: ordered pairs (a, b) where
+    C(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| >= 0.8 — the
+    near-SUBSET detector (SSJoin family, Chaudhuri et al. 2006).
+    Jaccard misses exactly these: a paragraph quoted inside a 100×
+    longer page has containment ≈ 1 but Jaccard ≈ |a|/|b| ≈ 0.01, and
+    quote-inclusion is a dominant duplication mode in web corpora. The
+    set-level cousin of :func:`exact_substr_spans` (which needs
+    verbatim runs; containment survives light edits).
+
+    Candidate generation is an ASYMMETRIC prefix filter: the overlap
+    bound o >= tau·|a| constrains only the CONTAINED side, so a's
+    prefix (rarest |a| − ceil(tau·|a|) + 1 shingles in the global
+    df-ASC order — the jaccard_prefix_join artifact, reused from the
+    session cache) joins the FULL shingle table on the container side;
+    completeness needs no b-side prefix. Verification counts the exact
+    overlap over full sets and gates on integers (5·o >= 4·n_a) — the
+    oracle is the naive all-shingle theta join, so hash equality IS the
+    asymmetric filter's completeness theorem under test.
+
+    Scale: candidate volume = Σ over a-prefix shingles of their df —
+    linear in the full posting lists of RARE shingles only (hot
+    boilerplate sorts out of every prefix); the verify join keys on doc
+    ids. The b-side has no prefix to save it, which is the known cost
+    of containment joins — at 100 TB the standard tightening is a
+    df-ceiling on container-side postings per a-shingle (bounded recall
+    loss, documented), or LSH on the contained side only.
+    """
+    ex = _shingle_rows_cached(spark, sf_dir)  # distinct (doc_id, shingle)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    def build_prefix() -> DataFrame:
+        dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sized = ex.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
+        )
+        word = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        return (
+            sized.join(dfreq, "shingle")
+            .withColumn("rn", F.row_number().over(word))
+            .filter(
+                F.col("rn")
+                <= F.col("n_sh")
+                - F.expr(
+                    f"({_CNT_TAU_NUM}*n_sh + {_CNT_TAU_DEN - 1}) div {_CNT_TAU_DEN}"
+                )
+                + 1
+            )
+            .select("doc_id", "shingle")
+        )
+
+    pref = shared_cache(
+        spark,
+        ("containment_prefix", sf_dir, 3, _CNT_TAU_NUM, _CNT_TAU_DEN),
+        build_prefix,
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    common = (
+        ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(cand, "doc_a")
+        .join(
+            ex.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(_CNT_TAU_DEN * F.col("n_common") >= _CNT_TAU_NUM * F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (F.col("n_common").cast("double") / F.col("n_a")).alias("containment"),
+        )
+    )

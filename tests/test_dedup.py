@@ -621,3 +621,57 @@ def test_simhash_incremental_equals_batch_restriction(spark, sf_dir):
             want.add((new, matched, r.hamming))
     assert inc == want
     assert want, "test premise: the shard has at least one Hamming match"
+
+
+def test_containment_join_matches_naive_python_and_catches_jaccard_blindspot(
+    spark, sf_dir
+):
+    """(a) The asymmetric prefix filter is complete: results equal the
+    naive quadratic containment definition replayed in Python. (b) The
+    operator's reason to exist: a short doc embedded in a long one is
+    found by containment but invisible to the 0.6-Jaccard join."""
+    from collections import defaultdict
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.dedup import (
+        _CNT_TAU_DEN,
+        _CNT_TAU_NUM,
+    )
+
+    sh = defaultdict(set)
+    for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        t = [x for x in r.text.strip().split() if x]
+        for i in range(len(t) - 2):
+            sh[r.doc_id].add(" ".join(t[i : i + 3]))
+        if not sh[r.doc_id]:
+            del sh[r.doc_id]
+
+    want = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            o = len(sa & sb)
+            if _CNT_TAU_DEN * o >= _CNT_TAU_NUM * len(sa):
+                want.add((a, b))
+
+    rows = registry.get("containment_prefix_join").fn(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.n_common <= r.n_a
+        assert abs(r.containment - r.n_common / r.n_a) < 1e-12
+    # (b) blind-spot pair: subset relationship with a big size gap has
+    # containment >= tau but Jaccard < 0.6 -> absent from the Jaccard join
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in registry.get("jaccard_prefix_join").fn(spark, sf_dir).collect()
+    }
+    asym = {
+        (a, b)
+        for (a, b) in want
+        if len(sh[a] & sh[b]) * 5 < 3 * len(sh[a] | sh[b])  # J < 0.6
+    }
+    if asym:  # the synthetic corpus plants near-dups; subset pairs may vary
+        assert all((a, b) not in jac and (b, a) not in jac for a, b in asym)
