@@ -2149,7 +2149,11 @@ def containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _shingle_rows_cached(spark, sf_dir)  # distinct (doc_id, shingle)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    def build_prefix() -> DataFrame:
+    def build_ranked() -> DataFrame:
+        # EVERY shingle with its per-doc rank in the global (df, shingle)
+        # order + the doc's set size — the container side indexes all of
+        # it (no b-prefix exists for containment), the contained side
+        # filters its prefix from the same artifact.
         dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sized = ex.withColumn(
             "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
@@ -2157,33 +2161,51 @@ def containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         word = Window.partitionBy("doc_id").orderBy("df", "shingle")
         return (
             sized.join(dfreq, "shingle")
-            .withColumn("rn", F.row_number().over(word))
-            .filter(
-                F.col("rn")
-                <= F.col("n_sh")
-                - F.expr(
-                    f"({_CNT_TAU_NUM}*n_sh + {_CNT_TAU_DEN - 1}) div {_CNT_TAU_DEN}"
-                )
-                + 1
-            )
-            .select("doc_id", "shingle")
+            .withColumn("rn", F.row_number().over(word).cast("long"))
+            .select("doc_id", "shingle", "n_sh", "rn")
         )
 
-    pref = shared_cache(
+    ranked = shared_cache(
         spark,
-        ("containment_prefix", sf_dir, 3, _CNT_TAU_NUM, _CNT_TAU_DEN),
-        build_prefix,
+        ("containment_ranked", sf_dir, 3),
+        build_ranked,
+    )
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh")
+        - F.expr(f"({_CNT_TAU_NUM}*n_sh + {_CNT_TAU_DEN - 1}) div {_CNT_TAU_DEN}")
+        + 1
+    )
+    # Candidate-time tightening (exact, zero recall loss — hash equality
+    # vs the naive oracle is the proof). At the FIRST common shingle in
+    # the global order (guaranteed inside a's prefix), the remaining
+    # overlap is bounded on BOTH sides, and o <= n_b outright:
+    # - length filter: o >= ceil(tau*n_a) needs 5*n_b >= 4*n_a;
+    # - positional filter: o <= 1 + least(n_a - rn_a, n_b - rn_b), so
+    #   5*(1 + least(...)) >= 4*n_a must hold at that occurrence.
+    # Non-first occurrences may be pruned freely — distinct() keeps any
+    # pair whose first-common occurrence survives.
+    _ub = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
     )
     cand = (
         pref.alias("a")
         .join(
-            ex.alias("b"),
+            ranked.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (_CNT_TAU_DEN * F.col("b.n_sh") >= _CNT_TAU_NUM * F.col("a.n_sh"))
+            & (_CNT_TAU_DEN * _ub >= _CNT_TAU_NUM * F.col("a.n_sh")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Verify with the exploded equi-join (shingle rows of candidate docs,
+    # keyed (doc, shingle)) — measured FASTER than the array_intersect
+    # twin here: 174k candidates × ~40-shingle docs shuffle slim
+    # (id, shingle) rows, where the array form ships both full arrays to
+    # every pair row (80 strings/pair — 2.5× the bytes, 4.5× the time at
+    # sf0.1).
     common = (
         ex.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(cand, "doc_a")
@@ -2195,8 +2217,14 @@ def containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
         .filter(_CNT_TAU_DEN * F.col("n_common") >= _CNT_TAU_NUM * F.col("n_a"))
         .select(
             "doc_a",
