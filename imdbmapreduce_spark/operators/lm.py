@@ -1430,12 +1430,20 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself fits cutoffs on a sample). Labeling is map-only against two
     broadcast scalars.
     """
-    scores = doc_bigram_logprob(spark, sf_dir)
-    s = scores.select(
-        "doc_id",
-        F.floor(F.col("logprob_q").cast("double") / F.col("n_bigrams"))
-        .cast("long")
-        .alias("avg_q"),
+    from imdbmapreduce_spark.cache import shared_cache
+
+    # (doc_id, avg_q) is consumed by TWO actions (the cutoff aggregate
+    # and the labeling pass) — session-cache it so the bigram model join
+    # runs once, not per action.
+    s = shared_cache(
+        spark,
+        ("bigram_avg_q", sf_dir),
+        lambda: doc_bigram_logprob(spark, sf_dir).select(
+            "doc_id",
+            F.floor(F.col("logprob_q").cast("double") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("avg_q"),
+        ),
     )
     cuts = s.agg(
         F.expr(

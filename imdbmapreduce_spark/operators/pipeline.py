@@ -1074,6 +1074,56 @@ def _dsir_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS_FOR_DSIR = _DUCK_TOKS
 
 
+def _dsir_model(spark: SparkSession, sf_dir: str, db: DataFrame) -> DataFrame | None:
+    """The ≤_DSIR_B-row (bucket, llr_q) model table — session-cached:
+    both the weight report and the top-k selection consume it, and the
+    build is two full aggregations over the bucket artifact (plus two
+    total scalars to the driver). Returns None on an empty corpus."""
+
+    def build() -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        toks = tokens("text")
+        tgt = (
+            docs.select(
+                "doc_id",
+                F.size(toks).alias("n"),
+                F.size(F.array_distinct(toks)).alias("d"),
+            )
+            .filter((F.col("n") >= 20) & (F.col("d") * 4 >= F.col("n")))
+            .select("doc_id")
+        )
+        raw = db.groupBy("b").agg(F.sum("c").alias("cr"))
+        tgtb = db.join(tgt, "doc_id").groupBy("b").agg(F.sum("c").alias("ct"))
+        tr = raw.agg(F.sum("cr")).first()[0]
+        if tr is None:
+            return spark.createDataFrame([], "b long, llr_q long")
+        tt = tgtb.agg(F.sum("ct")).first()[0] or 0
+        return (
+            raw.join(tgtb, "b", "left")
+            .select(
+                "b",
+                F.round(
+                    (
+                        F.log(
+                            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                            / F.lit(float(tt) + _DSIR_B)
+                        )
+                        - F.log(
+                            (F.col("cr") + 1).cast("double")
+                            / F.lit(float(tr) + _DSIR_B)
+                        )
+                    )
+                    * _DSIR_SCALE
+                )
+                .cast("long")
+                .alias("llr_q"),
+            )
+        )
+
+    model = shared_cache(spark, ("dsir_model", sf_dir), build)
+    return None if not model.head(1) else model
+
+
 @query(
     "dsir_importance_weights",
     oracle=f"""
@@ -1135,41 +1185,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     model table is still 512 rows: the whole selection pass is map-side.
     """
     db = _dsir_doc_buckets(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    tgt = docs.select(
-        "doc_id", F.size(toks).alias("n"), F.size(F.array_distinct(toks)).alias("d")
-    ).filter((F.col("n") >= 20) & (F.col("d") * 4 >= F.col("n"))).select("doc_id")
-
-    raw = db.groupBy("b").agg(F.sum("c").alias("cr"))
-    tgtb = db.join(tgt, "doc_id").groupBy("b").agg(F.sum("c").alias("ct"))
-    tr = raw.agg(F.sum("cr")).first()[0]
-    if tr is None:
+    model = _dsir_model(spark, sf_dir, db)
+    if model is None:
         return spark.createDataFrame(
             [],
             "doc_id long, n_feats long, logweight_q long, avg_logweight double",
         )
-    tt = tgtb.agg(F.sum("ct")).first()[0] or 0
-    model = (
-        raw.join(tgtb, "b", "left")
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                        / F.lit(float(tt) + _DSIR_B)
-                    )
-                    - F.log(
-                        (F.col("cr") + 1).cast("double") / F.lit(float(tr) + _DSIR_B)
-                    )
-                )
-                * _DSIR_SCALE
-            )
-            .cast("long")
-            .alias("llr_q"),
-        )
-    )
     return (
         db.join(F.broadcast(model), "b")
         .groupBy("doc_id")
