@@ -1607,6 +1607,7 @@ def unigram_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shape as every LM rung; the substring explode is ≤64
     rows/word over the distinct-word table, not the corpus.
     """
+    from imdbmapreduce_spark.cache import shared_cache
     from imdbmapreduce_spark.operators.text import _doc_token_counts
 
     dt = _doc_token_counts(spark, sf_dir).withColumnRenamed("tok", "w")
@@ -1632,8 +1633,14 @@ def unigram_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("w", "wl", "wcnt", "c.i", "c.l", "c.piece")
     )
-    pcnt = cands.groupBy("piece").agg(F.sum("wcnt").alias("cnt")).withColumn(
-        "pl", F.length("piece")
+    # Three actions consume the piece-count table (the char count, the
+    # vocab total, and the final encode) — session-cache it.
+    pcnt = shared_cache(
+        spark,
+        ("unigram_piece_counts", sf_dir, _UNI_MAXP, _UNI_MAXW),
+        lambda: cands.groupBy("piece")
+        .agg(F.sum("wcnt").alias("cnt"))
+        .withColumn("pl", F.length("piece")),
     )
     chars = pcnt.filter(F.col("pl") == 1).select("piece", "cnt")
     n_chars = chars.count()
@@ -1674,13 +1681,28 @@ def unigram_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wm")
         )
     )
-    for j in range(1, _UNI_MAXW + 1):
-        wm = wm.selectExpr("*", f"{_uni_dp_expr('spark', j)} AS b{j}")
-    final_case = " ".join(f"WHEN {j} THEN b{j}" for j in range(1, _UNI_MAXW + 1))
-    score_sql, np_sql = _uni_decode_sql()
-    dec = wm.selectExpr(
-        "w", f"CASE wl {final_case} END AS st"
-    ).selectExpr("w", f"{score_sql} AS score_q", f"{np_sql} AS np")
+    def run_dp(base: DataFrame) -> DataFrame:
+        out = base
+        for j in range(1, _UNI_MAXW + 1):
+            out = out.selectExpr("*", f"{_uni_dp_expr('spark', j)} AS b{j}")
+        final_case = " ".join(
+            f"WHEN {j} THEN b{j}" for j in range(1, _UNI_MAXW + 1)
+        )
+        score_sql, np_sql = _uni_decode_sql()
+        return out.selectExpr("w", f"CASE wl {final_case} END AS st").selectExpr(
+            "w", f"{score_sql} AS score_q", f"{np_sql} AS np"
+        )
+
+    # The scored word table is vocabulary-sized and its plan is the
+    # expensive part (16 chained projections of 4-way greatest() terms —
+    # Catalyst re-analyzes the growing tree per build). Session-cache the
+    # RESULT so warm consumers skip both the DP execution and its
+    # analysis cost.
+    dec = shared_cache(
+        spark,
+        ("unigram_word_scores", sf_dir, _UNI_V, _UNI_MAXP, _UNI_MAXW),
+        lambda: run_dp(wm),
+    )
     return (
         dt.join(dec, "w")
         .groupBy("doc_id")
