@@ -1291,3 +1291,134 @@ def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "avgw_q", (F.col("avgw_q") > int(cut)).alias("selected")
     )
+
+
+# --- filter ablation matrix -------------------------------------------------
+
+_ABLATION_FILTERS = ["gopher", "repetition", "quality", "dup"]
+
+
+def _ablation_oracle() -> str:
+    """Embed the four registered filter oracles VERBATIM (the lockstep
+    rule: the matrix can never disagree with the filters it reports on)."""
+    from imdbmapreduce_spark.registry import _REGISTRY
+
+    g = _REGISTRY["gopher_quality_flags"].oracle
+    r = _REGISTRY["doc_repetition"].oracle
+    q = _REGISTRY["doc_quality"].oracle
+    c = _REGISTRY["corpus_curation"].oracle
+    pair_rows = []
+    for i, a in enumerate(_ABLATION_FILTERS):
+        for b in _ABLATION_FILTERS[i:]:
+            pair_rows.append(
+                f"SELECT '{a}' AS filter_a, '{b}' AS filter_b,"
+                f" CAST(SUM(CASE WHEN f_{a} AND f_{b} THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_docs FROM flags"
+            )
+    pair_rows.append(
+        "SELECT 'any' AS filter_a, 'any' AS filter_b,"
+        " CAST(SUM(CASE WHEN f_gopher OR f_repetition OR f_quality OR f_dup"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM flags"
+    )
+    pair_rows.append(
+        "SELECT 'none' AS filter_a, 'none' AS filter_b,"
+        " CAST(SUM(CASE WHEN NOT (f_gopher OR f_repetition OR f_quality"
+        " OR f_dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM flags"
+    )
+    union = "\n      UNION ALL ".join(pair_rows)
+    return f"""
+    WITH gq AS ({g}), rq AS ({r}), qq AS ({q}), cq AS ({c}),
+    flags AS (
+      SELECT cq.doc_id,
+             (NOT gq.gopher_pass) AS f_gopher,
+             COALESCE(rq.is_repetitive, FALSE) AS f_repetition,
+             (NOT qq.is_quality) AS f_quality,
+             (NOT cq.is_canonical) AS f_dup
+      FROM cq
+      JOIN gq ON cq.doc_id = gq.doc_id
+      JOIN qq ON cq.doc_id = qq.doc_id
+      LEFT JOIN rq ON cq.doc_id = rq.doc_id
+    )
+    {union}
+    """
+
+
+@query("filter_ablation_matrix", oracle=_ablation_oracle())
+def filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter-overlap report every curation pipeline needs before
+    choosing filter ORDER: for each pair of drop-filters (Gopher rules,
+    repetition, quality gate, exact-dup), how many documents both would
+    drop — plus the union ('any') and survivor ('none') rows. High
+    overlap means the cheaper filter should run first and the expensive
+    one sees only its complement; low overlap means the filters remove
+    DIFFERENT mass and ordering is a throughput choice, not a budget
+    one. Composes the four REGISTERED verdicts (the Spark side consumes
+    their query functions — dup/quality via the cached curation
+    artifact; the oracle embeds their SQL verbatim), so the matrix can
+    never drift from the filters it reports on.
+
+    Determinism: every flag is one of the registered integer-rule
+    booleans; counts are exact sums. Docs too short for a filter to
+    score (repetition needs >= 3 tokens) are deterministically
+    not-flagged by it (COALESCE FALSE) — both engines spell the same
+    rule.
+
+    Plan: the four verdict scans join on doc_id (the curation verdict
+    is the session-cached corpus artifact; gopher/repetition are
+    map-only passes), then ONE aggregation computes all 12 matrix cells
+    as conditional sums and a literal-array explode reshapes the single
+    row into (filter_a, filter_b, n_docs) rows — no per-pair scans, no
+    second pass.
+
+    Scale: three map passes + uniform doc_id joins + a 12-sum global
+    agg; the matrix is O(filters²) cells regardless of corpus size. At
+    100 TB this is the daily data-quality dashboard query.
+    """
+    from imdbmapreduce_spark.operators.text import (
+        corpus_curation,
+        doc_quality,
+        gopher_quality_flags,
+    )
+
+    cur = corpus_curation(spark, sf_dir).select("doc_id", "is_canonical")
+    gop = gopher_quality_flags(spark, sf_dir).select("doc_id", "gopher_pass")
+    qual = doc_quality(spark, sf_dir).select("doc_id", "is_quality")
+    rep = doc_repetition(spark, sf_dir).select("doc_id", "is_repetitive")
+    flags = (
+        cur.join(gop, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            (~F.col("gopher_pass")).alias("f_gopher"),
+            F.coalesce("is_repetitive", F.lit(False)).alias("f_repetition"),
+            (~F.col("is_quality")).alias("f_quality"),
+            (~F.col("is_canonical")).alias("f_dup"),
+        )
+    )
+    cells: list[tuple[str, str, F.Column]] = []
+    for i, a in enumerate(_ABLATION_FILTERS):
+        for b in _ABLATION_FILTERS[i:]:
+            cells.append(
+                (a, b, F.sum((F.col(f"f_{a}") & F.col(f"f_{b}")).cast("long")))
+            )
+    any_f = F.col("f_gopher") | F.col("f_repetition") | F.col("f_quality") | F.col("f_dup")
+    cells.append(("any", "any", F.sum(any_f.cast("long"))))
+    cells.append(("none", "none", F.sum((~any_f).cast("long"))))
+    agg = flags.agg(
+        *[c.alias(f"c{i}") for i, (_, _, c) in enumerate(cells)]
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("filter_a"),
+                        F.lit(b).alias("filter_b"),
+                        F.col(f"c{i}").alias("n_docs"),
+                    )
+                    for i, (a, b, _) in enumerate(cells)
+                ]
+            )
+        ).alias("x")
+    ).select("x.filter_a", "x.filter_b", "x.n_docs")

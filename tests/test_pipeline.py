@@ -421,3 +421,50 @@ def test_dsir_topk_selection_consistent_with_weights(spark, sf_dir):
     assert sel == {d for d, q in w.items() if q > cut}
     assert 0 < len(sel) <= len(w) - math.ceil(0.75 * len(w)) + 1
     assert min(w[d] for d in sel) > max(w[d] for d in w if d not in sel)
+
+
+def test_filter_ablation_matrix_consistent_with_source_filters(spark, sf_dir):
+    """Matrix cells replayed from the four registered verdicts joined in
+    Python: diagonal = per-filter drop counts, symmetry bounds, and the
+    inclusion-exclusion sanity any >= max(diag), none = base - any."""
+    from imdbmapreduce_spark import registry
+
+    gop = {
+        r.doc_id: not r.gopher_pass
+        for r in registry.get("gopher_quality_flags").fn(spark, sf_dir).collect()
+    }
+    rep = {
+        r.doc_id: bool(r.is_repetitive)
+        for r in registry.get("doc_repetition").fn(spark, sf_dir).collect()
+    }
+    qual = {
+        r.doc_id: not r.is_quality
+        for r in registry.get("doc_quality").fn(spark, sf_dir).collect()
+    }
+    cur = {
+        r.doc_id: not r.is_canonical
+        for r in registry.get("corpus_curation").fn(spark, sf_dir).collect()
+    }
+    flags = {
+        d: {
+            "gopher": gop[d],
+            "repetition": rep.get(d, False),
+            "quality": qual[d],
+            "dup": cur[d],
+        }
+        for d in cur
+    }
+
+    got = {
+        (r.filter_a, r.filter_b): r.n_docs
+        for r in registry.get("filter_ablation_matrix").fn(spark, sf_dir).collect()
+    }
+    names = ["gopher", "repetition", "quality", "dup"]
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            want = sum(1 for f in flags.values() if f[a] and f[b])
+            assert got[(a, b)] == want, (a, b)
+    n_any = sum(1 for f in flags.values() if any(f.values()))
+    assert got[("any", "any")] == n_any
+    assert got[("none", "none")] == len(flags) - n_any
+    assert got[("any", "any")] >= max(got[(a, a)] for a in names)
