@@ -619,3 +619,48 @@ def test_ann_recall_audit_matches_recomputed_recall(spark, sf_dir):
         assert a.recall == hits / len(exact)
         assert a.n_retrieved == len(got)
         assert a.recall >= 0.3, name  # coarse floor; per-index tests pin tighter
+
+
+def test_embedding_pca_power_matches_python_and_improves_rayleigh(spark, sf_dir):
+    """Exact pure-Python replay of the fixed-point power iteration
+    (truncating divisions, divisor-first rescaling), plus the spectral
+    sanity check: the iterate's Rayleigh quotient under the exact Gram
+    must beat the starting all-ones direction's."""
+    import numpy as np
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.similarity import (
+        _PCA_ROUNDS,
+        _PCA_S,
+        _quant_batch,
+    )
+
+    pdf = table(spark, sf_dir, "embeddings").select("embedding").toPandas()
+    Q = _quant_batch(pdf["embedding"])  # exact int64 (n, d)
+    M = (Q.T.astype(object) @ Q.astype(object))  # exact big-int Gram
+    d = M.shape[0]
+
+    def tdiv(a, b):
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    dm = max((max(abs(int(v)) for v in M.flat) + _PCA_S - 1) // _PCA_S, 1)
+    Mn = [[tdiv(int(M[i][j]), dm) for j in range(d)] for i in range(d)]
+    x = [_PCA_S] * d
+    for _ in range(_PCA_ROUNDS):
+        y = [sum(Mn[i][j] * x[j] for j in range(d)) for i in range(d)]
+        dv = max((max(abs(v) for v in y) + _PCA_S - 1) // _PCA_S, 1)
+        x = [tdiv(v, dv) for v in y]
+
+    got = {
+        r.pos: r.pc1_q
+        for r in registry.get("embedding_pca_power").fn(spark, sf_dir).collect()
+    }
+    assert got == {i: x[i] for i in range(d)}
+
+    def rayleigh(v):
+        v = np.array(v, dtype=np.float64)
+        Mf = np.array(M.tolist(), dtype=np.float64)
+        return float(v @ Mf @ v) / float(v @ v)
+
+    assert rayleigh(x) > rayleigh([_PCA_S] * d) * 1.0001
