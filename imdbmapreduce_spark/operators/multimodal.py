@@ -99,7 +99,8 @@ def decode_ppm_features(payload: bytes) -> dict:
     (width, height, maxval), and a pixel-payload length validation
     against width*height*3. PPM is the trivially-decodable container
     that lets the real-codec lane execute in codec-less CI (r4 verdict
-    item 5); JPEG/PNG stay behind the PIL gate in :func:`decode_image`.
+    item 5); baseline JPEG decodes for real too (operators/jpeg.py, r9);
+    PNG stays behind the PIL gate in :func:`decode_image`.
     """
     if payload[:2] != b"P6":
         raise ValueError("not a binary PPM (missing P6 magic)")
@@ -183,14 +184,25 @@ def decode_image_features(payload: bytes) -> dict:
     """Real-codec twin of :func:`fake_decode`: same output schema, true
     width/height from the decoded image. Binary PPM and uncompressed
     24-bit BMP decode in pure Python (:func:`decode_ppm_features` /
-    :func:`decode_bmp_features` — always available); other formats need
-    PIL and raise NotImplementedError when it is absent (the container
+    :func:`decode_bmp_features`), and baseline JPEG through the
+    pure-Python codec (operators/jpeg.py) — all always available; other
+    formats (PNG) need PIL and raise NotImplementedError when it is absent (the container
     default) — see :func:`decode_image`.
     """
     if payload[:2] == b"P6":
         return decode_ppm_features(payload)
     if payload[:2] == b"BM":
         return decode_bmp_features(payload)
+    if payload[:2] == b"\xff\xd8":
+        from imdbmapreduce_spark.operators.jpeg import decode_baseline
+
+        d = decode_baseline(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": sum(payload) % (1 << 31),
+            "width": d["width"],
+            "height": d["height"],
+        }
     img = decode_image(payload)
     return {
         "n_bytes": len(payload),
@@ -910,12 +922,16 @@ def _spec_oracle() -> str:
                v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS s
       FROM a
     ),
+    idx AS (
+      SELECT doc_id,
+             unnest(range(0, (ns + {_SPEC_WIN} - 1) // {_SPEC_WIN})) AS i
+      FROM smp
+    ),
     chunks AS (
-      SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
-             s[(CAST(t.i AS BIGINT)*{_SPEC_WIN} + 1):
-               (LEAST(CAST(t.i AS BIGINT)*{_SPEC_WIN} + {_SPEC_WIN}, ns))] AS w
-      FROM smp CROSS JOIN range(0, 100000) t(i)
-      WHERE CAST(t.i AS BIGINT)*{_SPEC_WIN} < ns
+      SELECT m.doc_id, CAST(x.i AS BIGINT) AS chunk_idx,
+             m.s[(CAST(x.i AS BIGINT)*{_SPEC_WIN} + 1):
+                 (LEAST(CAST(x.i AS BIGINT)*{_SPEC_WIN} + {_SPEC_WIN}, m.ns))] AS w
+      FROM smp m JOIN idx x USING (doc_id)
     ),
     coef(cq, sq) AS (VALUES ({cos_t}, {sin_t})),
     spec AS (
@@ -951,7 +967,10 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     re_q/im_q are exact int64 (coefficient tables quantized once,
     module constant); power is one float expression over the exact
-    ints, spelled identically in both engines.
+    ints, spelled identically in both engines. The oracle derives each
+    doc's chunk count from its own sample length (``unnest(range(0,
+    ceil(ns/W)))``), so both sides are UNCAPPED — no payload length
+    can silently diverge them.
 
     Scale: shuffle-free narrow mapInPandas lane — vectorized numpy
     int64 dot products inside each Arrow batch, emitting
@@ -998,3 +1017,109 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return mm.mapInPandas(spec, _SPEC_SCHEMA)
+
+
+# --- real-JPEG codec lane (pure-Python baseline codec, r8 verdict task 8) ---
+
+# Synthesized geometry: 1-3 blocks across x 1-2 down (so 8..24 x 8..16
+# pixels); each 8x8 block is the CONSTANT value of one md5(text) hex
+# char (code points 48..102) — the class on which baseline JPEG with a
+# flat quant table of 8 is bit-LOSSLESS (see operators/jpeg.py), which
+# is what lets a DuckDB oracle check a Huffman-coded codec end to end.
+_JPG_BW = "(doc_id % 3 + 1)"
+_JPG_BH = "(doc_id % 2 + 1)"
+
+
+@query(
+    "image_features_real_jpeg",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_JPG_BW} * 8 AS w, {_JPG_BH} * 8 AS h,
+             {_JPG_BW} * {_JPG_BH} AS nb,
+             md5(text) AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nb AS BIGINT) AS n_blocks,
+           CAST(64 * list_sum(list_transform(range(1, nb + 1),
+                i -> unicode(substring(m, CAST(i AS INT), 1))))
+                AS BIGINT) AS pixel_sum
+    FROM g
+    """,
+)
+def image_features_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD real image codec executing in CI, and the first
+    ENTROPY-CODED one (r8 verdict task 8, previously PIL-gated): a
+    pure-Python baseline JPEG codec (operators/jpeg.py — ITU-T T.81
+    markers, Annex-K Huffman tables, byte-stuffed bitstream, DC
+    categories, AC run/size, dequant, zigzag, 2-D IDCT). The Arrow lane
+    synthesizes a per-document grayscale image of constant 8x8 blocks
+    from md5(text), ENCODES it to real JPEG bytes, DECODES those bytes
+    back, and emits features measured on the DECODED pixels.
+
+    External provability: on the constant-block class with a flat
+    quant table of 8, baseline JPEG is bit-lossless (a constant block's
+    DCT is a lone exactly-quantized DC coefficient), so the oracle
+    computes the decoded pixel sum directly from md5(text) — hash
+    equality proves the entire encode → bitstream → decode loop
+    byte-exact without the oracle ever touching JPEG. Unlike the PPM
+    and BMP lanes (payload built in codegen, parsed in Python), both
+    codec halves here are necessarily Python — entropy coding has no
+    SQL spelling — so the synthesis happens inside the same Arrow
+    batch; payloads still never shuffle.
+
+    Lossy-path coverage (non-constant images, AC coefficients, ZRL,
+    category extension edge cases) is pinned by
+    tests/test_multimodal.py::test_jpeg_codec_* against an independent
+    numpy DCT reference.
+
+    Scale: the same narrow no-shuffle mapInPandas shape as every codec
+    lane — parallelism = scan splits, per-row cost bounded by the tiny
+    fixed geometry; a production lane points the SAME decoder at stored
+    payload bytes.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from imdbmapreduce_spark.operators.jpeg import (
+        decode_baseline,
+        encode_baseline_gray,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = (
+        "doc_id long, width long, height long, n_blocks long, pixel_sum long"
+    )
+
+    def lane(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                m = hashlib.md5(str(text).encode("utf-8")).hexdigest()
+                bw, bh = int(doc_id) % 3 + 1, int(doc_id) % 2 + 1
+                vals = np.array(
+                    [ord(m[k]) for k in range(bw * bh)], dtype=np.int64
+                ).reshape(bh, bw)
+                img = np.kron(vals, ones).astype(np.uint8)
+                payload = encode_baseline_gray(img)
+                d = decode_baseline(payload)  # the real decode under test
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(d["width"]),
+                        int(d["height"]),
+                        bw * bh,
+                        int(d["pixels"].astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_blocks", "pixel_sum"],
+            )
+
+    return docs.mapInPandas(lane, schema)

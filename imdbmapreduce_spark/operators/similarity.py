@@ -138,16 +138,24 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _probe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(q_id, neighbor_id, cosine): every probe scored against the whole
-    corpus — the shared exact-scoring stage of :func:`knn_bruteforce`
-    and :func:`mmr_diversified_topk` (expression shapes are part of the
-    determinism contract; both consumers' oracles mirror them)."""
+def _probe_scored(spark: SparkSession, sf_dir: str, q_pred=None) -> DataFrame:
+    """(q_id, neighbor_id, cosine): every query scored against every
+    non-query vector — the shared exact-scoring stage of
+    :func:`knn_bruteforce` and :func:`mmr_diversified_topk` (expression
+    shapes are part of the determinism contract; both consumers' oracles
+    mirror them). ``q_pred`` (Column over vec_id) selects the query set;
+    default is the standing probe set (vec_id < _N_PROBES). The ANN
+    recall audit's arrival arm passes the shard predicate — there the
+    "probe" side is ~10% of the corpus, acceptable for an audit (a
+    production recall audit SAMPLES the shard; the plan shape is
+    unchanged)."""
+    if q_pred is None:
+        q_pred = F.col("vec_id") < _N_PROBES
     ex = _shared_components(spark, sf_dir)
-    probes = ex.filter(F.col("vec_id") < _N_PROBES).select(
+    probes = ex.filter(q_pred).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv")
     )
-    corpus = ex.filter(F.col("vec_id") >= _N_PROBES)
+    corpus = ex.filter(~q_pred)
     norms = _norms(ex)
     dots = (
         corpus.join(F.broadcast(probes), "pos")
@@ -157,7 +165,7 @@ def _probe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the |probes| norm rows can ever match q_id — filter BEFORE the
     # broadcast so the shipped table is probe-sized, not corpus-sized
     nq = F.broadcast(
-        norms.filter(F.col("vec_id") < _N_PROBES)
+        norms.filter(q_pred)
         .select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q"))
     )
     nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("n2_c"))
@@ -551,11 +559,16 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_rescore_topk(ex: DataFrame, cand: DataFrame) -> DataFrame:
+def _exact_rescore_topk(ex: DataFrame, cand: DataFrame, q_pred=None) -> DataFrame:
     """Shared ANN tail: exact integer rescore of (q_id, vec_id) candidate
     pairs + per-probe top-k. Identical math to :func:`knn_bruteforce`, so
-    an ANN plan differs from brute force only in which pairs it scores."""
-    probes = ex.filter(F.col("vec_id") < _N_PROBES).select(
+    an ANN plan differs from brute force only in which pairs it scores.
+    ``q_pred`` (Column over vec_id) selects the query set; default is the
+    standing probe set (vec_id < _N_PROBES) — the arrival lookup passes
+    the shard predicate instead."""
+    if q_pred is None:
+        q_pred = F.col("vec_id") < _N_PROBES
+    probes = ex.filter(q_pred).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv")
     )
     dots = (
@@ -565,10 +578,10 @@ def _exact_rescore_topk(ex: DataFrame, cand: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
     )
     norms = _norms(ex)
-    # probe-sized broadcast (see knn_bruteforce): only vec_id < _N_PROBES
-    # rows can match q_id, so don't ship the corpus-sized norms table
+    # query-sized broadcast (see knn_bruteforce): only q_pred rows can
+    # match q_id, so don't ship the corpus-sized norms table
     nq = F.broadcast(
-        norms.filter(F.col("vec_id") < _N_PROBES)
+        norms.filter(q_pred)
         .select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q"))
     )
     nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("n2_c"))
@@ -1707,6 +1720,55 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negs.select("q_id", "neighbor_id", "cosine", "pos_id", "pos_cosine", "rank")
 
 
+# --- arrival-time ANN lookup (shard queries vs persisted IVF index) ---------
+
+
+@query("ann_shard_arrival_topk")  # rows-only: hash-sampled Lloyd codebook
+# (not SQL-portable); recall vs the exact arrival truth is measured every
+# round by ann_recall_audit's `arrival` arm and floor-pinned in
+# tests/test_similarity.py
+def ann_shard_arrival_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-time similarity lookup — the retrieval twin of
+    :func:`embedding_incremental_ingest`'s dedup gate (r8 verdict task
+    7): every ARRIVING vector (vec_id % 10 == 7, the standing shard
+    split) retrieves its top-{k} nearest BASE-corpus vectors through the
+    PERSISTED IVF index — shard vectors are assigned fresh against the
+    cached/persisted codebook (the only new compute, O(|shard|·d·C)),
+    probe their {np} nearest cells, and exact-rescore only base vectors
+    in those cells. The production loop this models: each crawl
+    delivery is simultaneously dedup-gated AND enriched with
+    nearest-neighbor context before landing.
+
+    Scale: fresh work ∝ shard; the inverted lists are the amortized
+    index artifact (cell-bucketed layout prunes whole files at 100 TB);
+    the rescore touches ~NPROBE/C of the base per arriving vector.
+    Recall is a MEASURED number, not a hope: the audit's `arrival` arm
+    re-scores this lookup against the exact shard-vs-base brute force
+    every round.
+    """
+    from imdbmapreduce_spark.operators.dedup import _is_shard
+
+    ex = _shared_components(spark, sf_dir)
+    cents = _ivf_codebook_cached(spark, sf_dir)
+    base_lists = _ivf_lists_cached(spark, sf_dir).filter(~_is_shard("vec_id"))
+    shard_cells = (
+        _cell_assignment(ex.filter(_is_shard("vec_id")), cents)
+        .filter(F.col("cr") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    cand = (
+        base_lists.join(F.broadcast(shard_cells), "cell")
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    return _exact_rescore_topk(ex, cand, q_pred=_is_shard("vec_id"))
+
+
+ann_shard_arrival_topk.__doc__ = ann_shard_arrival_topk.__doc__.replace(
+    "{k}", str(_TOP_K)
+).replace("{np}", str(_IVF_NPROBE))
+
+
 # --- ANN recall audit: the index-quality scoreboard -------------------------
 
 
@@ -1719,8 +1781,13 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector deployment watches per ingest, promoted from a pytest
     assertion to a per-round driver row so recall regressions surface in
     the sweep, not just in CI. One row per index family
-    (lsh / ivf / pq / ivfpq): probes evaluated, hits against the exact
-    top-{_TOP_K}, micro-averaged recall, and the mean true cosine of
+    (lsh / ivf / pq / ivfpq) plus the ARRIVAL arm (r9):
+    :func:`ann_shard_arrival_topk`'s cell-pruned shard lookup scored
+    against its own exact truth — shard-query brute force over the base
+    corpus — so the arrival gate's recall under corpus growth is a
+    measured per-round number like its batch twins'. Columns: probes
+    evaluated, retrieved, hits against the arm's exact top-{_TOP_K}
+    (n_true rows), micro-averaged recall, and the mean true cosine of
     the retrieved neighbors vs the exact set's (the "how wrong are the
     misses" companion recall alone hides).
 
@@ -1733,41 +1800,63 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist); the audit join keys on (q_id, neighbor_id) against the
     {_TOP_K}-row-per-probe exact set — driver-bounded.
     """
-    exact = knn_bruteforce(spark, sf_dir).select(
-        "q_id", "neighbor_id", F.col("cosine").alias("true_cos")
+    from imdbmapreduce_spark.operators.dedup import _is_shard
+
+    exact = stable_checkpoint(
+        knn_bruteforce(spark, sf_dir).select(
+            "q_id", "neighbor_id", F.col("cosine").alias("true_cos")
+        )
     )
-    arms = {
-        "lsh": ann_lsh_topk,
-        "ivf": ann_ivf_topk,
-        "pq": ann_pq_topk,
-        "ivfpq": ann_ivfpq_topk,
-    }
+    # arrival truth: exact brute-force top-k of the SHARD queries over
+    # the base corpus — the grown-corpus recall the arrival gate's
+    # cell-pruned lookup is measured against (r8 verdict task 7)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact_arrival = stable_checkpoint(
+        _probe_scored(spark, sf_dir, q_pred=_is_shard("vec_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "neighbor_id", F.col("cosine").alias("true_cos"))
+    )
+    arms = [
+        ("arrival", ann_shard_arrival_topk, exact_arrival),
+        ("ivf", ann_ivf_topk, exact),
+        ("ivfpq", ann_ivfpq_topk, exact),
+        ("lsh", ann_lsh_topk, exact),
+        ("pq", ann_pq_topk, exact),
+    ]
     outs = []
-    for name, fn in sorted(arms.items()):
+    for name, fn, truth in arms:
         got = fn(spark, sf_dir).select("q_id", "neighbor_id")
-        hits = got.join(exact, ["q_id", "neighbor_id"])
+        hits = got.join(truth, ["q_id", "neighbor_id"])
         outs.append(
             got.agg(
                 F.lit(name).alias("index_name"),
                 F.countDistinct("q_id").cast("long").alias("n_probes"),
                 F.count(F.lit(1)).cast("long").alias("n_retrieved"),
-            ).crossJoin(
+            )
+            .crossJoin(
                 hits.agg(
                     F.count(F.lit(1)).cast("long").alias("n_hits"),
                     F.avg("true_cos").alias("mean_hit_cosine"),
                 )
             )
+            .crossJoin(
+                truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+            )
         )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
-    total_exact = exact.count()
     return out.select(
         "index_name",
         "n_probes",
         "n_retrieved",
         "n_hits",
-        (F.col("n_hits").cast("double") / F.lit(float(total_exact))).alias("recall"),
+        "n_true",
+        (
+            F.col("n_hits").cast("double")
+            / F.greatest(F.col("n_true"), F.lit(1)).cast("double")
+        ).alias("recall"),
         "mean_hit_cosine",
     )
 
@@ -1821,8 +1910,16 @@ def _pca_oracle_sql(rounds: int = _PCA_ROUNDS) -> str:
     """
 
 
+_PCA_DRIVER_DIM_MAX = 512  # above this, d² Gram cells stop being model-sized
+
+
 @query("embedding_pca_power", oracle=_pca_oracle_sql())
-def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_pca_power(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    driver_dim_max: int = _PCA_DRIVER_DIM_MAX,
+) -> DataFrame:
     """Top principal direction of the embedding second-moment (Gram)
     matrix by POWER ITERATION in exact int64 fixed point — the
     anisotropy direction embedding pipelines estimate for whitening
@@ -1845,24 +1942,34 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE shuffle builds the Gram (self-join of the session-cached
     component table on vec_id — n·d² product rows reduced by map-side
-    partial sums to d² cells); the iteration then runs on d-row
-    DataFrames with one integer-max scalar per round (the pagerank
-    n_nodes precedent). Scale: the Gram build is the only data-sized
-    stage and is embarrassingly partial-aggregable; everything after is
-    O(d²) regardless of corpus size.
+    partial sums to d² cells). The iteration is dimension-gated: at
+    d <= driver_dim_max (default 512, ~260k cells) the d² Gram is
+    model-sized and the O(d²·rounds) loop runs driver-side in exact
+    Python ints; above the gate (e.g. d = 4096 → ~16.7M cells, ~10⁹
+    Python ops/round) it falls back to :func:`_pca_power_distributed`
+    — same integer arithmetic as checkpointed d-row DataFrame rounds,
+    bit-identical by test pin. Scale: the Gram build is the only
+    data-sized stage and is embarrassingly partial-aggregable;
+    everything after is O(d²) regardless of corpus size.
     """
     ex = _shared_components(spark, sf_dir)
-    gram = (
+    gram_df = (
         ex.alias("a")
         .join(ex.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
         .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("m"))
-        .collect()  # d² cells — MODEL-sized (the size-gated-vocab rule),
-        # so the O(d²·rounds) iteration runs driver-side in exact Python
-        # ints instead of 8 checkpointed micro-jobs (measured 4.3 s ->
-        # ~1 s warm at sf0.1; the Gram aggregation is the only data-
-        # sized stage either way)
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).cast("long").alias("m"))
     )
+    d_row = ex.agg(F.max("pos").alias("mx")).first()
+    if d_row["mx"] is None:
+        return spark.createDataFrame([], "pos long, pc1_q long")
+    d = int(d_row["mx"]) + 1
+    if d > driver_dim_max:
+        return _pca_power_distributed(spark, gram_df)
+    gram = gram_df.collect()  # d² cells — MODEL-sized below the gate
+    # (the size-gated-vocab rule), so the O(d²·rounds) iteration runs
+    # driver-side in exact Python ints instead of 8 checkpointed
+    # micro-jobs (measured 4.3 s -> ~1 s warm at sf0.1; the Gram
+    # aggregation is the only data-sized stage either way)
     if not gram:
         return spark.createDataFrame([], "pos long, pc1_q long")
     M = {(r.i, r.j): int(r.m) for r in gram}
@@ -1881,3 +1988,40 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(i), int(x[i])) for i in dims], "pos long, pc1_q long"
     )
+
+
+def _pca_power_distributed(spark: SparkSession, gram_df: DataFrame) -> DataFrame:
+    """The same fixed-point power iteration kept DISTRIBUTED: d² Gram
+    cells never leave the executors (above _PCA_DRIVER_DIM_MAX they
+    stop being model-sized — d=4096 is ~16.7M cells), each round is one
+    bounded-fan-out join + integer-sum agg on d-row frames, and the
+    only driver traffic is ONE scalar (the round's max|y| divisor, the
+    pagerank n_nodes precedent). Identical arithmetic to the driver
+    path — integer products, integer max, divisor-first truncating
+    division — so both paths produce the same bits; pinned by
+    tests/test_similarity.py::test_pca_distributed_matches_driver_path.
+    """
+    mrow = gram_df.agg(F.max(F.abs(F.col("m"))).alias("mx")).first()
+    if mrow["mx"] is None:
+        return spark.createDataFrame([], "pos long, pc1_q long")
+    dm = max((int(mrow["mx"]) + _PCA_S - 1) // _PCA_S, 1)
+    mn = stable_checkpoint(
+        gram_df.select("i", "j", F.expr(f"m div {dm}").alias("mn"))
+    )
+    x = mn.select(F.col("i").alias("pos")).distinct().withColumn(
+        "xq", F.lit(_PCA_S).cast("long")
+    )
+    for _ in range(_PCA_ROUNDS):
+        y = (
+            mn.join(x, mn["j"] == x["pos"])
+            .groupBy(mn["i"].alias("ypos"))
+            .agg(F.sum(F.col("mn") * F.col("xq")).alias("y"))
+        )
+        y = stable_checkpoint(y)
+        dv = max(
+            (int(y.agg(F.max(F.abs("y"))).first()[0]) + _PCA_S - 1) // _PCA_S, 1
+        )
+        x = y.select(
+            F.col("ypos").alias("pos"), F.expr(f"y div {dv}").alias("xq")
+        )
+    return x.select("pos", F.col("xq").alias("pc1_q")).orderBy("pos")

@@ -1316,15 +1316,21 @@ _CARD_SCALE = 1_000_000  # estimate quantum (1e-6 rows)
     ),
     est AS (
       SELECT 'naive_uniform' AS method,
-             (SELECT (n * n * {_CARD_SCALE}) // d FROM gstats) AS estimate_q
+             (SELECT (n * n // d) * {_CARD_SCALE}
+                     + ((n * n % d) * {_CARD_SCALE}) // d
+              FROM gstats) AS estimate_q
       UNION ALL
       SELECT 'equi_width_hash_{_CARD_BUCKETS}' AS method,
-             (SELECT CAST(SUM((n * n * {_CARD_SCALE}) // d) AS BIGINT)
+             (SELECT CAST(SUM((n * n // d) * {_CARD_SCALE}
+                              + ((n * n % d) * {_CARD_SCALE}) // d) AS BIGINT)
               FROM hist) AS estimate_q
       UNION ALL
       SELECT 'end_biased_{_CARD_TOPK}' AS method,
              (SELECT tk.s2 * {_CARD_SCALE}
-                     + ((g.n - tk.n_top) * (g.n - tk.n_top) * {_CARD_SCALE})
+                     + ((g.n - tk.n_top) * (g.n - tk.n_top)
+                        // GREATEST(g.d - tk.k, 1)) * {_CARD_SCALE}
+                     + (((g.n - tk.n_top) * (g.n - tk.n_top)
+                         % GREATEST(g.d - tk.k, 1)) * {_CARD_SCALE})
                        // GREATEST(g.d - tk.k, 1)
               FROM tk, gstats g) AS estimate_q
     )
@@ -1362,10 +1368,20 @@ def join_cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFra
     count, which is exactly what the audit makes visible per corpus.
 
     The truth needs no join execution (one group-by). Estimates
-    quantize at 1e-6 rows by per-term integer floor-division then
+    quantize at 1e-6 rows by per-term integer truncating division then
     integer sums (the LM ladder's rule); top-K selection is totally
     ordered (count DESC, token ASC). Everything replays bit-for-bit in
     both engines.
+
+    Numeric bounds: ``(n·n·SCALE) div d`` is computed as the exactly
+    equal ``(n·n div d)·SCALE + ((n·n mod d)·SCALE) div d`` so the
+    SCALE-inflated product never materializes — the n² intermediate is
+    int64-exact to ~3·10⁹ total tokens, past which the binding
+    constraint is the OUTPUT quantum itself: a 1e-6-row estimate in an
+    int64 column caps the representable join size at ~9.2·10¹² rows
+    (Σc² over the 32 hottest keys inclusive). Beyond that regime, run
+    the audit per source partition (ANALYZE keeps per-partition stats
+    anyway) or coarsen _CARD_SCALE.
 
     Scale: two aggregations over the session-cached token counts and an
     O(K) ordered head; the artifacts ARE the statistics ANALYZE TABLE
@@ -1397,7 +1413,12 @@ def join_cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFra
     )
     est_hist = int(
         hist.select(
-            F.sum(F.expr(f"(n * n * {_CARD_SCALE}) div d")).alias("e")
+            F.sum(
+                F.expr(
+                    f"(n * n div d) * {_CARD_SCALE}"
+                    f" + ((n * n % d) * {_CARD_SCALE}) div d"
+                )
+            ).alias("e")
         ).first()["e"]
     )
     top = (
@@ -1411,10 +1432,15 @@ def join_cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFra
         .first()
     )
     s2_top, n_top, k = int(top["s2"]), int(top["n_top"]), int(top["k"])
-    est_naive = (n * n * _CARD_SCALE) // d
-    est_eb = s2_top * _CARD_SCALE + ((n - n_top) * (n - n_top) * _CARD_SCALE) // max(
-        d - k, 1
-    )
+
+    def _qdiv(num_sq: int, den: int) -> int:
+        # (num_sq * SCALE) // den without the SCALE-inflated intermediate
+        # (exactly equal for non-negative operands; see docstring bounds)
+        q, r = divmod(num_sq, den)
+        return q * _CARD_SCALE + (r * _CARD_SCALE) // den
+
+    est_naive = _qdiv(n * n, d)
+    est_eb = s2_top * _CARD_SCALE + _qdiv((n - n_top) * (n - n_top), max(d - k, 1))
     rows = [
         ("naive_uniform", est_naive),
         (f"equi_width_hash_{_CARD_BUCKETS}", est_hist),

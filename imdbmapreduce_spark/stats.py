@@ -1,0 +1,177 @@
+"""Cost-based join planning from ANALYZE-style key statistics.
+
+Round-8's ``join_cardinality_estimate_audit`` (operators/text.py)
+validated the END-BIASED histogram (exact counts for the K hottest keys
++ uniformity for the tail — Ioannidis/Poosala; the reason ANALYZE
+collects most-common-value lists) as the regime-independent estimator
+for join sizes under skew. This module CLOSES THE LOOP (r8 verdict
+task 6): the same statistics now drive a real planning decision —
+broadcast vs shuffle vs salted — instead of the static thresholds Spark
+applies (``autoBroadcastJoinThreshold`` bytes; no skew model at all
+before AQE sees runtime shuffle sizes).
+
+Why this matters at 100 TB: a plain shuffle join on a low-cardinality
+or Zipf key lands the hottest key's entire output on ONE reducer
+regardless of executor count. Spark's static rule can't see that — the
+decision is made from byte sizes before any key distribution is known;
+AQE can split an oversized shuffle partition only after materializing
+it. MCV stats are tiny (K rows per table, maintained by the warehouse's
+ANALYZE pass), so the decision costs nothing at plan time.
+
+Used by ``plans/events.py::events_join_estimate_driven`` (hash-checked
+against a DuckDB oracle reproducing the same integer arithmetic) and
+pinned by tests/test_events_extra.py: on the skewed events fixture the
+estimate-driven plan salts exactly the keys whose estimated output
+overflows a reducer's fair share, and measurably beats the static
+shuffle plan's worst partition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Estimate quantum: 1e-6 rows, the audit's convention — all estimator
+# arithmetic is integer (truncating division, divisor-first), so the
+# same numbers replay bit-for-bit in Spark, Python, and DuckDB.
+EST_SCALE = 1_000_000
+MCV_K = 32  # most-common-value list length (ANALYZE's default ballpark)
+
+
+@dataclass(frozen=True)
+class KeyStats:
+    """Per-(table, key) statistics — exactly what ANALYZE TABLE ... FOR
+    COLUMNS maintains: row count, NDV, and the most-common-value list
+    with exact counts. ``mcv`` is sorted by (count DESC, key ASC) — a
+    total order, so stats are a pure function of the data."""
+
+    n_rows: int
+    n_distinct: int
+    mcv: tuple[tuple[str, int], ...]  # ((key, count), ...) top-K
+
+    @property
+    def mcv_rows(self) -> int:
+        return sum(c for _, c in self.mcv)
+
+    @property
+    def tail_rows(self) -> int:
+        return self.n_rows - self.mcv_rows
+
+    @property
+    def tail_distinct(self) -> int:
+        return max(self.n_distinct - len(self.mcv), 0)
+
+
+def key_stats(df: DataFrame, key: str, k: int = MCV_K) -> KeyStats:
+    """Collect KeyStats for ``df[key]`` in two aggregations: one
+    (rows, NDV) pass and one top-K head — the ANALYZE pass. Driver
+    traffic is K+1 rows; at 100 TB this runs once per table per
+    maintenance cycle, not per query (the whole point of statistics)."""
+    tot = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col(key).cast("string")).alias("d"),
+    ).first()
+    head = (
+        df.groupBy(F.col(key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("k"))
+        .limit(k)
+        .collect()
+    )
+    return KeyStats(
+        n_rows=int(tot["n"]),
+        n_distinct=int(tot["d"]),
+        mcv=tuple((r["k"], int(r["c"])) for r in head),
+    )
+
+
+def _qdiv(num: int, den: int) -> int:
+    """(num * EST_SCALE) // den without the inflated intermediate —
+    exactly equal for non-negative operands (the audit's rule)."""
+    den = max(den, 1)
+    q, r = divmod(num, den)
+    return q * EST_SCALE + (r * EST_SCALE) // den
+
+
+def estimate_join_size(a: KeyStats, b: KeyStats) -> int:
+    """End-biased estimate of |a ⋈ b| on the stats' key, in EST_SCALE
+    quanta (1e-6 rows). Four terms, the textbook MCV decomposition:
+
+    - MCV ∩ MCV: exact c_a·c_b per key present in both lists;
+    - a-MCV key absent from b's MCV: c_a × b's uniform tail frequency
+      (tail_rows/tail_distinct) — it may still exist in b's tail;
+    - symmetric for b-MCV keys absent from a's MCV;
+    - tail × tail: containment assumption — the side with fewer
+      distinct tail keys joins fully, so n_a·n_b / max(d_a, d_b).
+
+    All divisions are truncating and divisor-first; the result is a
+    pure integer function of the two stat objects, reproduced verbatim
+    by the events_join_estimate_driven oracle.
+    """
+    amcv = dict(a.mcv)
+    bmcv = dict(b.mcv)
+    est = 0
+    for k, ca in a.mcv:
+        if k in bmcv:
+            est += ca * bmcv[k] * EST_SCALE
+        elif b.tail_distinct > 0:
+            est += _qdiv(ca * b.tail_rows, b.tail_distinct)
+    for k, cb in b.mcv:
+        if k not in amcv and a.tail_distinct > 0:
+            est += _qdiv(cb * a.tail_rows, a.tail_distinct)
+    if a.tail_distinct > 0 and b.tail_distinct > 0:
+        est += _qdiv(a.tail_rows * b.tail_rows, max(a.tail_distinct, b.tail_distinct))
+    return est
+
+
+def estimate_hot_keys(
+    a: KeyStats, b: KeyStats, fair_share_rows: int, factor: int = 2
+) -> list[str]:
+    """Keys whose ESTIMATED join output exceeds ``factor`` × a reducer's
+    fair share — the straggler condition. Only MCV keys can qualify
+    (the tail is uniform by assumption), so the check is O(K)."""
+    bmcv = dict(b.mcv)
+    hot = []
+    for k, ca in a.mcv:
+        cb = bmcv.get(k)
+        if cb is None:
+            if b.tail_distinct == 0:
+                continue
+            out_scaled = _qdiv(ca * b.tail_rows, b.tail_distinct)
+        else:
+            out_scaled = ca * cb * EST_SCALE
+        if out_scaled > factor * fair_share_rows * EST_SCALE:
+            hot.append(k)
+    return hot
+
+
+def choose_join_strategy(
+    fact: KeyStats,
+    dim: KeyStats,
+    shuffle_partitions: int,
+    broadcast_threshold_rows: int = 1_000_000,
+) -> tuple[str, list[str]]:
+    """The planning decision, from statistics alone:
+
+    - ``("broadcast", [])`` when the dim side's row count fits the
+      broadcast budget — no shuffle at all beats any skew handling;
+    - ``("salted", hot_keys)`` when it doesn't AND the estimated output
+      of some key exceeds 2× a reducer's fair share of the estimated
+      join — the case Spark's static rule gets WRONG (it would run a
+      plain shuffle join and straggle on the hot key);
+    - ``("shuffle", [])`` otherwise.
+
+    The fair share is estimated_rows / shuffle_partitions — both sides
+    of the comparison come from the SAME estimator, so the decision
+    needs no exact pre-count of the join.
+    """
+    if dim.n_rows <= broadcast_threshold_rows:
+        return "broadcast", []
+    est_rows = estimate_join_size(fact, dim) // EST_SCALE
+    fair = max(est_rows // max(shuffle_partitions, 1), 1)
+    hot = estimate_hot_keys(fact, dim, fair)
+    if hot:
+        return "salted", hot
+    return "shuffle", []

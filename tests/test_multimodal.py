@@ -331,3 +331,104 @@ def test_audio_spectral_features_matches_float_dft(spark, sf_dir):
         assert abs(im_q / _SPEC_SCALE - true_im) <= bound
         checked += 1
     assert checked > 0
+
+
+def test_jpeg_codec_lossless_on_constant_block_class():
+    """The oracle-checkability theorem, asserted directly: constant 8x8
+    blocks with the flat q=8 table round-trip BIT-EXACTLY through the
+    full baseline pipeline (DCT, quantize, Huffman encode, byte-stuffed
+    bitstream, Huffman decode, dequant, IDCT)."""
+    import numpy as np
+
+    from imdbmapreduce_spark.operators.jpeg import (
+        decode_baseline,
+        encode_baseline_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (16, 24), (8, 16), (16, 16)]:
+        blocks = rng.integers(0, 256, (h // 8, w // 8))
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        payload = encode_baseline_gray(img)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        d = decode_baseline(payload)
+        assert (d["width"], d["height"], d["n_components"]) == (w, h, 1)
+        assert np.array_equal(d["pixels"], img)
+
+
+def test_jpeg_codec_lossy_path_matches_numpy_dct_reference():
+    """Non-constant images exercise AC coefficients, runs, ZRL and
+    category extension; the decoded pixels must equal an INDEPENDENT
+    numpy replay of quantize-then-dequantize (same DCT basis, none of
+    the codec's Huffman machinery) — so the entropy coding layer is
+    proven transparent even where quantization is lossy."""
+    import numpy as np
+
+    from imdbmapreduce_spark.operators.jpeg import (
+        _C,
+        FLAT_Q8,
+        decode_baseline,
+        encode_baseline_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    got = decode_baseline(encode_baseline_gray(img))["pixels"]
+
+    q = np.full((8, 8), float(FLAT_Q8[0]))
+    want = np.zeros_like(img)
+    sh = img.astype(np.float64) - 128.0
+    for by in range(0, 16, 8):
+        for bx in range(0, 24, 8):
+            coef = _C @ sh[by : by + 8, bx : bx + 8] @ _C.T
+            deq = np.round(coef / q) * q
+            blk = _C.T @ deq @ _C + 128.0
+            want[by : by + 8, bx : bx + 8] = np.clip(np.round(blk), 0, 255)
+    assert np.array_equal(got, want)
+
+
+def test_jpeg_decoder_rejects_out_of_subset():
+    """Subset boundaries are validated, not silently mis-decoded."""
+    import numpy as np
+    import pytest as _pytest
+
+    from imdbmapreduce_spark.operators.jpeg import (
+        decode_baseline,
+        encode_baseline_gray,
+    )
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    payload = bytearray(encode_baseline_gray(img))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_baseline(b"\x89PNG\r\n")
+    # flip SOF0 (C0) to progressive (C2)
+    i = bytes(payload).find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_baseline(bytes(payload))
+    payload[i + 1] = 0xC0
+    with _pytest.raises(ValueError, match="multiples of 8"):
+        encode_baseline_gray(np.zeros((7, 8), dtype=np.uint8))
+
+
+def test_jpeg_lane_matches_python_replay(spark, sf_dir):
+    """The registered lane's rows equal a driver-side replay: md5-derived
+    constant blocks, encode, decode, features from decoded pixels. The
+    DuckDB oracle additionally hash-checks this in the driver sweep."""
+    import hashlib
+
+    import numpy as np
+
+    rows = {
+        r.doc_id: r
+        for r in registry.get("image_features_real_jpeg").fn(spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        m = hashlib.md5(d.text.encode("utf-8")).hexdigest()
+        bw, bh = d.doc_id % 3 + 1, d.doc_id % 2 + 1
+        want_sum = 64 * sum(ord(m[k]) for k in range(bw * bh))
+        r = rows[d.doc_id]
+        assert (r.width, r.height, r.n_blocks) == (bw * 8, bh * 8, bw * bh)
+        assert r.pixel_sum == want_sum, d.doc_id

@@ -63,9 +63,11 @@ DIALECT_CATEGORIES = [
     ("hex-string-cast", r"'0x'"),  # '0x..'::INT parses hex in DuckDB only
     ("recursive-cte", r"WITH RECURSIVE"),
     ("duckdb-quantile", r"quantile_cont|quantile_disc"),
-    ("duckdb-int-div", r"\s//\s"),  # DuckDB floor division; Spark spells DIV
     ("duckdb-map-literal", r"map_from_entries\(list\("),  # {'k':..} struct rows
-    ("duckdb-floor-div", r"//"),  # a // b is floor division in DuckDB
+    # a // b is DuckDB's integer division — it TRUNCATES toward zero
+    # (-7 // 2 = -3), matching Spark's DIV; graph.py/similarity.py rely
+    # on exactly that. Not floor division.
+    ("duckdb-trunc-div", r"//"),
     ("duckdb-json-fns", r"json_extract"),
     ("arity-divergent-builtins", r"encode\s*\([^,)]*\)"),  # 1-arg encode
     ("duckdb-misc-fns",
