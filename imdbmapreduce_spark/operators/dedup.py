@@ -1592,13 +1592,16 @@ _NEARDUP_RECALL_FLOORS = {
     "embedding_cells": 0.1,
     "embedding_incremental": 0.0,
     # bounded containment (df-ceiling on candidate postings) vs the
-    # exact containment join's truth: on THIS vocabulary-saturated
-    # corpus the ceiling is a real trade (see the bounded docstring);
-    # the floor pins the measured value with margin so a ceiling
-    # regression flips a committed boolean. Measured 1.0 at sf0.01 and
-    # sf0.1 (every true pair's rarest shared shingle sits under the
-    # ceiling — duplication is by near-copy, so pairs share their rare
-    # tail), floor carries margin for corpus drift.
+    # exact containment join's truth: measured 1.0 at sf0.001/0.01/0.1
+    # (every true pair's rarest shared shingle sits under the ceiling),
+    # floor carries margin for corpus drift. The sf1 decade (SCALE.md
+    # round 9) measured the saturation pathology directly: at 10x this
+    # corpus every shingle's df is ~90±spread, the ceiling prunes 99.8%
+    # of postings, cost goes flat (455 s -> 3.7 s) and recall collapses
+    # to 0.07 — on a slice that saturated, the band-family gates (flat
+    # AND recall-stable, same table) are the right tool; the ceiling is
+    # for corpora with a genuine rare tail. The audit row is what makes
+    # that decision a measured number per corpus.
     "containment_bounded": 0.9,
 }
 
@@ -2386,11 +2389,22 @@ def containment_prefix_join_bounded(spark: SparkSession, sf_dir: str) -> DataFra
     occurrence the PPJoin bounds hold by the same theorem as the exact
     form.)
 
-    Scale: candidate volume is bounded by ceiling x |prefix postings| —
-    LINEAR in the corpus at fixed ceiling, vs the exact form's
-    vocabulary-saturation blowup (SCALE.md r8: 340 candidates per true
-    pair). The 100 TB shape: exact form for contractual-recall passes,
-    bounded form for the standing ingest pipeline.
+    Scale, measured across three decades (SCALE.md round 9, sf0.01 →
+    sf0.1 → sf1): warm wall 0.56 → 3.19 → 3.68 s — NEAR-FLAT on the
+    last 10x where the exact form hits 455 s (131x) — because the
+    ceiling caps candidate volume at ceiling x |surviving prefix
+    postings|. The recall trade is equally measured: 1.0 / 1.0 / 0.07
+    — at sf1 this corpus's 31-token vocabulary saturates (every
+    shingle's df ~90, so the ceiling keeps only 0.2% of postings and
+    near-copies share no rare shingle). That collapse is a CORPUS
+    diagnosis, not a knob failure: a slice where no shared shingle is
+    rare has no containment-join signal at any ceiling (keeping
+    everything = the 455 s exact join), and the band-family gates —
+    flat AND recall-stable in the same table — are the right tool
+    there. The 100 TB shape: exact form for contractual-recall passes,
+    bounded form for standing ingest on rare-tail corpora, MinHash
+    gates on saturated slices, with `neardup_recall_audit` making the
+    choice a per-corpus measured number.
     """
     return _containment_join(spark, sf_dir, df_ceil=_CNT_DF_CEIL)
 
