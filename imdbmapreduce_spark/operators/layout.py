@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.registry import query
@@ -455,3 +456,79 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- small-file compaction planner (OPTIMIZE's planning half) ---------------
+
+# Simulated current layout: the corpus as 64 written "files" (doc_id mod
+# 64 — an over-parallel writer's output), sized by exact content bytes.
+_CMP_FILES = 64
+_CMP_TARGET = 16_384  # target output file size (bytes); scaled to fixture
+# files at or above half the target are left alone (rewriting them buys
+# nothing); everything smaller is packed into target-sized groups.
+_CMP_SMALL = _CMP_TARGET // 2
+
+
+@query(
+    "file_compaction_plan",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id % {_CMP_FILES} AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1
+    ), s AS (
+      SELECT file_id, n_docs, bytes, bytes < {_CMP_SMALL} AS is_small,
+             CASE WHEN bytes < {_CMP_SMALL} THEN
+               CAST(SUM(CASE WHEN bytes < {_CMP_SMALL} THEN bytes ELSE 0 END)
+                    OVER (ORDER BY bytes DESC, file_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - bytes AS BIGINT)
+             END AS off
+      FROM f
+    )
+    SELECT file_id, n_docs, bytes,
+           CASE WHEN is_small THEN 'compact' ELSE 'keep' END AS action,
+           CASE WHEN is_small THEN off // {_CMP_TARGET} END AS target_file
+    FROM s
+    """,
+)
+def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLAN — the decision half of lakehouse
+    OPTIMIZE (the execution half is :func:`compact_parquet`): per
+    current file, keep it (already at least half the target size) or
+    assign it to a target-sized merge group. Grouping is the
+    deterministic sequential fill over files in (bytes DESC, file_id)
+    order — the same running-sum assignment shape as
+    ``pipeline.sequence_packing``, reused on purpose: file bin-packing
+    and token packing are one primitive at different granularities.
+    Size-descending order is the classic bin-packing heuristic (big
+    items first ⇒ per-group waste bounded by the smallest member).
+
+    The "files" are simulated (doc_id mod {_CMP_FILES}, sized by exact
+    content bytes) because the planner's INPUT in production is the
+    table manifest's (file, bytes) listing — a metadata-sized frame.
+    That is also the scale story: the plan runs entirely on file STATS
+    (one agg to |files| rows, then bounded-frame window math); no data
+    moves until the execution half rewrites exactly the 'compact'
+    groups.
+    """
+    docs = table(spark, sf_dir, "documents")
+    files = docs.groupBy((F.col("doc_id") % _CMP_FILES).alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("bytes"),
+    )
+    is_small = F.col("bytes") < _CMP_SMALL
+    w = (
+        Window.orderBy(F.col("bytes").desc(), "file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    small_bytes = F.when(is_small, F.col("bytes")).otherwise(F.lit(0))
+    off = (F.sum(small_bytes).over(w) - F.col("bytes")).cast("long")
+    return files.select(
+        "file_id",
+        "n_docs",
+        "bytes",
+        F.when(is_small, F.lit("compact")).otherwise(F.lit("keep")).alias("action"),
+        F.when(is_small, F.floor(off / _CMP_TARGET)).alias("target_file"),
+    )

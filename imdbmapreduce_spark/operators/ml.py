@@ -833,3 +833,153 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         guard(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_"),
         guard(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1"),
     )
+
+
+# --- calibration bins over the held-out split ------------------------------
+
+_CAL_BINS = 10
+_CAL_PPM = 1_000_000
+
+
+def _logreg_calibration_oracle_sql(rounds: int = _LR_ROUNDS) -> str:
+    """Unrolled-CTE oracle for the reliability diagram: the same train
+    CTE chain as :func:`_logreg_eval_oracle_sql` (content-hash split,
+    10 materialized gradient rounds), final weights scoring the VAL
+    split only, fixed-width probability bins. All reported values are
+    integer: counts, and ppm ratios by truncating division over exact
+    integer sums (per-row HALF_UP p quanta — the module's determinism
+    contract)."""
+    from imdbmapreduce_spark.operators.text import _SPLIT_TRAIN, _SPLIT_VAL
+
+    bucket = "CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER)"
+    parts = [_features_sql().replace("feats AS (", "feats AS MATERIALIZED (", 1)]
+    parts.append(
+        f"""split AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN {bucket} < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN {bucket} < {_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), labeled AS MATERIALIZED (
+      SELECT f.*, s.split FROM feats f JOIN split s USING (doc_id)
+    ), train AS MATERIALIZED (SELECT * FROM labeled WHERE split = 'train')"""
+    )
+    parts.append("w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)")
+    for t in range(rounds):
+        margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(4))
+        grads = ",\n        ".join(
+            f"SUM(CAST(round(((p - CAST(y AS DOUBLE)) * x{j}) * {_GRAD_SCALE})"
+            f" AS BIGINT)) AS g{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+      SELECT y, x0, x1, x2, x3, 1.0 / (1.0 + exp(-margin)) AS p
+      FROM (SELECT f.*, ({margin}) AS margin FROM train f, w{t} w)
+    ), a{t} AS MATERIALIZED (
+      SELECT {grads}, COUNT(*) AS n FROM m{t}
+    ), w{t + 1} AS MATERIALIZED (
+      SELECT
+        {", ".join(
+            f"w.w{j} - ({_LR_RATE} * (CAST(a.g{j} AS DOUBLE) / {_GRAD_SCALE}))"
+            f" / (SELECT n FROM a0) AS w{j}"
+            for j in range(4)
+        )}
+      FROM w{t} w, a{t} a
+    )"""
+        )
+    fmargin = " + ".join(f"w.w{j} * l.x{j}" for j in range(4))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT LEAST(CAST(floor(p * {_CAL_BINS}) AS BIGINT), {_CAL_BINS - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(CAST(round(p * {_CAL_PPM}) AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS predicted_ppm,
+           CAST(SUM(y) * {_CAL_PPM} // COUNT(*) AS BIGINT) AS observed_ppm
+    FROM (SELECT l.y, 1.0 / (1.0 + exp(-({fmargin}))) AS p
+          FROM labeled l, w{rounds} w
+          WHERE l.split = 'val')
+    GROUP BY 1"""
+    )
+
+
+@query("doc_quality_calibration", oracle=_logreg_calibration_oracle_sql())
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier: the logreg is fit
+    on the TRAIN split exactly as in :func:`doc_quality_logreg_eval`,
+    then the frozen model's VAL-split predictions land in {_CAL_BINS}
+    fixed-width probability bins — per bin the doc count, positives,
+    mean predicted probability and observed positive rate (both in
+    exact integer ppm). Predicted ≈ observed per bin is what lets a
+    curation pipeline use the score as a THRESHOLDABLE probability
+    (the step after accuracy: a model can be accurate and still
+    miscalibrated, and quality-filter cutoffs consume the probability,
+    not the argmax).
+
+    Fixed-width bins, not quantiles: bin edges are constants, so the
+    report is deterministic and mergeable across shards (each shard's
+    bin sums add — the 100 TB shape: one agg, 10 groups), and the
+    oracle replays them exactly.
+
+    Scale: the same one-aggregation-per-round training as the eval twin
+    (model-sized driver state only), then ONE grouped aggregation over
+    the val split — no sort, no window, 10 output rows at any corpus
+    size.
+    """
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.text import split_assignment
+
+    feats = shared_cache(
+        spark, ("logreg_features", sf_dir), lambda: quality_features(spark, sf_dir)
+    )
+    split = split_assignment(table(spark, sf_dir, "documents"))
+    labeled = feats.join(split, "doc_id")
+    train = labeled.filter(F.col("split") == "train")
+
+    n = None
+    w: list = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ROUNDS):
+        margin = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        r = p - F.col("y").cast("double")
+        agg = train.agg(
+            *[
+                F.sum(F.round(r * F.col(f"x{j}") * _GRAD_SCALE).cast("long")).alias(
+                    f"g{j}"
+                )
+                for j in range(4)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if n is None:
+            n = agg["n"]
+        if n == 0:
+            w = [None, None, None, None]
+            break
+        for j in range(4):
+            w[j] -= _LR_RATE * (agg[f"g{j}"] / _GRAD_SCALE) / n
+
+    margin = sum(F.lit(w[j]).cast("double") * F.col(f"x{j}") for j in range(4))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return (
+        labeled.filter(F.col("split") == "val")
+        .select(
+            F.least(
+                F.floor(p * _CAL_BINS).cast("long"), F.lit(_CAL_BINS - 1)
+            ).alias("bin"),
+            F.col("y"),
+            F.round(p * _CAL_PPM).cast("long").alias("p_q"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr("CAST(SUM(p_q) DIV COUNT(*) AS BIGINT)").alias("predicted_ppm"),
+            F.expr(
+                f"CAST(SUM(y) * {_CAL_PPM} DIV COUNT(*) AS BIGINT)"
+            ).alias("observed_ppm"),
+        )
+    )

@@ -78,7 +78,12 @@ except ImportError:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — STUB: PIL is not installed in this container.
+    """ARBITRARY-format image decode — STUB: PIL is not installed in
+    this container. Every format the repo's lanes actually synthesize
+    decodes for REAL without it: PPM (:func:`decode_ppm_features`), BMP
+    (:func:`decode_bmp_features`), baseline JPEG (operators/jpeg.py) and
+    PNG (operators/png.py); this stub remains only for foreign payloads
+    in formats outside those four.
 
     The Spark-side lane (:func:`multimodal_features`) never calls this in
     tests; it uses :func:`fake_decode`, which exercises identical plumbing.
@@ -99,8 +104,8 @@ def decode_ppm_features(payload: bytes) -> dict:
     (width, height, maxval), and a pixel-payload length validation
     against width*height*3. PPM is the trivially-decodable container
     that lets the real-codec lane execute in codec-less CI (r4 verdict
-    item 5); baseline JPEG decodes for real too (operators/jpeg.py, r9);
-    PNG stays behind the PIL gate in :func:`decode_image`.
+    item 5); baseline JPEG (operators/jpeg.py) and PNG (operators/png.py)
+    decode for real too — no format the lanes synthesize needs PIL.
     """
     if payload[:2] != b"P6":
         raise ValueError("not a binary PPM (missing P6 magic)")
@@ -139,8 +144,8 @@ def decode_bmp_features(payload: bytes) -> dict:
     container: little-endian multi-byte header fields, a pixel-data
     offset, and 4-byte row stride alignment are all parsed and
     validated. The second always-available real codec beside
-    :func:`decode_ppm_features` (r6 verdict item 8); compressed/other
-    bit depths stay behind the PIL gate in :func:`decode_image`.
+    :func:`decode_ppm_features` (r6 verdict item 8); the compressed
+    formats decode for real too (operators/jpeg.py, operators/png.py).
     """
     import struct
 
@@ -1120,6 +1125,98 @@ def image_features_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "width", "height", "n_blocks", "pixel_sum"],
+            )
+
+    return docs.mapInPandas(lane, schema)
+
+
+# --- real-PNG codec lane (pure-Python, closes the last PIL-gated format) ---
+
+_PNG_W = "((doc_id % 3) * 8 + 8)"
+_PNG_H = "((doc_id % 2) * 8 + 8)"
+
+
+@query(
+    "image_features_real_png",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_PNG_W} AS w, {_PNG_H} AS h, md5(text) AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, w * h),
+                i -> unicode(substring(m, CAST(i % 32 + 1 AS INT), 1))))
+                AS BIGINT) AS pixel_sum,
+           CAST(unicode(substring(m, CAST((w * h - 1) % 32 + 1 AS INT), 1))
+                AS BIGINT) AS last_pixel
+    FROM g
+    """,
+)
+def image_features_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH real image codec executing in CI — and the close of
+    the repo's last PIL-gated format (operators/png.py; the deferral
+    note in SCALE.md is now history). The Arrow lane synthesizes a
+    per-document 8-bit grayscale image from md5(text) (pixel i = the
+    code point of hex char i mod 32, row-major), ENCODES it to real PNG
+    bytes — chunk framing, CRC32 per chunk, DEFLATE via stdlib zlib,
+    per-row filters cycling through all five spec filter types, the
+    stream split across multiple IDAT chunks — then DECODES those bytes
+    back (CRC-verified, multi-IDAT reassembly, all five unfilters) and
+    emits features measured on the DECODED pixels.
+
+    External provability: PNG is LOSSLESS, so the oracle computes the
+    decoded pixel sum and the final pixel straight from md5(text) —
+    hash equality proves the whole encode → bitstream → decode loop
+    exact without the oracle touching PNG. ``last_pixel`` pins spatial
+    order (a decoder could get the sum right with scrambled rows).
+    Like the JPEG lane, both codec halves are necessarily Python
+    (DEFLATE has no SQL spelling), so synthesis happens inside the same
+    Arrow batch; payloads never shuffle.
+
+    Filter-math and corruption-detection coverage is pinned by
+    tests/test_multimodal.py::test_png_codec_* (random-image
+    round-trips exercising every filter type, CRC flip detection,
+    Paeth tie-break order).
+
+    Scale: the standard codec-lane shape — narrow no-shuffle
+    mapInPandas, parallelism = scan splits, per-row cost bounded by the
+    fixed geometry (<= 24x16); a production lane points the SAME
+    decoder at stored payload bytes.
+    """
+    import hashlib
+
+    from imdbmapreduce_spark.operators.png import decode_gray, encode_gray
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, width long, height long, pixel_sum long, last_pixel long"
+
+    def lane(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                m = hashlib.md5(str(text).encode("utf-8")).hexdigest()
+                w = int(doc_id) % 3 * 8 + 8
+                h = int(doc_id) % 2 * 8 + 8
+                img = [
+                    [ord(m[(y * w + x) % 32]) for x in range(w)]
+                    for y in range(h)
+                ]
+                payload = encode_gray(img)
+                d = decode_gray(payload)  # the real decode under test
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(d["width"]),
+                        int(d["height"]),
+                        int(sum(sum(r) for r in d["pixels"])),
+                        int(d["pixels"][-1][-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "pixel_sum", "last_pixel"],
             )
 
     return docs.mapInPandas(lane, schema)

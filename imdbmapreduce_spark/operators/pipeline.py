@@ -1422,3 +1422,79 @@ def filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x")
     ).select("x.filter_a", "x.filter_b", "x.n_docs")
+
+
+# --- temperature-based source mixing ---------------------------------------
+
+# Sampling temperature alpha = 0.5: per-source weight proportional to
+# p^alpha (multilingual-pretraining practice — upweights small sources,
+# tempers the head; alpha=1 is natural frequency, alpha=0 uniform).
+# Weights are quantized to 1e-12 integer quanta before normalizing so the
+# cross-source sum is an exact integer sum in BOTH engines (double
+# accumulation order is engine-dependent; integer addition is not).
+_TEMP_QUANTA = 1_000_000_000_000
+_TEMP_BUDGET = 1_000_000  # sampled-token budget the mix is planned for
+
+
+@query(
+    "source_temperature_mix",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), q AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)
+                             / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+                        * {_TEMP_QUANTA}) AS BIGINT) AS wq
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS weight,
+           CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE)
+             * {_TEMP_BUDGET} / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM q
+    """,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing plan: per-source sampling weight
+    ∝ (token share)^0.5, normalized, plus the implied epochs over each
+    source at a fixed sampled-token budget — the table a pretraining run
+    reads to set per-source sampling rates (multilingual-LM practice;
+    epochs > 1 flags sources the mix would repeat).
+
+    Determinism contract: token counts are exact integer sums; the only
+    irrational step (sqrt) is IEEE-correctly-rounded in both engines on
+    identical inputs, and its output is immediately quantized to integer
+    quanta so the normalizing sum is exact integer math — the final
+    weights are identical doubles by construction, not by accumulation
+    luck.
+
+    Scale shape: one partial/final agg keyed on source (|sources| rows),
+    then window math over that bounded frame. The expensive part —
+    tokenizing the corpus — is the same single map pass every other
+    text stage runs; nothing here is data-sized after the agg.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = Window.partitionBy()
+    wq = F.round(
+        F.sqrt(
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(tot).cast("double")
+        )
+        * _TEMP_QUANTA
+    ).cast("long")
+    q = per_src.withColumn("wq", wq)
+    weight = F.col("wq").cast("double") / F.sum("wq").over(tot).cast("double")
+    return q.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        (weight * _TEMP_BUDGET / F.col("n_tokens").cast("double")).alias("epochs"),
+    )

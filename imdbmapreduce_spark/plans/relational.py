@@ -2319,3 +2319,84 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("double").alias("price"),
         F.col("p_size").cast("long").alias("size_v"),
     )
+
+
+# --- classical seasonal decomposition (monthly revenue) ---------------------
+
+_SEAS_PPM = 1_000_000  # ratio quanta (parts-per-million)
+
+
+@query(
+    "orders_seasonal_decomposition",
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT mon, rev,
+        SUM(rev)  OVER (ORDER BY mon ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS s1,
+        COUNT(*)  OVER (ORDER BY mon ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS c1,
+        SUM(rev)  OVER (ORDER BY mon ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS s2,
+        COUNT(*)  OVER (ORDER BY mon ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS c2
+      FROM m
+    ), r AS (
+      SELECT month(mon) AS m,
+             (rev * 24 * {_SEAS_PPM}) // (s1 + s2) AS ratio_ppm
+      FROM w WHERE c1 = 12 AND c2 = 12
+    )
+    SELECT CAST(m AS BIGINT) AS month_of_year,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS seasonal_index_ppm
+    FROM r GROUP BY 1
+    """,
+)
+def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal decomposition over monthly order
+    revenue: centered 12-month moving-average trend (the textbook CMA-12
+    — the average of the two off-center MA-12 windows, so each month is
+    compared against a full year centered on it), per-month
+    detrended ratio, and the seasonal INDEX per calendar month (mean
+    ratio, in exact parts-per-million) — the series-decomposition member
+    of the time-series vertical beside trend OLS, CUSUM and
+    stationarity.
+
+    Determinism contract: revenue in exact long cents; the only
+    divisions are integer (truncating on positives == floor) at 1e-6
+    quanta, spelled ``DIV``/``//`` identically in both engines — no
+    double accumulates anywhere. Bound: rev*24e6 needs rev < 3.8e11
+    cents/month (~$3.8B) — seven orders of magnitude above this fixture;
+    rescale the quanta before a corpus ever approaches it.
+
+    Scale shape: ONE data-sized stage (the month groupBy — a partial/
+    final agg to |months| rows); every window after it runs on the
+    bounded monthly frame (80 rows over TPC-H's 7-year calendar at ANY
+    scale factor — bounded by the calendar, not the data). Incomplete
+    edge windows are excluded exactly (both window counts = 12), not
+    padded.
+    """
+    orders = table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev"))
+    )
+    w1 = Window.orderBy("mon").rowsBetween(-6, 5)
+    w2 = Window.orderBy("mon").rowsBetween(-5, 6)
+    sized = monthly.select(
+        "mon",
+        "rev",
+        F.sum("rev").over(w1).alias("s1"),
+        F.count(F.lit(1)).over(w1).alias("c1"),
+        F.sum("rev").over(w2).alias("s2"),
+        F.count(F.lit(1)).over(w2).alias("c2"),
+    )
+    ratios = sized.filter((F.col("c1") == 12) & (F.col("c2") == 12)).select(
+        F.month("mon").cast("long").alias("month_of_year"),
+        F.expr(f"(rev * 24 * {_SEAS_PPM}) DIV (s1 + s2)").alias("ratio_ppm"),
+    )
+    return ratios.groupBy("month_of_year").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.expr("CAST(SUM(ratio_ppm) DIV COUNT(*) AS BIGINT)").alias(
+            "seasonal_index_ppm"
+        ),
+    )

@@ -795,3 +795,88 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(match_schema).parquet(sink)
         .dropDuplicates(["new_doc", "matched_doc"])
     )
+
+
+_CUSTOMER_JSONL_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+    "c_mktsegment string, _corrupt_record string"
+)
+
+
+@query("streaming_entity_gate", oracle=None, bench=False)
+def streaming_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``customer_entity_arrival`` — live-ingest entity
+    resolution, the MDM analog of :func:`streaming_neardup_gate`: the
+    day's customer records land as JSONL, a stream drains them in
+    micro-batches (maxFilesPerTrigger=1 ⇒ a real multi-batch drain), and
+    each micro-batch runs the SHARED
+    :func:`~imdbmapreduce_spark.operators.dedup.entity_arrival_verdicts`
+    plan against the session-cached base-entity assignment — arriving
+    records are matched to STANDING identities only, never to each
+    other, so per-record verdicts are complete within their own
+    micro-batch and the union over any batch partitioning equals the
+    batch gate exactly (pinned in test_streaming.py).
+
+    Same sink contract as every foreachBatch sink here: per-epoch
+    parquet partitions written executor-side with overwrite mode
+    (crash-replayed micro-batches rewrite their own partition), nothing
+    collected to the driver. Registered rows-only: the BATCH twin
+    carries the full recursive-CTE oracle; this query's contract is
+    stream == batch.
+    """
+    import os
+    import shutil
+
+    from imdbmapreduce_spark.operators.dedup import (
+        _CUST_SHARD_MOD,
+        _CUST_SHARD_RESIDUE,
+        _customer_base_entities,
+        _with_link_block,
+        entity_arrival_verdicts,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    is_new = (F.col("c_custkey") % _CUST_SHARD_MOD) == _CUST_SHARD_RESIDUE
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "imdbmapreduce_entity_stream",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+        "shard",
+    )
+    cust.filter(is_new).repartition(4).write.mode("overwrite").json(path)
+
+    base = _with_link_block(cust.filter(~is_new))
+    assign = _customer_base_entities(spark, sf_dir)
+    sink = os.path.join(os.path.dirname(path), "verdicts")
+    shutil.rmtree(sink, ignore_errors=True)
+    out_schema = (
+        "new_custkey long, entity_id long, n_links long, n_entities_linked long"
+    )
+
+    def on_batch(mb: DataFrame, epoch: int) -> None:
+        clean = _with_link_block(
+            mb.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        )
+        verdicts = entity_arrival_verdicts(clean, base, assign)
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(sink, f"epoch={int(epoch)}")
+        )
+
+    stream = (
+        spark.readStream.schema(_CUSTOMER_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    _drain_foreach(stream, on_batch)
+    if not os.path.isdir(sink):  # zero micro-batches fired
+        return spark.createDataFrame([], out_schema)
+    # each record lives in exactly one micro-batch; dropDuplicates is the
+    # defensive replay guard, same as the near-dup gate's
+    return (
+        spark.read.schema(out_schema)
+        .parquet(sink)
+        .dropDuplicates(["new_custkey"])
+    )

@@ -734,3 +734,182 @@ def test_containment_bounded_is_subset_with_measured_recall(spark, sf_dir):
     assert row.n_true == len(exact)
     assert row.n_hits == len(bounded)
     assert row.recall == recall
+
+
+def test_global_rank_matches_unpartitioned_row_number(spark):
+    """_global_rank's distributed two-pass rank must equal the rank a
+    single-partition row_number window would produce, including on a
+    skewed key distribution (one hot key, many singletons)."""
+    from imdbmapreduce_spark.operators.dedup import _global_rank
+
+    rows = [Row(k="hot", i=i) for i in range(200)] + [
+        Row(k=f"k{i:03d}", i=i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.k, r.i): r.rk for r in _global_rank(df, ["k", "i"]).collect()
+    }
+    expected = sorted(rows, key=lambda r: (r.k, r.i))
+    for pos, r in enumerate(expected, start=1):
+        assert got[(r.k, r.i)] == pos
+
+
+def test_snm_pairs_match_python_replay(spark, sf_dir):
+    """Multi-pass SNM completeness + budget: the emitted pairs are
+    EXACTLY the within-window, above-threshold pairs of EITHER sort
+    order (forward + reversed canonical key), and each doc touches at
+    most passes*2w pairs (the skew-proof budget)."""
+    from imdbmapreduce_spark.operators.dedup import (
+        _SNM_TAU_DEN,
+        _SNM_TAU_NUM,
+        _SNM_WINDOW,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    sets = {}
+    passes = {"fwd": [], "rev": []}
+    for r in docs:
+        st = sorted(set(r.text.split()))
+        if st:
+            sets[r.doc_id] = set(st)
+            passes["fwd"].append((" ".join(st), r.doc_id))
+            passes["rev"].append((" ".join(reversed(st)), r.doc_id))
+    expected = set()
+    for keyed in passes.values():
+        keyed.sort()
+        for i, (_, id_a) in enumerate(keyed):
+            for j in range(i + 1, min(i + 1 + _SNM_WINDOW, len(keyed))):
+                id_b = keyed[j][1]
+                set_a, set_b = sets[id_a], sets[id_b]
+                common = len(set_a & set_b)
+                union = len(set_a) + len(set_b) - common
+                if _SNM_TAU_DEN * common >= _SNM_TAU_NUM * union:
+                    expected.add((min(id_a, id_b), max(id_a, id_b)))
+    out = registry.get("snm_neardup_pairs").fn(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in out}
+    assert got == expected
+    from collections import Counter
+
+    per_doc = Counter()
+    for a, b in got:
+        per_doc[a] += 1
+        per_doc[b] += 1
+    assert not per_doc or max(per_doc.values()) <= 2 * 2 * _SNM_WINDOW
+
+
+def test_customer_fuzzy_matches_python_replay(spark, sf_dir):
+    """Blocked Levenshtein pairs equal a brute-force within-block replay
+    (block prefix pins all but the name's last 2 chars, so the edit
+    distance reduces to differing-position count there — asserting the
+    full-name levenshtein agrees keeps the check independent)."""
+    from imdbmapreduce_spark.operators.dedup import (
+        _LINK_BLOCK_CHARS,
+        _LINK_MAX_DIST,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    by_block: dict[str, list] = {}
+    for r in cust:
+        by_block.setdefault(r.c_name[:_LINK_BLOCK_CHARS], []).append(r)
+    expected = {}
+    for members in by_block.values():
+        for a, b in combinations(sorted(members, key=lambda r: r.c_custkey), 2):
+            tail_a, tail_b = (
+                a.c_name[_LINK_BLOCK_CHARS:],
+                b.c_name[_LINK_BLOCK_CHARS:],
+            )
+            assert len(tail_a) == len(tail_b)
+            d = sum(x != y for x, y in zip(tail_a, tail_b))
+            if d <= _LINK_MAX_DIST:
+                expected[(a.c_custkey, b.c_custkey)] = d
+    out = registry.get("customer_fuzzy_matches").fn(spark, sf_dir).collect()
+    got = {(r.custkey_a, r.custkey_b): r.lev_dist for r in out}
+    assert got == expected
+
+
+def test_customer_entity_groups_partition_and_survivorship(spark, sf_dir):
+    """Entities partition the customer table; each golden record belongs
+    to its entity and carries its max balance (ties to lowest key)."""
+    out = registry.get("customer_entity_groups").fn(spark, sf_dir).collect()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    assert sum(r.n_members for r in out) == len(cust)
+    pairs = registry.get("customer_fuzzy_matches").fn(spark, sf_dir).collect()
+    parent = {r.c_custkey: r.c_custkey for r in cust}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.custkey_a), find(p.custkey_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list] = {}
+    for r in cust:
+        members.setdefault(find(r.c_custkey), []).append(r)
+    expected_golden = {
+        root: min(ms, key=lambda r: (-r.c_acctbal, r.c_custkey)).c_custkey
+        for root, ms in members.items()
+    }
+    # entity_id is the min reachable key == the union-find root here
+    assert {r.entity_id: r.golden_custkey for r in out} == expected_golden
+
+
+def test_customer_entity_arrival_matches_union_find_replay(spark, sf_dir):
+    """Arrival-gate replay: base-only union-find over blocked lev<=1
+    edges, then each arriving record's verdict = min matched base
+    entity (or its own key), with link counts — exactly the registered
+    query's contract."""
+    from imdbmapreduce_spark.operators.dedup import (
+        _CUST_SHARD_MOD,
+        _CUST_SHARD_RESIDUE,
+        _LINK_BLOCK_CHARS,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    new = [r for r in cust if r.c_custkey % _CUST_SHARD_MOD == _CUST_SHARD_RESIDUE]
+    base = [r for r in cust if r.c_custkey % _CUST_SHARD_MOD != _CUST_SHARD_RESIDUE]
+
+    def lev_le1(x, y):  # names are equal-length here
+        return sum(a != b for a, b in zip(x, y)) <= 1 and len(x) == len(y)
+
+    by_block: dict[str, list] = {}
+    for r in base:
+        by_block.setdefault(r.c_name[:_LINK_BLOCK_CHARS], []).append(r)
+    parent = {r.c_custkey: r.c_custkey for r in base}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in by_block.values():
+        for a, b in combinations(members, 2):
+            if lev_le1(a.c_name, b.c_name):
+                ra, rb = find(a.c_custkey), find(b.c_custkey)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # entity id = min member key of the component = the root here
+    expected = {}
+    for r in new:
+        ents = {
+            find(o.c_custkey)
+            for o in by_block.get(r.c_name[:_LINK_BLOCK_CHARS], [])
+            if lev_le1(r.c_name, o.c_name)
+        }
+        links = [
+            o
+            for o in by_block.get(r.c_name[:_LINK_BLOCK_CHARS], [])
+            if lev_le1(r.c_name, o.c_name)
+        ]
+        expected[r.c_custkey] = (
+            min(ents) if ents else r.c_custkey,
+            len(links),
+            len(ents),
+        )
+    out = registry.get("customer_entity_arrival").fn(spark, sf_dir).collect()
+    got = {r.new_custkey: (r.entity_id, r.n_links, r.n_entities_linked) for r in out}
+    assert got == expected

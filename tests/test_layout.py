@@ -269,3 +269,32 @@ def test_zorder_pruning_audit_invariants(spark, sf_dir):
         by[("sorted_c1", "c1_mid16")].files_scanned
         <= by[("zorder", "c1_mid16")].files_scanned
     )
+
+
+def test_file_compaction_plan_invariants(spark, sf_dir):
+    """Planner invariants: files partition the corpus; 'keep' files are
+    at least half-target; every 'compact' group except possibly the last
+    (in fill order) reaches the target once its next member would
+    overflow — equivalently, group fill never exceeds target + the
+    smallest member's slack, and group ids are dense from 0."""
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.operators.layout import _CMP_SMALL, _CMP_TARGET
+
+    rows = registry.get("file_compaction_plan").fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == docs
+    small = [r for r in rows if r.action == "compact"]
+    for r in rows:
+        if r.action == "keep":
+            assert r.bytes >= _CMP_SMALL and r.target_file is None
+        else:
+            assert r.bytes < _CMP_SMALL and r.target_file is not None
+    if small:
+        gids = sorted({r.target_file for r in small})
+        assert gids == list(range(len(gids)))
+        # replay the sequential fill: same order, same group edges
+        fill: dict[int, int] = {}
+        for r in sorted(small, key=lambda r: (-r.bytes, r.file_id)):
+            off = sum(fill.values())
+            assert r.target_file == off // _CMP_TARGET
+            fill[r.file_id] = r.bytes

@@ -180,3 +180,28 @@ def test_threshold_sweep_replay_and_curve_properties(spark, sf_dir):
         assert r.recall_ <= prev_recall + 1e-15
         prev_recall = r.recall_
         assert r.f1 == (2 * tp / (2 * tp + fp + r.fn) if tp + fp + r.fn else 0.0)
+
+
+def test_calibration_bins_properties(spark, sf_dir):
+    """Reliability-diagram invariants: bins in range, counts consistent,
+    ppm ratios exactly the truncating integer division of their sums,
+    and the val split fully covered."""
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.operators.ml import _CAL_BINS, _CAL_PPM
+    from imdbmapreduce_spark.operators.text import split_assignment
+
+    rows = registry.get("doc_quality_calibration").fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_val = split_assignment(docs).filter(F.col("split") == "val").count()
+    assert sum(r.n_docs for r in rows) == n_val
+    for r in rows:
+        assert 0 <= r.bin < _CAL_BINS
+        assert 0 <= r.n_pos <= r.n_docs
+        assert r.observed_ppm == r.n_pos * _CAL_PPM // r.n_docs
+        assert 0 <= r.predicted_ppm <= _CAL_PPM
+        # a prediction binned at b has p in [b/10, (b+1)/10) (top bin
+        # closed) — the bin mean must sit inside its own bin
+        assert r.bin * _CAL_PPM // _CAL_BINS <= r.predicted_ppm
+        assert r.predicted_ppm <= (r.bin + 1) * _CAL_PPM // _CAL_BINS or r.bin == _CAL_BINS - 1

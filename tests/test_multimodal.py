@@ -432,3 +432,66 @@ def test_jpeg_lane_matches_python_replay(spark, sf_dir):
         r = rows[d.doc_id]
         assert (r.width, r.height, r.n_blocks) == (bw * 8, bh * 8, bw * bh)
         assert r.pixel_sum == want_sum, d.doc_id
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Random-image round-trips: heights >= 5 force every filter type
+    (rows cycle 0..4), so one scrambled unfilter fails the identity."""
+    import random
+
+    from imdbmapreduce_spark.operators.png import decode_gray, encode_gray
+
+    rng = random.Random(7)
+    for _ in range(10):
+        w, h = rng.randint(1, 40), rng.randint(5, 40)
+        img = [[rng.randint(0, 255) for _ in range(w)] for _ in range(h)]
+        d = decode_gray(encode_gray(img))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["pixels"] == img
+
+
+def test_png_codec_detects_corruption_and_truncation():
+    import pytest
+
+    from imdbmapreduce_spark.operators.png import decode_gray, encode_gray
+
+    img = [[(3 * x + y) % 256 for x in range(16)] for y in range(8)]
+    good = encode_gray(img)
+    flipped = bytearray(good)
+    flipped[len(good) // 2] ^= 0xFF  # inside some chunk -> CRC must trip
+    with pytest.raises(ValueError):
+        decode_gray(bytes(flipped))
+    with pytest.raises(ValueError):
+        decode_gray(good[: len(good) - 13])  # IEND gone
+    with pytest.raises(ValueError):
+        decode_gray(b"\x89PNX" + good[4:])  # bad signature
+
+
+def test_png_multi_idat_reassembly():
+    """The encoder splits DEFLATE output across 64-byte IDAT chunks;
+    the decoder must concatenate them before inflating."""
+    from imdbmapreduce_spark.operators.png import (
+        _IDAT_SPLIT,
+        decode_gray,
+        encode_gray,
+    )
+
+    img = [[(x * 31 + y * 7) % 256 for x in range(64)] for y in range(32)]
+    payload = encode_gray(img)
+    assert payload.count(b"IDAT") > 1, "fixture must exercise multi-IDAT"
+    assert _IDAT_SPLIT == 64
+    assert decode_gray(payload)["pixels"] == img
+
+
+def test_png_paeth_predictor_spec_order():
+    """Paeth tie-breaks must prefer left, then above, then upper-left
+    (RFC 2083 §6.6) — a decoder with >= instead of <= still round-trips
+    its own encoder but fails on foreign bitstreams."""
+    from imdbmapreduce_spark.operators.png import _paeth
+
+    assert _paeth(1, 1, 1) == 1  # all distances tie -> left
+    assert _paeth(10, 10, 4) == 10  # pa == pb (a == b) -> left
+    assert _paeth(5, 9, 8) == 5  # pa smallest -> left
+    assert _paeth(9, 5, 8) == 5  # pb smallest -> above
+    assert _paeth(0, 4, 2) == 2  # pc smallest -> upper-left
+    assert _paeth(11, 8, 10) == 8  # pb == pc tie -> above beats upper-left

@@ -468,3 +468,24 @@ def test_filter_ablation_matrix_consistent_with_source_filters(spark, sf_dir):
     assert got[("any", "any")] == n_any
     assert got[("none", "none")] == len(flags) - n_any
     assert got[("any", "any")] >= max(got[(a, a)] for a in names)
+
+
+def test_source_temperature_mix_properties(spark, sf_dir):
+    """Weights are a probability distribution; epochs is the budget's
+    per-source token demand over supply; tempering upweights the
+    below-average sources relative to their natural share."""
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.operators.pipeline import _TEMP_BUDGET
+
+    rows = registry.get("source_temperature_mix").fn(spark, sf_dir).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    total_tokens = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert r.epochs == r.weight * _TEMP_BUDGET / r.n_tokens
+        natural = r.n_tokens / total_tokens
+        # sqrt-tempering moves every share toward uniform: below-average
+        # sources gain weight, above-average sources lose it.
+        if natural < 1.0 / len(rows) - 1e-12:
+            assert r.weight > natural
+        elif natural > 1.0 / len(rows) + 1e-12:
+            assert r.weight < natural

@@ -152,3 +152,24 @@ def test_skyline_matches_naive_python(spark, sf_dir):
     for a in sky:
         for b in sky:
             assert not ((b[0] < a[0] and b[1] >= a[1]) or (b[0] <= a[0] and b[1] > a[1]))
+
+
+def test_seasonal_decomposition_properties(spark, sf_dir):
+    """Multiplicative seasonal indices must straddle 1 (their mean is ~1e6
+    ppm by construction — ratios are value/centered-mean), cover all 12
+    calendar months, and use exactly the interior complete windows."""
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark import registry
+
+    rows = registry.get("orders_seasonal_decomposition").fn(spark, sf_dir).collect()
+    assert sorted(r.month_of_year for r in rows) == list(range(1, 13))
+    n_months = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.date_trunc("month", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_windows for r in rows) == n_months - 12
+    weighted = sum(r.seasonal_index_ppm * r.n_windows for r in rows) / (n_months - 12)
+    assert abs(weighted - 1_000_000) < 20_000  # ratios center on 1

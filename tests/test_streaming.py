@@ -610,3 +610,22 @@ def test_streaming_neardup_gate_has_no_driver_collect():
     for banned in (".collect(", ".toPandas(", ".toLocalIterator("):
         assert banned not in src, f"driver-side {banned}) in the gate hot path"
     assert 'mode("overwrite")' in src and "epoch=" in src
+
+
+def test_streaming_entity_gate_equals_batch_arrival(spark, sf_dir):
+    """stream == batch for the ER arrival gate: the micro-batch drain's
+    unioned verdicts must equal customer_entity_arrival exactly (every
+    record in one micro-batch + base-only matching makes per-batch
+    verdicts complete)."""
+    from imdbmapreduce_spark import registry
+
+    batch = {
+        (r.new_custkey, r.entity_id, r.n_links, r.n_entities_linked)
+        for r in registry.get("customer_entity_arrival").fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.new_custkey, r.entity_id, r.n_links, r.n_entities_linked)
+        for r in registry.get("streaming_entity_gate").fn(spark, sf_dir).collect()
+    }
+    assert batch, "fixture must produce arriving records"
+    assert stream == batch
