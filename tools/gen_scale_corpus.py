@@ -151,10 +151,36 @@ def gen_supplier_lineitem() -> None:
     print(f"supplier: {N_SUPP}; lineitem: {N_LINE} ({N_LINE // LINES_PER_ORDER} orders)")
 
 
+# 10x the sf0.1 customer count — TPC-H name shape (Customer#%09d), so the
+# ER vertical's 16-char prefix blocks stay exactly 100 records and the
+# third decade measures pair volume growing linearly in customers.
+N_CUST = 150_000
+
+
+def gen_customer() -> None:
+    con = duckdb.connect()
+    con.execute(f"SELECT setseed(0.{SEED})")
+    con.execute(
+        f"""
+        COPY (
+          SELECT CAST(i AS BIGINT) AS c_custkey,
+                 'Customer#' || lpad(CAST(i AS VARCHAR), 9, '0') AS c_name,
+                 CAST(floor(random() * 25) AS INTEGER) AS c_nationkey,
+                 round(random() * 9000 + 1000, 2) AS c_acctbal,
+                 ['BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD','FURNITURE']
+                   [CAST(1 + floor(random()*5) AS INTEGER)] AS c_mktsegment
+          FROM range(0, {N_CUST}) t(i)
+        ) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    print(f"customer: {N_CUST}")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(SEED)
     gen_documents(rng)
     gen_embeddings(rng)
     gen_supplier_lineitem()
+    gen_customer()
     print(f"wrote {OUT}")
