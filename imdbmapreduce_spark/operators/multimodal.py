@@ -1220,3 +1220,56 @@ def image_features_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(lane, schema)
+
+
+# --- compressibility quality signal ----------------------------------------
+
+
+@query("doc_compression_signal", oracle=None)  # rows-only: no SQL DEFLATE;
+# the exact contract is pinned by the byte-identical pytest replay
+def doc_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document compressibility — the repetition/boilerplate proxy
+    production quality filters actually deploy (highly repetitive or
+    templated text compresses far below prose): DEFLATE (stdlib zlib,
+    fixed level 6) over the UTF-8 text, emitting raw/compressed byte
+    counts and the ratio in integer ppm. Complements the exact
+    token-level `doc_repetition` (duplicate-n-gram ratio): DEFLATE sees
+    CHARACTER-level structure n-gram counting misses (long-range
+    repeats, near-repeats, low-entropy character runs).
+
+    No SQL spelling of DEFLATE exists, so the driver row is rows-only;
+    the determinism contract is pinned instead by a byte-identical
+    Python replay (same zlib, same level ⇒ identical bytes on any
+    executor) and a planted-structure test (repeated text must compress
+    strictly below shuffled text).
+
+    Scale: the standard narrow Arrow lane — no shuffle, parallelism =
+    scan splits, per-row cost linear in text bytes; at 100 TB this is
+    the same single decode-pass shape as every codec lane, and the
+    output is a slim typed frame any keep-rule joins on doc_id.
+    """
+    import zlib
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, n_raw long, n_zlib long, ratio_ppm long"
+
+    def lane(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")
+                z = zlib.compress(raw, 6)
+                n_raw = len(raw)
+                rows.append(
+                    (
+                        int(doc_id),
+                        n_raw,
+                        len(z),
+                        len(z) * 1_000_000 // n_raw if n_raw else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_raw", "n_zlib", "ratio_ppm"]
+            )
+
+    return docs.mapInPandas(lane, schema)

@@ -495,3 +495,38 @@ def test_png_paeth_predictor_spec_order():
     assert _paeth(9, 5, 8) == 5  # pb smallest -> above
     assert _paeth(0, 4, 2) == 2  # pc smallest -> upper-left
     assert _paeth(11, 8, 10) == 8  # pb == pc tie -> above beats upper-left
+
+
+def test_doc_compression_signal_replay_and_structure(spark, sf_dir):
+    """Byte-identical Python replay (same stdlib zlib, same level), plus
+    the signal's reason to exist: repeated text compresses strictly
+    below its shuffled-token counterpart."""
+    import random
+    import zlib
+
+    from imdbmapreduce_spark import registry
+
+    out = {
+        r.doc_id: (r.n_raw, r.n_zlib, r.ratio_ppm)
+        for r in registry.get("doc_compression_signal").fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(out) == len(docs)
+    for r in docs:
+        raw = r.text.encode("utf-8")
+        z = zlib.compress(raw, 6)
+        assert out[r.doc_id] == (
+            len(raw),
+            len(z),
+            len(z) * 1_000_000 // len(raw) if raw else 0,
+        )
+    toks = ("the quick brown fox jumps over the lazy dog " * 40).split()
+    repeated = " ".join(toks)
+    rng = random.Random(3)
+    shuffled_toks = list(set(toks)) * 1  # distinct words, then pad to length
+    shuffled = " ".join(
+        rng.choice(shuffled_toks) + str(rng.randint(0, 9999)) for _ in toks
+    )
+    r1 = len(zlib.compress(repeated.encode(), 6)) / len(repeated.encode())
+    r2 = len(zlib.compress(shuffled.encode(), 6)) / len(shuffled.encode())
+    assert r1 < r2
