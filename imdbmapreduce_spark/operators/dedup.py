@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from imdbmapreduce_spark.cache import shared_cache, stable_checkpoint
 from imdbmapreduce_spark.catalog import parallelize_scan, table
-from imdbmapreduce_spark.functions import tokens
+from imdbmapreduce_spark.functions import cents_sum, tokens
 from imdbmapreduce_spark.registry import query
 
 _DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -2894,10 +2894,7 @@ def customer_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = j.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        (
-            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
-            / 100
-        ).alias("total_acctbal"),
+        cents_sum("c_acctbal", "total_acctbal"),
     )
     return agg.join(golden, "entity_id").select(
         "entity_id", "n_members", "total_acctbal", "golden_custkey"

@@ -252,10 +252,15 @@ def decode_baseline(payload: bytes) -> dict:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
             raise ValueError("EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / RSTn: standalone markers, no length field
         ln = int.from_bytes(payload[pos : pos + 2], "big")
         body = payload[pos + 2 : pos + ln]
         if marker == 0xDB:
@@ -315,7 +320,10 @@ def decode_baseline(payload: bytes) -> dict:
         raise ValueError("missing EOI")
     br = _BitReader(payload[pos:end])
     ncomp = len(comps)
-    planes = [np.zeros((h, w)) for _ in range(ncomp)]
+    # planes are MCU-padded: the block loop writes full 8x8 blocks past
+    # non-8-aligned edges; the final [:h, :w] clip trims the padding
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.zeros((ph, pw)) for _ in range(ncomp)]
     prev_dc = [0] * ncomp
     qt = {cid: qtabs[tq] for cid, tq in comps}
     for by in range(0, (h + 7) // 8 * 8, 8):

@@ -187,12 +187,11 @@ def decode_bmp_features(payload: bytes) -> dict:
 
 def decode_image_features(payload: bytes) -> dict:
     """Real-codec twin of :func:`fake_decode`: same output schema, true
-    width/height from the decoded image. Binary PPM and uncompressed
-    24-bit BMP decode in pure Python (:func:`decode_ppm_features` /
-    :func:`decode_bmp_features`), and baseline JPEG through the
-    pure-Python codec (operators/jpeg.py) — all always available; other
-    formats (PNG) need PIL and raise NotImplementedError when it is absent (the container
-    default) — see :func:`decode_image`.
+    width/height from the decoded image. Binary PPM, uncompressed 24-bit
+    BMP, baseline JPEG (operators/jpeg.py) and 8-bit grayscale PNG
+    (operators/png.py) all decode in pure Python — always available;
+    only formats outside those four fall through to the PIL stub
+    (:func:`decode_image`, NotImplementedError in this container).
     """
     if payload[:2] == b"P6":
         return decode_ppm_features(payload)
@@ -202,6 +201,16 @@ def decode_image_features(payload: bytes) -> dict:
         from imdbmapreduce_spark.operators.jpeg import decode_baseline
 
         d = decode_baseline(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": sum(payload) % (1 << 31),
+            "width": d["width"],
+            "height": d["height"],
+        }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from imdbmapreduce_spark.operators.png import decode_gray
+
+        d = decode_gray(payload)
         return {
             "n_bytes": len(payload),
             "checksum": sum(payload) % (1 << 31),
@@ -220,11 +229,12 @@ def decode_image_features(payload: bytes) -> dict:
 def image_features_real(mm: DataFrame) -> DataFrame:
     """The real-codec feature lane: identical mapInPandas plumbing to
     :func:`multimodal_features` but truly decoding the payload bytes —
-    pure-Python for binary PPM (always available), PIL for JPEG/PNG.
-    Registered over synthesized PPM payloads as ``image_features_real``
-    (geometry + byte oracle); the PIL path additionally runs end-to-end
-    in tests/test_multimodal.py's skipif-gated PNG test when the
-    environment gains the codec.
+    pure Python for PPM, BMP, baseline JPEG and grayscale PNG (see
+    :func:`decode_image_features`); PIL only for foreign formats beyond
+    those four. Registered over synthesized PPM payloads as
+    ``image_features_real`` (geometry + byte oracle); the PIL path
+    additionally runs end-to-end in tests/test_multimodal.py's
+    skipif-gated test when the environment gains the codec.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2344,6 +2344,7 @@ def events_join_estimate_driven(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imdbmapreduce_spark.stats import (
         EST_SCALE,
         KeyStats,
+        choose_join_strategy,
         estimate_hot_keys,
         estimate_join_size,
         key_stats,
@@ -2373,13 +2374,12 @@ def events_join_estimate_driven(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("user_self", fact_user, fact_user, true_user_self),
     ]:
         est_q = estimate_join_size(a, b)
+        # n_hot is REPORTED for every join shape (broadcast included) —
+        # the audit wants the skew estimate even where no salting runs
         fair = max((est_q // EST_SCALE) // _PLAN_PARTITIONS, 1)
         n_hot = len(estimate_hot_keys(a, b, fair))
-        decision = (
-            "broadcast"
-            if b.n_rows <= _PLAN_BCAST_ROWS
-            else ("salted" if n_hot > 0 else "shuffle")
-        )
+        # the registered decision IS the planner API's — no inline copy
+        decision, _ = choose_join_strategy(a, b, _PLAN_PARTITIONS, _PLAN_BCAST_ROWS)
         rows.append(
             (name, a.n_rows, a.n_distinct, b.n_rows, b.n_distinct,
              est_q, true_rows, n_hot, decision)

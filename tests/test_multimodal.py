@@ -530,3 +530,60 @@ def test_doc_compression_signal_replay_and_structure(spark, sf_dir):
     r1 = len(zlib.compress(repeated.encode(), 6)) / len(repeated.encode())
     r2 = len(zlib.compress(shuffled.encode(), 6)) / len(shuffled.encode())
     assert r1 < r2
+
+
+def test_jpeg_decodes_non_mcu_aligned_dimensions():
+    """A baseline JPEG whose SOF dims are not multiples of 8 must decode
+    (blocks are MCU-padded, output clipped) — real encoders pad blocks
+    and declare true dims; review r9 caught the (h, w) plane allocation
+    crashing on exactly this class."""
+    import numpy as np
+
+    from imdbmapreduce_spark.operators.jpeg import (
+        decode_baseline,
+        encode_baseline_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    p = bytearray(encode_baseline_gray(img))
+    i = p.find(b"\xff\xc0")
+    p[i + 5 : i + 7] = (10).to_bytes(2, "big")  # declare 10x12 of the 16x16
+    p[i + 7 : i + 9] = (12).to_bytes(2, "big")
+    d = decode_baseline(bytes(p))
+    assert (d["width"], d["height"]) == (12, 10)
+    full = decode_baseline(bytes(encode_baseline_gray(img)))["pixels"]
+    assert (d["pixels"] == full[:10, :12]).all()
+
+
+def test_jpeg_tolerates_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker, and
+    TEM/RSTn carry no length field — both legal in foreign baseline
+    payloads decode_image_features routes here."""
+    import numpy as np
+
+    from imdbmapreduce_spark.operators.jpeg import (
+        decode_baseline,
+        encode_baseline_gray,
+    )
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    q = bytes(encode_baseline_gray(img))
+    padded = q[:2] + b"\xff" + b"\xff\x01" + q[2:]  # fill byte + TEM
+    ref = decode_baseline(q)["pixels"]
+    assert (decode_baseline(padded)["pixels"] == ref).all()
+
+
+def test_decode_image_features_dispatches_png_without_pil():
+    """PNG payloads must route to the pure-Python codec, not the PIL
+    stub (review r9: the dispatch was missing while the docstrings
+    claimed all four formats decode for real)."""
+    from imdbmapreduce_spark.operators.multimodal import decode_image_features
+    from imdbmapreduce_spark.operators.png import encode_gray
+
+    img = [[(x * 7 + y) % 256 for x in range(12)] for y in range(9)]
+    payload = encode_gray(img)
+    got = decode_image_features(payload)
+    assert (got["width"], got["height"]) == (12, 9)
+    assert got["n_bytes"] == len(payload)
+    assert got["checksum"] == sum(payload) % (1 << 31)
