@@ -1855,6 +1855,58 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _xs_span_rows(spark, sf_dir)
 
 
+def _xs_windows_of(docs: DataFrame) -> DataFrame:
+    """Rolling {_XS_W}-token window digests for any (doc_id, text) frame
+    — (doc_id, pos, h) rows. Factored so the arrival gate fingerprints
+    ONLY the arriving shard (windowing is per-doc, so it composes over
+    any row subset)."""
+    pos_toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, _XS_W)]
+    return (
+        pos_toks.select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok", *leads
+        )
+        .filter(F.col(f"t{_XS_W - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, _XS_W)])
+            ).alias("h"),
+        )
+    )
+
+
+def _xs_islands_to_spans(dupw: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of flagged window positions into maximal
+    spans — the shared tail of the batch span pipeline and the arrival
+    gate (windows whose starts differ by <= W overlap or touch)."""
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dupw.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(wlag) <= _XS_W, 0).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + _XS_W - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            (F.max("pos") + _XS_W - F.min("pos")).cast("long").alias("span_tokens"),
+        )
+        .drop("island")
+    )
+
+
 def _xs_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maximal duplicate-span rows (doc_id, span_start, span_end,
     n_windows, span_tokens) — session-shared: the span view above and
@@ -1863,49 +1915,12 @@ def _xs_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = parallelize_scan(table(spark, sf_dir, "documents"))
-        pos_toks = docs.select(
-            "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
-        )
-        w = Window.partitionBy("doc_id").orderBy("pos0")
-        leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, _XS_W)]
-        wins = (
-            pos_toks.select(
-                "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok", *leads
-            )
-            .filter(F.col(f"t{_XS_W - 1}").isNotNull())
-            .select(
-                "doc_id",
-                "pos",
-                F.md5(
-                    F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, _XS_W)])
-                ).alias("h"),
-            )
-        )
+        wins = _xs_windows_of(docs)
         dup_h = (
             wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
         )
         dupw = wins.join(dup_h.select("h"), "h", "left_semi").select("doc_id", "pos")
-        wlag = Window.partitionBy("doc_id").orderBy("pos")
-        flagged = dupw.withColumn(
-            "new_island",
-            F.when(F.col("pos") - F.lag("pos").over(wlag) <= _XS_W, 0).otherwise(1),
-        )
-        islands = flagged.withColumn(
-            "island",
-            F.sum("new_island").over(
-                wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        return (
-            islands.groupBy("doc_id", "island")
-            .agg(
-                F.min("pos").cast("long").alias("span_start"),
-                (F.max("pos") + _XS_W - 1).cast("long").alias("span_end"),
-                F.count(F.lit(1)).cast("long").alias("n_windows"),
-                (F.max("pos") + _XS_W - F.min("pos")).cast("long").alias("span_tokens"),
-            )
-            .drop("island")
-        )
+        return _xs_islands_to_spans(dupw)
 
     return shared_cache(spark, ("xs_spans", sf_dir, _XS_W), build)
 
@@ -3025,3 +3040,93 @@ def customer_entity_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(~is_new),
         _customer_base_entities(spark, sf_dir),
     )
+
+
+def _xs_base_hashes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct window digests of the STANDING base corpus — the
+    persisted artifact the ExactSubstr arrival gate probes (16 bytes per
+    distinct window; the amortized index an ingest deployment keeps
+    beside the MinHash/SimHash/codebook/ranked-shingle artifacts)."""
+    return shared_cache(
+        spark,
+        ("xs_base_hashes", sf_dir, _XS_W, _SHARD_MOD, _SHARD_RESIDUE),
+        lambda: _xs_windows_of(
+            parallelize_scan(table(spark, sf_dir, "documents")).filter(
+                ~_is_shard("doc_id")
+            )
+        )
+        .select("h")
+        .distinct(),
+    )
+
+
+@query(
+    "exact_substr_incremental_ingest",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+{_XS_W - 1}], ' ')) AS h
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {_XS_W} + 2)) AS i
+            FROM toks)
+    ), base_h AS (
+      SELECT DISTINCT h FROM wins
+      WHERE doc_id % {_SHARD_MOD} <> {_SHARD_RESIDUE}
+    ), dupw AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN base_h USING (h)
+      WHERE w.doc_id % {_SHARD_MOD} = {_SHARD_RESIDUE}
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_XS_W} THEN 0 ELSE 1 END AS new_island
+      FROM dupw
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_XS_W} - 1 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(MAX(pos) + {_XS_W} - MIN(pos) AS BIGINT) AS span_tokens
+    FROM islands
+    GROUP BY doc_id, island
+    """,
+)
+def exact_substr_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr's arrival gate — the FIFTH dup family to get one
+    (after MinHash, SimHash, embedding and containment): arriving docs
+    (the standing doc_id % {_SHARD_MOD} == {_SHARD_RESIDUE} shard) are
+    windowed FRESH and probed against the persisted base window-digest
+    set; any arriving window already present in the base marks a span to
+    cut before the shard joins the corpus. Within-shard repeats are
+    deliberately out of scope here (they surface when the grown corpus's
+    batch spans re-run) — the gate's contract is fresh work ∝ shard.
+
+    Note the semantic difference from the batch form: batch spans flag
+    windows repeated ANYWHERE (count >= 2, within-doc repeats included);
+    the gate flags arriving windows that duplicate the BASE — exactly
+    the containment question live ingest asks ("is this text already in
+    my corpus"), and the restriction makes per-shard results independent
+    of shard batching (each arriving doc's verdict depends only on the
+    base).
+
+    Scale: shard windowing is per-doc narrow work; the probe is one
+    left-semi join of |shard windows| 16-byte digests against the base
+    digest artifact (uniform key); islands shuffle only HIT positions on
+    doc_id. Full DuckDB oracle — like the containment gate, no hash
+    family to hide behind.
+    """
+    shard = parallelize_scan(table(spark, sf_dir, "documents")).filter(
+        _is_shard("doc_id")
+    )
+    hits = (
+        _xs_windows_of(shard)
+        .join(_xs_base_hashes_cached(spark, sf_dir), "h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    return _xs_islands_to_spans(hits)

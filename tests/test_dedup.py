@@ -913,3 +913,48 @@ def test_customer_entity_arrival_matches_union_find_replay(spark, sf_dir):
     out = registry.get("customer_entity_arrival").fn(spark, sf_dir).collect()
     got = {r.new_custkey: (r.entity_id, r.n_links, r.n_entities_linked) for r in out}
     assert got == expected
+
+
+def test_exact_substr_arrival_gate_matches_python_replay(spark, sf_dir):
+    """Arrival-gate replay: arriving windows hashed fresh, probed
+    against the base window set, islands merged — per-shard-doc spans
+    must equal a direct Python replay (and every span must lie inside
+    its doc's token range)."""
+    from imdbmapreduce_spark.operators.dedup import (
+        _SHARD_MOD,
+        _SHARD_RESIDUE,
+        _XS_W,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    base_windows = set()
+    shard_docs = []
+    for r in docs:
+        toks = r.text.split()
+        wins = [
+            " ".join(toks[i : i + _XS_W]) for i in range(len(toks) - _XS_W + 1)
+        ]
+        if r.doc_id % _SHARD_MOD == _SHARD_RESIDUE:
+            shard_docs.append((r.doc_id, toks, wins))
+        else:
+            base_windows.update(wins)
+    expected = set()
+    for doc_id, toks, wins in shard_docs:
+        hit_pos = [i + 1 for i, w in enumerate(wins) if w in base_windows]
+        start = None
+        prev = None
+        for p in hit_pos + [None]:
+            if p is not None and prev is not None and p - prev <= _XS_W:
+                prev = p
+                continue
+            if prev is not None:
+                n = sum(1 for q in hit_pos if start <= q <= prev)
+                expected.add((doc_id, start, prev + _XS_W - 1, n, prev + _XS_W - start))
+            start = prev = p
+    out = registry.get("exact_substr_incremental_ingest").fn(spark, sf_dir).collect()
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows, r.span_tokens) for r in out
+    }
+    assert got == expected
+    for r in out:
+        assert r.doc_id % _SHARD_MOD == _SHARD_RESIDUE
