@@ -2399,3 +2399,101 @@ def events_join_estimate_driven(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hot",
         "decision",
     ).orderBy("join_name")
+
+
+# --- k-anonymity audit (data-governance vertical) ---------------------------
+
+_KA_K = 5  # the anonymity bar the audit scores against
+_KA_PPM = 1_000_000
+
+
+@query(
+    "events_k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS hr,
+             user_id % 100 AS cohort
+      FROM events
+    ), levels AS (
+      SELECT 0 AS level, event_type, hr, cohort FROM q
+      UNION ALL
+      SELECT 1 AS level, event_type, hr, NULL FROM q
+      UNION ALL
+      SELECT 2 AS level, event_type, NULL, NULL FROM q
+    ), classes AS (
+      SELECT level, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM levels GROUP BY level, event_type, hr, cohort
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN sz < {_KA_K} THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           CAST(SUM(CASE WHEN sz < {_KA_K} THEN sz ELSE 0 END) * {_KA_PPM}
+                // SUM(sz) AS BIGINT) AS ppm_below_k
+    FROM classes
+    GROUP BY level
+    """,
+)
+def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit under a generalization ladder — the
+    data-governance measurement a training pipeline runs before
+    releasing event-derived features (the structural complement to
+    doc_pii_scrub's content-level scrubbing): every row's
+    quasi-identifier tuple (event_type, hour-of-day, user cohort) forms
+    equivalence classes; a row in a class smaller than k={_KA_K} is
+    re-identifiable. Three generalization levels (full QI → drop the
+    cohort → drop the hour) produce the decision table: how much
+    generalization buys how much anonymity (min class size, rows and
+    ppm below the bar per level — suppress, generalize further, or
+    release).
+
+    All-integer output (counts and a truncating-division ppm), so the
+    audit is exact cross-engine — no float rates.
+
+    Scale: the ladder is one union of three grouped counts (Catalyst
+    shares the scan), each a partial/final agg on a bounded-cardinality
+    QI key (|types| x 24 x 100 at the widest); the per-level rollup
+    runs on class-count-sized frames. No joins, no windows, no skew
+    (class keys are the audit's SUBJECT — a hot class is a large sz
+    value, not a hot shuffle key, because the combine happens
+    map-side).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        (F.col("user_id") % 100).alias("cohort"),
+    )
+    levels = (
+        ev.select(F.lit(0).alias("level"), "event_type", "hr", "cohort")
+        .unionByName(
+            ev.select(
+                F.lit(1).alias("level"),
+                "event_type",
+                "hr",
+                F.lit(None).cast("long").alias("cohort"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit(2).alias("level"),
+                "event_type",
+                F.lit(None).cast("long").alias("hr"),
+                F.lit(None).cast("long").alias("cohort"),
+            )
+        )
+    )
+    classes = levels.groupBy("level", "event_type", "hr", "cohort").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    below = F.sum(F.when(F.col("sz") < _KA_K, F.col("sz")).otherwise(F.lit(0)))
+    return classes.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").cast("long").alias("min_class_size"),
+        below.cast("long").alias("rows_below_k"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN sz < {_KA_K} THEN sz ELSE 0 END) * {_KA_PPM}"
+            " DIV SUM(sz) AS BIGINT)"
+        ).alias("ppm_below_k"),
+    )

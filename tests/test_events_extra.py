@@ -481,3 +481,24 @@ def test_multitouch_credit_conserved_and_u_shaped(spark, sf_dir):
         )
         got = [t.touch_event_id for t in by_conv.get(conv_id, [])]
         assert got == [eid for _, eid in want]
+
+
+def test_k_anonymity_ladder_monotone(spark, sf_dir):
+    """Generalization can only help: coarser quasi-identifiers mean
+    fewer classes, a larger-or-equal minimum class size, and a
+    smaller-or-equal at-risk fraction; per-level rows account for the
+    whole table."""
+    from imdbmapreduce_spark import registry
+
+    rows = {
+        r.level: r
+        for r in registry.get("events_k_anonymity_audit").fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    for r in rows.values():
+        assert 0 <= r.rows_below_k <= n_events
+        assert r.ppm_below_k == r.rows_below_k * 1_000_000 // n_events
+    assert rows[0].n_classes >= rows[1].n_classes >= rows[2].n_classes
+    assert rows[0].min_class_size <= rows[1].min_class_size <= rows[2].min_class_size
+    assert rows[0].rows_below_k >= rows[1].rows_below_k >= rows[2].rows_below_k
