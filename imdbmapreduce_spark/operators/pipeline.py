@@ -1498,3 +1498,153 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight.alias("weight"),
         (weight * _TEMP_BUDGET / F.col("n_tokens").cast("double")).alias("epochs"),
     )
+
+
+# --- budget water-filling ---------------------------------------------------
+
+_WF_BUDGET = 2_000_000  # total sampled-token budget to allocate
+_WF_MAX_EPOCHS = 4  # per-source cap: at most 4 passes over a source
+
+
+@query(
+    "source_budget_waterfill",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS supply
+      FROM documents GROUP BY 1
+    ), capped AS (
+      SELECT source, supply, supply * {_WF_MAX_EPOCHS} AS cap,
+             ROW_NUMBER() OVER (ORDER BY supply * {_WF_MAX_EPOCHS}, source)
+               AS rn,
+             COUNT(*) OVER () AS n
+      FROM s
+    ), pre AS (
+      SELECT *, COALESCE(SUM(cap) OVER (ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS prefix
+      FROM capped
+    ), sat AS (
+      SELECT *, cap * (n - rn + 1) <= {_WF_BUDGET} - prefix AS saturated
+      FROM pre
+    ), lvl AS (
+      SELECT COALESCE(MIN(CASE WHEN NOT saturated THEN rn END), MAX(n) + 1)
+               AS k,
+             MAX(n) AS n
+      FROM sat
+    ), fill AS (
+      SELECT s.*,
+             CASE WHEN s.rn >= l.k
+               THEN ({_WF_BUDGET} - (SELECT COALESCE(MAX(prefix), 0)
+                                     FROM sat WHERE rn = l.k))
+             END AS remaining,
+             l.n - l.k + 1 AS m,
+             CASE WHEN s.rn >= l.k THEN
+               ROW_NUMBER() OVER (PARTITION BY s.rn >= l.k ORDER BY s.source)
+             END AS tie_rn
+      FROM sat s, lvl l
+    )
+    SELECT source, supply, cap,
+           CAST(CASE WHEN remaining IS NULL THEN cap
+                ELSE remaining // m
+                     + CASE WHEN tie_rn <= remaining % m THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc,
+           remaining IS NULL AS saturated,
+           CAST(CASE WHEN remaining IS NULL THEN cap
+                ELSE remaining // m
+                     + CASE WHEN tie_rn <= remaining % m THEN 1 ELSE 0 END
+           END * 1000000 // supply AS BIGINT) AS epochs_ppm
+    FROM fill
+    """,
+)
+def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling budget allocation across sources — the step AFTER
+    the mixture weights: given each source's token supply, a per-source
+    cap of {_WF_MAX_EPOCHS} epochs (repeating a small source more
+    over-trains on it), and a total budget of {_WF_BUDGET} sampled
+    tokens, allocate the budget so every uncapped source gets the same
+    amount (the uniform water level) and capped sources contribute
+    exactly their cap — the classic exact solution to
+    ``maximize min(alloc_i) s.t. alloc_i <= cap_i, Σ alloc_i = B``.
+
+    The algorithm is the sorted-prefix form, all in exact integers:
+    sort sources by cap; a source saturates iff its cap times the
+    number of remaining sources fits in the remaining budget (caps
+    ascending ⇒ saturation is a PREFIX, so one window pass finds the
+    boundary); unsaturated sources split the remainder by integer
+    division, with the modulo distributed one token each to the first
+    sources in name order — Σ alloc == B exactly, no float ever.
+
+    Scale: one corpus-sized agg (the per-source token count — the same
+    single tokenize pass every text stage shares), then window math on
+    the |sources|-row frame, bounded by construction.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("supply")
+    )
+    capped = s.select(
+        "source",
+        "supply",
+        (F.col("supply") * _WF_MAX_EPOCHS).alias("cap"),
+    )
+    w_rn = Window.orderBy("cap", "source")
+    pre = (
+        capped.withColumn("rn", F.row_number().over(w_rn).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("cap").over(
+                    Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    sat = pre.withColumn(
+        "saturated",
+        F.col("cap") * (F.col("n") - F.col("rn") + 1)
+        <= F.lit(_WF_BUDGET) - F.col("prefix"),
+    )
+    wall = Window.partitionBy()
+    k = F.coalesce(
+        F.min(F.when(~F.col("saturated"), F.col("rn"))).over(wall),
+        F.col("n") + 1,
+    )
+    fill = sat.withColumn("k", k).withColumn(
+        "remaining",
+        F.when(
+            F.col("rn") >= F.col("k"),
+            F.lit(_WF_BUDGET)
+            - F.coalesce(
+                F.max(F.when(F.col("rn") == F.col("k"), F.col("prefix"))).over(
+                    wall
+                ),
+                F.lit(0),
+            ),
+        ),
+    ).withColumn("m", F.col("n") - F.col("k") + 1).withColumn(
+        "tie_rn",
+        F.when(
+            F.col("rn") >= F.col("k"),
+            F.row_number().over(
+                Window.partitionBy(F.col("rn") >= F.col("k")).orderBy("source")
+            ),
+        ).cast("long"),
+    )
+    alloc = F.when(F.col("remaining").isNull(), F.col("cap")).otherwise(
+        F.expr("remaining DIV m")
+        + F.when(F.col("tie_rn") <= F.expr("remaining % m"), 1).otherwise(0)
+    )
+    return fill.select(
+        "source",
+        "supply",
+        "cap",
+        alloc.cast("long").alias("alloc"),
+        F.col("remaining").isNull().alias("saturated"),
+        F.expr(
+            "CAST(CASE WHEN remaining IS NULL THEN cap ELSE remaining DIV m"
+            " + CASE WHEN tie_rn <= remaining % m THEN 1 ELSE 0 END END"
+            f" * 1000000 DIV supply AS BIGINT)"
+        ).alias("epochs_ppm"),
+    )

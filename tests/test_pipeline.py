@@ -489,3 +489,26 @@ def test_source_temperature_mix_properties(spark, sf_dir):
             assert r.weight > natural
         elif natural > 1.0 / len(rows) + 1e-12:
             assert r.weight < natural
+
+
+def test_waterfill_allocation_properties(spark, sf_dir):
+    """Water-fill invariants: Σalloc == min(budget, Σcap) exactly; no
+    source exceeds its cap; saturated == (alloc == cap) when the budget
+    binds; unsaturated allocations differ by at most one token (the
+    uniform level plus remainder distribution); and the allocation is
+    max-min fair (every unsaturated alloc >= every saturated cap)."""
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.operators.pipeline import _WF_BUDGET
+
+    rows = registry.get("source_budget_waterfill").fn(spark, sf_dir).collect()
+    total_cap = sum(r.cap for r in rows)
+    assert sum(r.alloc for r in rows) == min(_WF_BUDGET, total_cap)
+    for r in rows:
+        assert 0 <= r.alloc <= r.cap
+        assert r.epochs_ppm == r.alloc * 1_000_000 // r.supply
+    unsat = [r.alloc for r in rows if not r.saturated]
+    sat = [r for r in rows if r.saturated]
+    assert all(r.alloc == r.cap for r in sat)
+    if unsat:
+        assert max(unsat) - min(unsat) <= 1
+        assert all(c.cap <= min(unsat) for c in sat)
