@@ -2400,3 +2400,96 @@ def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
             "seasonal_index_ppm"
         ),
     )
+
+
+# --- market-basket co-occurrence (association rules) ------------------------
+
+_MB_PPM = 1_000_000
+
+
+@query(
+    "order_basket_lift",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_type AS t
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b
+    ), supp AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY 1
+    ), ab AS (
+      SELECT a.t AS type_a, x.t AS type_b, CAST(COUNT(*) AS BIGINT) AS supp_ab
+      FROM b a JOIN b x ON a.o = x.o AND a.t < x.t
+      GROUP BY 1, 2
+    )
+    SELECT ab.type_a, ab.type_b, n.n_orders,
+           sa.s AS supp_a, sb.s AS supp_b, ab.supp_ab,
+           CAST(ab.supp_ab * n.n_orders * {_MB_PPM} // (sa.s * sb.s) AS BIGINT)
+             AS lift_ppm,
+           CAST(ab.supp_ab * {_MB_PPM} // sa.s AS BIGINT) AS confidence_ppm
+    FROM ab
+    JOIN supp sa ON ab.type_a = sa.t
+    JOIN supp sb ON ab.type_b = sb.t
+    CROSS JOIN n
+    """,
+)
+def order_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    pair of part types co-purchased in an order, the support, the
+    confidence of type_a ⇒ type_b, and the LIFT (observed co-occurrence
+    over the independence expectation) — the classic affinity analysis
+    every retail/recommendation stack runs, absent until now from the
+    relational surface. Lift > 1e6 ppm = the pair attracts; < 1e6 =
+    substitutes.
+
+    All ratios are integer ppm by truncating division over exact counts
+    — no float crosses engines. (supp_ab · n_orders · 1e6 needs
+    supp·n < 9.2e12 — five orders of magnitude above this fixture;
+    quantize down before a corpus approaches it.)
+
+    Scale shape: baskets dedup with one (order, type) shuffle; the
+    pair generation self-joins ON THE ORDER KEY, so fan-out per order
+    is C(items, 2) with items bounded by lines-per-order (7 in TPC-H) —
+    never a cross join over types; supports broadcast back onto the
+    pair aggregate (|types|-row build sides). The A-priori cascade to
+    3-itemsets is the same join shape seeded from these pairs.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    b = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_type").alias("t"))
+        .distinct()
+    )
+    b = stable_checkpoint(b)  # three consumers: pairs (twice) + supports
+    n_orders = b.select("o").distinct().count()
+    supp = b.groupBy("t").agg(F.count(F.lit(1)).alias("s"))
+    a = b.select(F.col("o"), F.col("t").alias("type_a"))
+    x = b.select(F.col("o"), F.col("t").alias("type_b"))
+    ab = (
+        a.join(x, "o")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+    )
+    sa = supp.select(F.col("t").alias("type_a"), F.col("s").alias("supp_a"))
+    sb = supp.select(F.col("t").alias("type_b"), F.col("s").alias("supp_b"))
+    return (
+        ab.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.lit(n_orders).cast("long").alias("n_orders"),
+            "supp_a",
+            "supp_b",
+            "supp_ab",
+            F.expr(
+                f"CAST(supp_ab * {n_orders}L * {_MB_PPM} DIV (supp_a * supp_b)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+            F.expr(f"CAST(supp_ab * {_MB_PPM} DIV supp_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+        )
+    )

@@ -173,3 +173,23 @@ def test_seasonal_decomposition_properties(spark, sf_dir):
     assert sum(r.n_windows for r in rows) == n_months - 12
     weighted = sum(r.seasonal_index_ppm * r.n_windows for r in rows) / (n_months - 12)
     assert abs(weighted - 1_000_000) < 20_000  # ratios center on 1
+
+
+def test_order_basket_lift_invariants(spark, sf_dir):
+    """Association-rule sanity: pair support bounded by both marginals,
+    confidence = supp_ab/supp_a in exact ppm, lift consistent with its
+    definition, one row per unordered type pair."""
+    from imdbmapreduce_spark import registry
+
+    rows = registry.get("order_basket_lift").fn(spark, sf_dir).collect()
+    assert rows
+    n = rows[0].n_orders
+    seen = set()
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert (r.type_a, r.type_b) not in seen
+        seen.add((r.type_a, r.type_b))
+        assert r.n_orders == n
+        assert 1 <= r.supp_ab <= min(r.supp_a, r.supp_b)
+        assert r.confidence_ppm == r.supp_ab * 1_000_000 // r.supp_a
+        assert r.lift_ppm == r.supp_ab * n * 1_000_000 // (r.supp_a * r.supp_b)
