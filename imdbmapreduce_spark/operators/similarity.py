@@ -2025,3 +2025,157 @@ def _pca_power_distributed(spark: SparkSession, gram_df: DataFrame) -> DataFrame
             F.col("ypos").alias("pos"), F.expr(f"y div {dv}").alias("xq")
         )
     return x.select("pos", F.col("xq").alias("pc1_q")).orderBy("pos")
+
+
+# --- sorted-projection SNM over embeddings ----------------------------------
+
+_SNM_EMB_W = 8  # window: each vector vs its w successors per sort key
+# Verify threshold for this family. Deliberately below the all-pairs
+# query's 0.45: on random unit vectors the 0.45 tail is ~1e-4 of pairs
+# and projection adjacency rarely lands on it, so the registered query
+# would be green-but-vacuous; 0.35 (~2.8 sigma) yields a non-trivial
+# verified set at every sf while every emitted pair stays EXACT.
+_SNM_EMB_THETA = 0.35
+
+
+def _projection_window_pairs(ranked: DataFrame, w: int) -> DataFrame:
+    """Window-pair a globally ranked (vec_id, rk) frame: id-normalized
+    (a_id < b_id) pairs within ``w`` ranks, via the same rank-cell
+    equi-join as the text SNM (each left row probes its own cell and the
+    next; pairs within w ranks never span more than two cells)."""
+    cells = ranked.select(
+        "vec_id", "rk", F.floor((F.col("rk") - 1) / w).alias("cell")
+    )
+    left = cells.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("rk").alias("rk_a"),
+        F.explode(F.array(F.col("cell"), F.col("cell") + 1)).alias("cand_cell"),
+    )
+    right = cells.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("rk").alias("rk_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    diff = F.col("rk_b") - F.col("rk_a")
+    return (
+        left.join(right, left.cand_cell == right.cell_b)
+        .filter((diff >= 1) & (diff <= w))
+        .select(
+            F.least("id_a", "id_b").alias("a_id"),
+            F.greatest("id_a", "id_b").alias("b_id"),
+        )
+    )
+
+
+@query(
+    "snm_embedding_pairs",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS pos,
+             CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)*{_SCALE}) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN range(1, {_RP_MAXD + 1}) t(i)
+      WHERE CAST(t.i AS INTEGER) <= len(embedding)
+    ), signs AS (
+      SELECT CAST(p.i AS INTEGER) AS pos, CAST(q.k AS INTEGER) AS k,
+             (CAST(('0x' || substring(md5(CAST(p.i AS VARCHAR) || '_' || CAST(q.k AS VARCHAR)), 1, 1)) AS INTEGER) % 2) * 2 - 1 AS s
+      FROM range(0, {_RP_MAXD}) p(i) CROSS JOIN range(0, 2) q(k)
+    ), proj AS (
+      SELECT e.vec_id, s.k, CAST(SUM(s.s * e.v) AS BIGINT) AS key
+      FROM ex e JOIN signs s USING (pos)
+      GROUP BY 1, 2
+    ), r0 AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY key, vec_id) AS rk
+      FROM proj WHERE k = 0
+    ), r1 AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY key, vec_id) AS rk
+      FROM proj WHERE k = 1
+    ), cand AS (
+      SELECT LEAST(a.vec_id, b.vec_id) AS a_id,
+             GREATEST(a.vec_id, b.vec_id) AS b_id
+      FROM r0 a JOIN r0 b ON b.rk - a.rk BETWEEN 1 AND {_SNM_EMB_W}
+      UNION
+      SELECT LEAST(a.vec_id, b.vec_id) AS a_id,
+             GREATEST(a.vec_id, b.vec_id) AS b_id
+      FROM r1 a JOIN r1 b ON b.rk - a.rk BETWEEN 1 AND {_SNM_EMB_W}
+    ), norms AS (
+      SELECT vec_id, SUM(v*v) AS n2 FROM ex GROUP BY 1
+    ), dots AS (
+      SELECT c.a_id, c.b_id, SUM(a.v * b.v) AS dot
+      FROM cand c
+      JOIN ex a ON a.vec_id = c.a_id
+      JOIN ex b ON b.vec_id = c.b_id AND a.pos = b.pos
+      GROUP BY 1, 2
+    )
+    SELECT d.a_id, d.b_id,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.a_id
+    JOIN norms nb ON nb.vec_id = d.b_id
+    WHERE CAST(d.dot AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= {_SNM_EMB_THETA}
+    """,
+)
+def snm_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs over EMBEDDINGS — the SNM
+    family (operators/dedup.py) extended to the vector modality:
+    vectors sort by their exact integer projection onto two independent
+    Rademacher directions (the shared JL sign table of
+    :func:`embedding_random_projection` — a 1-D projection is the
+    natural SNM key for vectors: cosine-close vectors project close),
+    each vector is window-paired with its {_SNM_EMB_W} successors per
+    sort order, and candidates verify with the EXACT quantized cosine
+    (same exactness contract as :func:`neardup_embedding_cosine`, so
+    every emitted pair is a true pair — the window bounds recall, never
+    precision).
+
+    Why beside SemDeDup cells: candidate volume is passes·w·n by
+    construction — no codebook to train or persist, no cluster-recall
+    boundary; the trade is recall limited to projection-adjacent pairs
+    (more passes = more directions buy recall linearly). The global
+    rank reuses the distributed two-pass machinery (range partition +
+    offset join — no single-partition window).
+
+    Scale: two |vectors|-row ranks + two uniform cell equi-joins; the
+    verify joins the shared quantized-component artifact on
+    candidate-pair ids — bounded at 2·passes·w rows per vector.
+    """
+    from imdbmapreduce_spark.operators.dedup import _global_rank
+
+    ex = _shared_components(spark, sf_dir)
+    signs = _rp_signs(spark).filter(F.col("k") < 2)
+    proj = (
+        ex.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("key"))
+    )
+    cands = None
+    for k in (0, 1):
+        ranked = _global_rank(
+            proj.filter(F.col("k") == k).select("vec_id", "key"), ["key", "vec_id"]
+        )
+        pairs = _projection_window_pairs(ranked, _SNM_EMB_W)
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.dropDuplicates(["a_id", "b_id"])
+    norms = ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    a = ex.select(F.col("vec_id").alias("a_id"), "pos", F.col("v").alias("va"))
+    b = ex.select(F.col("vec_id").alias("b_id"), "pos", F.col("v").alias("vb"))
+    dots = (
+        cands.join(a, "a_id")
+        .join(b, ["b_id", "pos"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("nb"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .filter(cosine >= _SNM_EMB_THETA)
+        .select("a_id", "b_id", cosine.alias("cosine"))
+    )

@@ -724,3 +724,40 @@ def test_embedding_pca_power_matches_python_and_improves_rayleigh(spark, sf_dir)
         return float(v @ Mf @ v) / float(v @ v)
 
     assert rayleigh(x) > rayleigh([_PCA_S] * d) * 1.0001
+
+
+def test_snm_embedding_pairs_are_exact_and_window_bounded(spark, sf_dir):
+    """Every emitted pair's cosine is the exact quantized cosine (replay
+    on the raw embeddings) and meets the threshold; per-vector pair
+    participation respects the passes*2w window budget."""
+    from collections import Counter
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.operators.similarity import (
+        _SCALE,
+        _SNM_EMB_THETA,
+        _SNM_EMB_W,
+    )
+
+    out = registry.get("snm_embedding_pairs").fn(spark, sf_dir).collect()
+    assert out, "threshold should yield a non-empty verified set"
+    vecs = {
+        r.vec_id: [round(float(x) * _SCALE) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    import math
+
+    for r in out:
+        va, vb = vecs[r.a_id], vecs[r.b_id]
+        dot = sum(x * y for x, y in zip(va, vb))
+        cos = dot / (
+            math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(y * y for y in vb))
+        )
+        assert r.a_id < r.b_id
+        assert cos >= _SNM_EMB_THETA
+        assert abs(cos - r.cosine) < 1e-12
+    per_vec = Counter()
+    for r in out:
+        per_vec[r.a_id] += 1
+        per_vec[r.b_id] += 1
+    assert max(per_vec.values()) <= 2 * 2 * _SNM_EMB_W
