@@ -1609,7 +1609,21 @@ _NEARDUP_RECALL_FLOORS = {
     # (single-pass was 0.75/0.56/0.23 — the second key is what holds
     # recall up as the corpus grows); floor carries margin under 0.81.
     "snm_window": 0.75,
+    # embedding SNM window vs the exact all-pairs cosine truth:
+    # observability row like the embedding_cells arms (random-vector
+    # corpus => structurally low; see the arm comment).
+    "snm_embedding_window": 0.0,
 }
+
+
+def _snm_embedding_candidates_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-SNM candidate window renamed to the audit's
+    (doc_a, doc_b) pair convention (vec ids are already min-first)."""
+    from imdbmapreduce_spark.operators.similarity import snm_embedding_candidates
+
+    return snm_embedding_candidates(spark, sf_dir).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+    )
 
 
 @query("neardup_recall_audit", bench=False)  # rows-only (xxhash band
@@ -1729,6 +1743,16 @@ def neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snm_window",
             _snm_candidates(spark, sf_dir).select("doc_a", "doc_b"),
             jac_truth,
+        ),
+        # Blocking recall of the embedding SNM window vs the exact
+        # all-pairs cosine truth (same truth as the embedding_cells
+        # arm): like those arms, structurally low on this random-vector
+        # corpus — the row exists so the projection-adjacency boundary
+        # is a measured per-round number, not prose.
+        (
+            "snm_embedding_window",
+            _snm_embedding_candidates_normalized(spark, sf_dir),
+            emb_truth,
         ),
     ]
     parts = []

@@ -2067,6 +2067,30 @@ def _projection_window_pairs(ranked: DataFrame, w: int) -> DataFrame:
     )
 
 
+def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-SNM candidate window — id-normalized (a_id, b_id)
+    pairs within _SNM_EMB_W ranks of EITHER projection sort, BEFORE the
+    cosine verify. Factored (like the text family's _snm_candidates) so
+    the recall audit can score the blocking scheme itself."""
+    from imdbmapreduce_spark.operators.dedup import _global_rank
+
+    ex = _shared_components(spark, sf_dir)
+    signs = _rp_signs(spark).filter(F.col("k") < 2)
+    proj = (
+        ex.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("key"))
+    )
+    cands = None
+    for k in (0, 1):
+        ranked = _global_rank(
+            proj.filter(F.col("k") == k).select("vec_id", "key"), ["key", "vec_id"]
+        )
+        pairs = _projection_window_pairs(ranked, _SNM_EMB_W)
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    return cands.dropDuplicates(["a_id", "b_id"])
+
+
 @query(
     "snm_embedding_pairs",
     oracle=f"""
@@ -2142,23 +2166,8 @@ def snm_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify joins the shared quantized-component artifact on
     candidate-pair ids — bounded at 2·passes·w rows per vector.
     """
-    from imdbmapreduce_spark.operators.dedup import _global_rank
-
     ex = _shared_components(spark, sf_dir)
-    signs = _rp_signs(spark).filter(F.col("k") < 2)
-    proj = (
-        ex.join(F.broadcast(signs), "pos")
-        .groupBy("vec_id", "k")
-        .agg(F.sum(F.col("s") * F.col("v")).alias("key"))
-    )
-    cands = None
-    for k in (0, 1):
-        ranked = _global_rank(
-            proj.filter(F.col("k") == k).select("vec_id", "key"), ["key", "vec_id"]
-        )
-        pairs = _projection_window_pairs(ranked, _SNM_EMB_W)
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.dropDuplicates(["a_id", "b_id"])
+    cands = snm_embedding_candidates(spark, sf_dir)
     norms = ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
     a = ex.select(F.col("vec_id").alias("a_id"), "pos", F.col("v").alias("va"))
     b = ex.select(F.col("vec_id").alias("b_id"), "pos", F.col("v").alias("vb"))
