@@ -2667,6 +2667,32 @@ def _snm_pass(keyed: DataFrame) -> DataFrame:
     )
 
 
+# Sort-key cap (ADVICE r9): the r9 form shipped the FULL sorted-token
+# string (and its reverse) as the range-sort key — O(document) bytes of
+# key material per row, twice per query, a real shuffle-byte cost at the
+# 100 TB scale this family targets. The key is now the first
+# _SNM_KEY_TOKENS tokens plus an md5 tail of the full string: the prefix
+# preserves the lexicographic neighborhood SNM relies on, the hash tail
+# keeps a deterministic total order among same-prefix keys at 16
+# fixed bytes (same-prefix docs are already co-located, so hash-random
+# adjacency inside that group costs no designed recall). Mirrored
+# verbatim in the oracle; blocking recall is re-scored every round by
+# neardup_recall_audit's snm_window arm against the same floor.
+_SNM_KEY_TOKENS = 24
+
+
+def _snm_key(st) -> "F.Column":
+    """Bounded SNM sort key over a sorted-token array column: first
+    _SNM_KEY_TOKENS tokens joined, ``' #'``, md5 of the full joined
+    string ('#' sorts below 'a'-'z', so a doc whose whole key fits the
+    prefix still sorts adjacent to its extensions)."""
+    return F.concat(
+        F.array_join(F.slice(st, 1, _SNM_KEY_TOKENS), " "),
+        F.lit(" #"),
+        F.md5(F.array_join(st, " ")),
+    )
+
+
 def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MULTI-PASS SNM candidate window — every (doc_a, doc_b, st_a,
     st_b) pair within ``_SNM_WINDOW`` ranks of EITHER sort order, BEFORE
@@ -2681,8 +2707,8 @@ def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     st = F.array_sort(F.array_distinct(tokens("text")))
     base = docs.select("doc_id", st.alias("st")).filter(F.size("st") > 0)
-    fwd = base.withColumn("key", F.array_join("st", " "))
-    rev = base.withColumn("key", F.array_join(F.reverse("st"), " "))
+    fwd = base.withColumn("key", _snm_key(F.col("st")))
+    rev = base.withColumn("key", _snm_key(F.reverse("st")))
     return (
         _snm_pass(fwd)
         .unionByName(_snm_pass(rev))
@@ -2697,8 +2723,10 @@ def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_sort(list_distinct({_DUCK_TOKS})) AS st FROM documents
     ), k AS (
       SELECT doc_id, st,
-             array_to_string(st, ' ') AS key_f,
-             array_to_string(list_reverse(st), ' ') AS key_r
+             array_to_string(st[1:{_SNM_KEY_TOKENS}], ' ')
+               || ' #' || md5(array_to_string(st, ' ')) AS key_f,
+             array_to_string(list_reverse(st)[1:{_SNM_KEY_TOKENS}], ' ')
+               || ' #' || md5(array_to_string(list_reverse(st), ' ')) AS key_r
       FROM t WHERE len(st) > 0
     ), rf AS (
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key_f, doc_id) AS rk FROM k

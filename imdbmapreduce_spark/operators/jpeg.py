@@ -250,11 +250,15 @@ def decode_baseline(payload: bytes) -> dict:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     while True:
+        if pos >= len(payload):
+            raise ValueError("truncated marker segment")
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
-        while payload[pos + 1] == 0xFF:
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated marker segment")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:

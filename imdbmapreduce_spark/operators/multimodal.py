@@ -554,11 +554,18 @@ _AUDIO_SCHEMA = StructType(
       FROM documents WHERE doc_id % 3 = 1
     ),
     chunks AS (
-      SELECT a.doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
-             LEAST({_AUDIO_WINDOW}, a.n_samples - CAST(t.i AS BIGINT)*{_AUDIO_WINDOW})
+      -- chunk indices derived PER ROW from the sample count (scalar
+      -- list range + unnest), so the oracle has no fixed chunk cap to
+      -- diverge from the uncapped Spark lane (r9 advice: the old
+      -- range(0, 100000) table bound silently truncated payloads past
+      -- ~{_AUDIO_WINDOW}*100000 samples)
+      SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+             LEAST({_AUDIO_WINDOW}, u.full_n - CAST(u.i AS BIGINT)*{_AUDIO_WINDOW})
                AS n_samples
-      FROM a CROSS JOIN range(0, 100000) t(i)
-      WHERE CAST(t.i AS BIGINT)*{_AUDIO_WINDOW} < a.n_samples
+      FROM (SELECT doc_id, n_samples AS full_n,
+                   unnest(range(0, (n_samples + {_AUDIO_WINDOW} - 1) // {_AUDIO_WINDOW}))
+                     AS i
+            FROM a) u
     )
     SELECT doc_id, chunk_idx, n_samples FROM chunks
     """,
@@ -739,11 +746,17 @@ _FRAMES_SCHEMA = StructType(
       FROM documents WHERE doc_id % 3 = 2
     ),
     frames AS (
-      SELECT v.doc_id, CAST(t.i AS BIGINT) AS frame_idx,
-             LEAST({_FRAME_BYTES}, v.n_bytes - CAST(t.i AS BIGINT)*{_FRAME_BYTES}) AS frame_len
-      FROM v CROSS JOIN range(0, 100000) t(i)
-      WHERE CAST(t.i AS BIGINT)*{_FRAME_BYTES} < v.n_bytes
-        AND CAST(t.i AS BIGINT) % {_FRAME_STEP} = 0
+      -- frame indices derived PER ROW from the byte length (scalar list
+      -- range + unnest) — no fixed cap to diverge from the uncapped
+      -- Spark lane (r9 advice, same fix as audio_chunk_stats)
+      SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+             LEAST({_FRAME_BYTES}, u.full_n - CAST(u.i AS BIGINT)*{_FRAME_BYTES})
+               AS frame_len
+      FROM (SELECT doc_id, n_bytes AS full_n,
+                   unnest(range(0, (n_bytes + {_FRAME_BYTES} - 1) // {_FRAME_BYTES}))
+                     AS i
+            FROM v) u
+      WHERE CAST(u.i AS BIGINT) % {_FRAME_STEP} = 0
     )
     SELECT doc_id, frame_idx, frame_len FROM frames
     """,

@@ -115,6 +115,8 @@ def encode_gray(pixels: list[list[int]]) -> bytes:
     multiple IDAT chunks like real encoders do.
     """
     h = len(pixels)
+    if h == 0 or len(pixels[0]) == 0:
+        raise ValueError("empty image")
     w = len(pixels[0])
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
     raw = bytearray()
@@ -170,6 +172,11 @@ def decode_gray(payload: bytes) -> dict:
                     "unsupported PNG variant (only 8-bit grayscale, "
                     "non-interlaced)"
                 )
+            # Spec-invalid degenerate geometry: the h*(w+1) raw-length
+            # check below passes vacuously for 0-area images, so reject
+            # here (PNG requires width and height >= 1).
+            if w == 0 or h == 0:
+                raise ValueError("invalid IHDR geometry (zero dimension)")
             ihdr = (w, h)
         elif ctype == b"IDAT":
             idat += data

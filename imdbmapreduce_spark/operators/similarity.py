@@ -2182,9 +2182,14 @@ def snm_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
+    # Plain shuffle joins on the pair ids: the norm frames are
+    # |vectors|-row DATA-sized frames, not dims — broadcasting them
+    # (as r9 shipped) contradicts the family's skew-immune scale story
+    # and risks driver/executor OOM at the corpus sizes the docstring
+    # targets (ADVICE r9).
     return (
-        dots.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
         .filter(cosine >= _SNM_EMB_THETA)
         .select("a_id", "b_id", cosine.alias("cosine"))
     )

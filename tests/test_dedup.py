@@ -759,11 +759,24 @@ def test_snm_pairs_match_python_replay(spark, sf_dir):
     EXACTLY the within-window, above-threshold pairs of EITHER sort
     order (forward + reversed canonical key), and each doc touches at
     most passes*2w pairs (the skew-proof budget)."""
+    import hashlib as _hashlib
+
     from imdbmapreduce_spark.operators.dedup import (
+        _SNM_KEY_TOKENS,
         _SNM_TAU_DEN,
         _SNM_TAU_NUM,
         _SNM_WINDOW,
     )
+
+    def key(toks):
+        # mirror _snm_key: first-N-token prefix + md5 tail of the full
+        # joined string (the bounded sort key, advice r9)
+        joined = " ".join(toks)
+        return (
+            " ".join(toks[:_SNM_KEY_TOKENS])
+            + " #"
+            + _hashlib.md5(joined.encode()).hexdigest()
+        )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     sets = {}
@@ -772,8 +785,8 @@ def test_snm_pairs_match_python_replay(spark, sf_dir):
         st = sorted(set(r.text.split()))
         if st:
             sets[r.doc_id] = set(st)
-            passes["fwd"].append((" ".join(st), r.doc_id))
-            passes["rev"].append((" ".join(reversed(st)), r.doc_id))
+            passes["fwd"].append((key(st), r.doc_id))
+            passes["rev"].append((key(list(reversed(st))), r.doc_id))
     expected = set()
     for keyed in passes.values():
         keyed.sort()

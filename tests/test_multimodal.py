@@ -587,3 +587,92 @@ def test_decode_image_features_dispatches_png_without_pil():
     assert (got["width"], got["height"]) == (12, 9)
     assert got["n_bytes"] == len(payload)
     assert got["checksum"] == sum(payload) % (1 << 31)
+
+
+def test_jpeg_truncated_and_fill_tail_payloads_raise_valueerror():
+    """The marker scan must keep the documented ValueError contract on
+    truncated / all-0xFF-tail payloads instead of IndexError (advice
+    r9: decode_image_features routes ANY 0xFFD8-prefixed bytes here,
+    so foreign garbage hits this path)."""
+    import pytest as _pytest
+
+    from imdbmapreduce_spark.operators.jpeg import decode_baseline
+
+    for payload in (
+        b"\xff\xd8",                # SOI then nothing
+        b"\xff\xd8\xff",            # marker byte missing
+        b"\xff\xd8\xff\xff\xff",    # all-0xFF tail: fill scan hits the end
+        b"\xff\xd8\xff\xff\xff\xff",
+    ):
+        with _pytest.raises(ValueError):
+            decode_baseline(payload)
+
+
+def test_png_rejects_empty_and_zero_dim_images():
+    """encode_gray must raise ValueError (not IndexError) on empty
+    input; decode_gray must reject spec-invalid 0-width/0-height IHDR
+    geometry the h*(w+1) length check passes vacuously (advice r9)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from imdbmapreduce_spark.operators.png import _SIG, _chunk, decode_gray, encode_gray
+
+    with _pytest.raises(ValueError):
+        encode_gray([])
+    with _pytest.raises(ValueError):
+        encode_gray([[]])
+
+    def degenerate(w, h):
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        idat = _chunk(b"IDAT", _zlib.compress(b"\x00" * (h * (w + 1))))
+        return _SIG + _chunk(b"IHDR", ihdr) + idat + _chunk(b"IEND", b"")
+
+    for w, h in ((0, 5), (5, 0), (0, 0)):
+        with _pytest.raises(ValueError, match="geometry"):
+            decode_gray(degenerate(w, h))
+
+
+def test_audio_oracle_chunk_bound_is_derived_per_row():
+    """The audio/video oracles derive chunk indices from each payload's
+    own length (scalar list range), so a payload of ANY size yields the
+    same geometry the uncapped Spark lane computes (r9 verdict task 7:
+    the old fixed range(0, 100000) bound silently truncated payloads
+    past ~25.6M samples). Replayed here in DuckDB with a synthetic
+    payload far past any fixed bound, at exact-multiple and off-by-one
+    boundaries."""
+    import duckdb as _duckdb
+
+    from imdbmapreduce_spark.operators.multimodal import _AUDIO_WINDOW
+
+    con = _duckdb.connect()
+    # n_samples per synthetic doc: exact multiple of the window, one
+    # over, one under, and one 200k-chunk payload (2x the old cap)
+    cases = {
+        1: _AUDIO_WINDOW * 3,
+        2: _AUDIO_WINDOW * 3 + 1,
+        3: _AUDIO_WINDOW * 3 - 1,
+        4: _AUDIO_WINDOW * 200_000,
+    }
+    rows = con.execute(
+        f"""
+        WITH a AS (
+          SELECT * FROM (VALUES {', '.join(f'({d}, {n})' for d, n in cases.items())})
+            t(doc_id, n_samples)
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(LEAST({_AUDIO_WINDOW},
+                              u.full_n - CAST(u.i AS BIGINT)*{_AUDIO_WINDOW}))
+                    AS BIGINT) AS tot
+        FROM (SELECT doc_id, n_samples AS full_n,
+                     unnest(range(0, (n_samples + {_AUDIO_WINDOW} - 1) // {_AUDIO_WINDOW}))
+                       AS i
+              FROM a) u
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    ).fetchall()
+    got = {d: (nc, tot) for d, nc, tot in rows}
+    for d, n in cases.items():
+        want_chunks = -(-n // _AUDIO_WINDOW)
+        assert got[d] == (want_chunks, n)

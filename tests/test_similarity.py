@@ -741,11 +741,19 @@ def test_snm_embedding_pairs_are_exact_and_window_bounded(spark, sf_dir):
 
     out = registry.get("snm_embedding_pairs").fn(spark, sf_dir).collect()
     assert out, "threshold should yield a non-empty verified set"
+    import math
+
+    def half_up(x: float) -> int:
+        # Same HALF_UP rule as the Spark lane's F.round at _SCALE —
+        # Python round() is banker's and would flake on exact-.5 quanta
+        # (ADVICE r9).
+        s = x * _SCALE
+        return math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)
+
     vecs = {
-        r.vec_id: [round(float(x) * _SCALE) for x in r.embedding]
+        r.vec_id: [half_up(float(x)) for x in r.embedding]
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     }
-    import math
 
     for r in out:
         va, vb = vecs[r.a_id], vecs[r.b_id]
