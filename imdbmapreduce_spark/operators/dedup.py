@@ -1414,10 +1414,26 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle rows. Exchanges: df count (shuffle on shingle), per-doc sort
     (shuffle on doc_id), candidate join (shuffle on shingle), verify
     join keyed on doc ids. All keys hash-uniform; no all-pairs join at
-    any scale. At 100 TB this is the exact-dedup backstop run AFTER
-    MinHash banding shrinks the corpus, or standalone when recall
+    any scale. BUT candidate volume is NOT bounded on vocabulary-
+    saturated corpora — SCALE.md round 9 measured 249 s / 62x at sf1
+    where every shingle's df grows with the corpus; the production knob
+    there is :func:`jaccard_prefix_join_bounded` (df-ceiling, recall
+    scoreboard-measured). At 100 TB this exact form is the backstop run
+    AFTER MinHash banding shrinks the corpus, or standalone when recall
     guarantees are contractual (eval-set decontamination).
     """
+    return _jaccard_join(spark, sf_dir)
+
+
+def _jaccard_join(
+    spark: SparkSession, sf_dir: str, df_ceil: int | None = None
+) -> DataFrame:
+    """Shared symmetric prefix-join plan behind
+    :func:`jaccard_prefix_join` (df_ceil=None — exact, complete) and
+    :func:`jaccard_prefix_join_bounded` (df_ceil set — posting-list
+    ceiling on the candidate join, bounded recall). Mirrors
+    :func:`_containment_join`'s ceiling mechanics over the SAME shared
+    ranked artifact; the exact verify always counts the FULL sets."""
     ex = _shingle_rows_cached(spark, sf_dir)  # distinct (doc_id, shingle)
 
     # The df-ordered ranked table is the derivation half of the join
@@ -1432,7 +1448,18 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("n_sh")
         - F.expr(f"({_PFX_TAU_NUM}*n_sh + {_PFX_TAU_DEN - 1}) div {_PFX_TAU_DEN}")
         + 1
-    ).select("doc_id", "shingle", "n_sh", "rn")
+    )
+    if df_ceil is not None:
+        # df-ceiling on the prefix postings entering the candidate join
+        # (symmetric — both sides are this frame). rn/n_sh stay as
+        # computed over the FULL order, so a pair is detected iff its
+        # RAREST shared shingle has df <= ceiling (hot shingles sort
+        # last in the df-ASC order, so the ceiling only truncates the
+        # prefix tail) — the bounded-recall semantics the oracle
+        # reproduces and neardup_recall_audit's jaccard_bounded arm
+        # scores. The exact verify below still counts every shingle.
+        pref = pref.filter(F.col("df") <= df_ceil)
+    pref = pref.select("doc_id", "shingle", "n_sh", "rn")
     # PPJoin tightening (Xiao et al. 2008) — two exact-integer predicates
     # on columns the prefix table already carries, applied IN the
     # candidate join so pruned pairs never reach the verify join:
@@ -1497,6 +1524,111 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# Posting-list ceiling for the bounded Jaccard prefix join — same knob
+# (and same value) as the containment family's _CNT_DF_CEIL: shingles
+# hotter than this are dropped from the CANDIDATE join's prefix postings
+# (never from the exact verify). Semantics: a pair is detected iff
+# J >= 3/5 AND its rarest shared shingle has df <= ceiling.
+_JAC_DF_CEIL = 64
+
+
+@query(
+    "jaccard_prefix_join_bounded",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)-1),
+                                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1
+    ), dfreq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1
+    ), ranked AS (
+      SELECT e.doc_id, e.shingle, s.n_sh, d.df,
+             row_number() OVER (PARTITION BY e.doc_id
+                                ORDER BY d.df, e.shingle) AS rn
+      FROM ex e JOIN sizes s USING (doc_id) JOIN dfreq d USING (shingle)
+    ), pref AS (
+      SELECT * FROM ranked
+      WHERE rn <= n_sh
+               - ({_PFX_TAU_NUM}*n_sh + {_PFX_TAU_DEN - 1}) // {_PFX_TAU_DEN}
+               + 1
+        AND df <= {_JAC_DF_CEIL}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.doc_a
+      JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE {_PFX_TAU_NUM + _PFX_TAU_DEN} * p.n_common
+          >= {_PFX_TAU_NUM} * (sa.n_sh + sb.n_sh)
+    """,
+)
+def jaccard_prefix_join_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of :func:`jaccard_prefix_join` (r9 verdict
+    task 1): identical symmetric prefix-filter + PPJoin tightening +
+    exact-verify plan, with a DF-CEILING of {ceil} documents on the
+    prefix postings entering the candidate join — completing the
+    bounded-form story for BOTH exact prefix joins (the containment
+    twin shipped in r9 as :func:`containment_prefix_join_bounded`).
+
+    Why the exact form needs this knob in-family: SCALE.md round 9
+    measured `jaccard_prefix_join` at 249 s / 62x on the sf1 decade —
+    on a vocabulary-saturated corpus every shingle's df grows with the
+    corpus, so "rare" prefix shingles stop being rare and candidate
+    volume goes quadratic. The ceiling caps each prefix shingle's
+    contribution at C(ceiling, 2) pairs while the verify still counts
+    the FULL sets, so every emitted pair's jaccard is exact; what's
+    traded is recall, and only in one measurable way: a true pair is
+    missed iff its RAREST shared shingle is hotter than the ceiling
+    (hot shingles sort last in the global df-ASC order, so the ceiling
+    truncates the prefix tail — if the rarest common shingle is over
+    the ceiling, every common shingle is). The
+    ``jaccard_bounded`` arm of :func:`neardup_recall_audit` measures
+    that trade against the exact form's truth every round, same
+    discipline as the containment twin.
+
+    The semantics stay exactly SQL-expressible: the oracle rebuilds the
+    ranked table, applies the same prefix + ceiling filters, and hash
+    equality proves the Spark plan implements the stated bounded
+    semantics (the PPJoin length/positional candidate filters prune
+    only pairs the verify gate would reject, by the same first-common-
+    occurrence theorem as the exact form — under the ceiling the first
+    SURVIVING common shingle is the globally first, since the df-ASC
+    order sorts every over-ceiling shingle after every survivor).
+
+    Scale: candidate volume <= sum over surviving prefix shingles of
+    C(min(df, ceiling), 2) — linear in surviving postings with a
+    constant-bounded quadratic factor; all joins keyed on hash-uniform
+    shingle/doc ids. The routing story at 100 TB: this bounded form for
+    standing ingest on rare-tail corpora, the exact form for
+    contractual-recall passes, band/SNM families on saturated slices —
+    with the recall arm making the choice a measured number per corpus.
+    """
+    return _jaccard_join(spark, sf_dir, df_ceil=_JAC_DF_CEIL)
+
+
+jaccard_prefix_join_bounded.__doc__ = jaccard_prefix_join_bounded.__doc__.replace(
+    "{ceil}", str(_JAC_DF_CEIL)
+)
 
 
 # --- near-dup gate recall scoreboard ---------------------------------------
@@ -1603,6 +1735,20 @@ _NEARDUP_RECALL_FLOORS = {
     # for corpora with a genuine rare tail. The audit row is what makes
     # that decision a measured number per corpus.
     "containment_bounded": 0.9,
+    # bounded Jaccard prefix join (df-ceiling on prefix postings) vs
+    # the exact prefix join's truth — same knob, same discipline as
+    # containment_bounded: measured 1.0 at sf0.001/0.01/0.1 (every true
+    # pair's rarest shared shingle sits under the ceiling on the
+    # rare-tail end of this corpus); expected to collapse with the
+    # containment arm on vocabulary-saturated slices, which is what the
+    # row is FOR (routing is a per-corpus measured number).
+    "jaccard_bounded": 0.9,
+    # bounded containment arrival gate (ceiling + shard predicates) vs
+    # the exact containment truth restricted to one-endpoint-in-shard
+    # pairs — the production ingest loop's recall number (r9 verdict
+    # task 2): the unbounded gate measured 21.7x at sf1, so the
+    # standing loop runs THIS form, and this row prices it.
+    "containment_bounded_incremental": 0.9,
     # multi-pass SNM window (w=8, canonical-key sort + its reverse) vs
     # the exact shingle-Jaccard truth — blocking recall, see the arm
     # comment. Measured 0.964 / 0.960 / 0.812 at sf0.001/0.01/0.1
@@ -1672,6 +1818,9 @@ def neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham_truth = stable_checkpoint(
         _hamming_truth_chunk16(_simhash_fp_cached(spark, sf_dir))
     )
+    cnt_truth = stable_checkpoint(
+        containment_prefix_join(spark, sf_dir).select("doc_a", "doc_b")
+    )
     emb_truth = stable_checkpoint(
         neardup_embedding_cosine(spark, sf_dir).select(
             F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
@@ -1724,12 +1873,29 @@ def neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ORDERED pairs (doc_a = contained) on both sides — no
         # least/greatest normalization; the truth is the exact
         # containment join itself, checkpointed below like the others.
+        # Bounded-form arms: df-ceiling variants scored against their
+        # exact twins' truth. Jaccard pairs are id-normalized on both
+        # sides; containment pairs are ORDERED (doc_a = contained).
+        (
+            "jaccard_bounded",
+            jaccard_prefix_join_bounded(spark, sf_dir).select("doc_a", "doc_b"),
+            jac_truth,
+        ),
         (
             "containment_bounded",
             containment_prefix_join_bounded(spark, sf_dir).select("doc_a", "doc_b"),
-            stable_checkpoint(
-                containment_prefix_join(spark, sf_dir).select("doc_a", "doc_b")
+            cnt_truth,
+        ),
+        # The bounded arrival gate vs the exact containment truth
+        # restricted to its reachable set (one endpoint in the shard) —
+        # prices the production ingest loop's recall, not just the
+        # batch form's.
+        (
+            "containment_bounded_incremental",
+            containment_incremental_ingest_bounded(spark, sf_dir).select(
+                "doc_a", "doc_b"
             ),
+            cnt_truth.filter(one_end_shard),
         ),
         # Blocking recall of the multi-pass SNM window (r9): fraction of
         # the exact shingle-Jaccard truth that lands within w ranks of
@@ -2558,10 +2724,105 @@ def containment_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     has no hash family to hide behind).
 
     Scale: see :func:`shard_containment_lookup` — fresh candidate work
-    is proportional to the SHARD's postings in both orientations; the
-    ranked artifact is the amortized index build.
+    is proportional to the SHARD's postings in both orientations. BUT
+    the candidate join inherits the exact form's saturation cost:
+    SCALE.md round 9 measured 60 s / 21.7x on the sf1 decade while the
+    other families' gates held 1.2-2.5x. The standing ingest loop runs
+    :func:`containment_incremental_ingest_bounded`; this exact gate is
+    the contractual-recall form and the truth the bounded one is
+    measured against.
     """
     return shard_containment_lookup(spark, sf_dir)
+
+
+@query(
+    "containment_incremental_ingest_bounded",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)-1),
+                                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1
+    ), dfreq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1
+    ), ranked AS (
+      SELECT e.doc_id, e.shingle, s.n_sh, d.df,
+             row_number() OVER (PARTITION BY e.doc_id
+                                ORDER BY d.df, e.shingle) AS rn
+      FROM ex e JOIN sizes s USING (doc_id) JOIN dfreq d USING (shingle)
+    ), pref AS (
+      SELECT * FROM ranked
+      WHERE rn <= n_sh
+               - ({_CNT_TAU_NUM}*n_sh + {_CNT_TAU_DEN - 1}) // {_CNT_TAU_DEN}
+               + 1
+        AND df <= {_CNT_DF_CEIL}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN ranked b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           AND b.df <= {_CNT_DF_CEIL}
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.doc_a
+      JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(p.n_common AS DOUBLE) / sa.n_sh AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE {_CNT_TAU_DEN} * p.n_common >= {_CNT_TAU_NUM} * sa.n_sh
+      AND ((p.doc_a % {_SHARD_MOD} = {_SHARD_RESIDUE})
+           <> (p.doc_b % {_SHARD_MOD} = {_SHARD_RESIDUE}))
+    """,
+)
+def containment_incremental_ingest_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION containment arrival gate (r9 verdict task 2): the
+    df-ceiling of :func:`containment_prefix_join_bounded` composed with
+    :func:`shard_containment_lookup`'s shard predicates — both knobs
+    were already parameters of the shared :func:`_containment_join`
+    plan; this query registers, oracles, benches, and recall-scores the
+    composition the r9 docstrings only described.
+
+    Semantics (fully SQL-expressible, hash-checked): the BOUNDED batch
+    truth — pair detected iff containment >= 0.8 AND its rarest shared
+    shingle has df <= {_CNT_DF_CEIL} — restricted to pairs with exactly
+    one endpoint in the arriving shard. Both orientations (shard doc
+    quoted in a standing page, standing doc quoted in an arriving page)
+    run the same ceiling; the union is the gate.
+
+    Why this closes the loop: the exact gate
+    (:func:`containment_incremental_ingest`) measured 21.7x on the sf1
+    decade — quadratic exactly where near-dup pressure is highest —
+    while this form's candidate volume is capped at ceiling x surviving
+    shard-prefix postings, shard-proportional by construction. The
+    recall price is the ``containment_bounded_incremental`` row of
+    :func:`neardup_recall_audit`, scored against the EXACT containment
+    truth restricted to the gate's reachable set every round.
+    """
+    shard_contained = _containment_join(
+        spark,
+        sf_dir,
+        df_ceil=_CNT_DF_CEIL,
+        contained_where=_is_shard("doc_id"),
+        container_where=~_is_shard("doc_id"),
+    )
+    shard_container = _containment_join(
+        spark,
+        sf_dir,
+        df_ceil=_CNT_DF_CEIL,
+        contained_where=~_is_shard("doc_id"),
+        container_where=_is_shard("doc_id"),
+    )
+    return shard_contained.unionByName(shard_container)
 
 
 # --- sorted-neighborhood (SNM) --------------------------------------------

@@ -971,3 +971,88 @@ def test_exact_substr_arrival_gate_matches_python_replay(spark, sf_dir):
     assert got == expected
     for r in out:
         assert r.doc_id % _SHARD_MOD == _SHARD_RESIDUE
+
+
+def test_jaccard_bounded_is_subset_with_ceiling_semantics(spark, sf_dir):
+    """The bounded Jaccard prefix join (r9 verdict task 1) emits a
+    SUBSET of the exact join's pairs with identical columns on shared
+    pairs (the ceiling only prunes candidates — the verify is exact),
+    and the miss set is EXACTLY the pairs whose rarest shared shingle
+    is hotter than the ceiling (replayed in python from the raw
+    shingle sets), i.e. the stated bounded semantics, not an arbitrary
+    recall loss. The audit's jaccard_bounded row must agree."""
+    from imdbmapreduce_spark.operators.dedup import (
+        _JAC_DF_CEIL,
+        _NEARDUP_RECALL_FLOORS,
+        _shingle_rows_cached,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in registry.get("jaccard_prefix_join").fn(spark, sf_dir).collect()
+    }
+    bounded = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in registry.get("jaccard_prefix_join_bounded")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(bounded) <= set(exact)
+    for k, v in bounded.items():
+        assert exact[k] == v  # verify stage identical on surviving pairs
+
+    # replay the ceiling semantics: detected iff the pair's rarest
+    # shared shingle has df <= ceiling
+    rows = _shingle_rows_cached(spark, sf_dir).collect()
+    sets: dict[int, set] = {}
+    df_count: dict[str, int] = {}
+    for r in rows:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+        df_count[r.shingle] = df_count.get(r.shingle, 0) + 1
+    for (a, b) in exact:
+        min_df = min(df_count[s] for s in sets[a] & sets[b])
+        assert ((a, b) in bounded) == (min_df <= _JAC_DF_CEIL), (a, b, min_df)
+
+    recall = len(bounded) / len(exact)
+    assert recall >= _NEARDUP_RECALL_FLOORS["jaccard_bounded"]
+    audit = {
+        r.family: r
+        for r in registry.get("neardup_recall_audit").fn(spark, sf_dir).collect()
+    }
+    row = audit["jaccard_bounded"]
+    assert row.n_true == len(exact)
+    assert row.n_hits == len(bounded)
+    assert row.recall == recall
+
+
+def test_containment_bounded_ingest_equals_bounded_batch_restriction(spark, sf_dir):
+    """The bounded containment arrival gate (r9 verdict task 2) must
+    equal the BOUNDED batch containment join restricted to pairs with
+    exactly one endpoint in the standing shard — both orientations,
+    all columns — and be a subset of the exact gate (the ceiling only
+    prunes)."""
+    from imdbmapreduce_spark.operators.dedup import _SHARD_MOD, _SHARD_RESIDUE
+
+    inc = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b, r.containment)
+        for r in registry.get("containment_incremental_ingest_bounded")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b, r.containment)
+        for r in registry.get("containment_prefix_join_bounded")
+        .fn(spark, sf_dir)
+        .collect()
+        if (r.doc_a % _SHARD_MOD == _SHARD_RESIDUE)
+        != (r.doc_b % _SHARD_MOD == _SHARD_RESIDUE)
+    }
+    assert inc == want
+    assert want, "test premise: the shard participates in >=1 bounded pair"
+    exact_gate = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b, r.containment)
+        for r in registry.get("containment_incremental_ingest")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert inc <= exact_gate
