@@ -793,38 +793,65 @@ _SALT_BUCKETS = 16
 )
 def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over a pathologically low-cardinality key (5 event
-    types), written as an EXPLICIT two-stage salted aggregate: stage 1
-    groups on (event_type, salt) with a 16-way deterministic salt, stage
-    2 merges the partials per type.
+    types) whose physical shape is now STATS-DRIVEN (r9 verdict task 5
+    — the CBO loop driving a standing query, not only the audit row):
+    ``key_stats`` runs the ANALYZE pass on the grouping key and
+    ``choose_agg_salting`` picks the plan — the explicit two-stage
+    salted aggregate when some key's row count exceeds 2x a reducer's
+    fair share (on the events table every type carries ~20% of rows,
+    so the decision is ``salted``), the plain one-exchange GROUP BY
+    otherwise (a unique key like event_id flips it to ``plain`` —
+    pinned by tests/test_events_extra.py, which also pins the salt
+    column in/out of the executed plan on each side).
 
     Catalyst's partial/final agg already defuses this particular skew
     (map-side combine leaves ≤|types| rows per task); the salted form is
     the pattern for aggregates where partials DON'T stay tiny —
     collect_set / count-distinct / percentile sketches on a hot key —
     and this query locks its exactness: every stat here is decomposable
-    (count/sum/max merge associatively), so the salted result
-    hash-matches the plain GROUP BY oracle bit-for-bit.
+    (count/sum/max merge associatively), so the result hash-matches the
+    plain GROUP BY oracle bit-for-bit WHICHEVER plan the stats pick.
 
-    Scale: stage 1's exchange spreads each hot key over 16 reducers;
-    stage 2 shuffles 16·|types| partial rows. Salt count scales with
+    Scale: the decision is O(K) driver arithmetic over K+1 collected
+    stat rows (the ANALYZE artifact a warehouse maintains per table,
+    amortized across every query on the key); when salted, stage 1's
+    exchange spreads each hot key over 16 reducers and stage 2
+    shuffles 16·|types| partial rows. Salt count scales with
     executor count, not data volume.
     """
     ev = table(spark, sf_dir, "events")
     vc = F.round(F.col("value") * 100).cast("long")
-    salted = ev.select(
-        "event_type",
-        vc.alias("vc"),
-        F.pmod(F.hash("event_id"), F.lit(_SALT_BUCKETS)).alias("salt"),
-    )
-    partial = salted.groupBy("event_type", "salt").agg(
-        F.count(F.lit(1)).alias("pn"),
-        F.sum("vc").alias("ps"),
-        F.max("vc").alias("pm"),
-    )
-    return partial.groupBy("event_type").agg(
-        F.sum("pn").alias("n_events"),
-        F.sum("ps").alias("sum_cents"),
-        F.max("pm").alias("max_cents"),
+    return _stats_driven_key_stats(ev, "event_type", vc)
+
+
+def _stats_driven_key_stats(ev: DataFrame, key: str, vc) -> DataFrame:
+    """The stats-driven decomposable-stats aggregation behind
+    :func:`events_salted_type_stats`, factored over (frame, key) so the
+    flip test can run the identical planner path on a uniform-key frame
+    and watch the decision change."""
+    from imdbmapreduce_spark.stats import choose_agg_salting, key_stats
+
+    decision, _hot = choose_agg_salting(key_stats(ev, key), _PLAN_PARTITIONS)
+    if decision == "salted":
+        salted = ev.select(
+            F.col(key),
+            vc.alias("vc"),
+            F.pmod(F.hash("event_id"), F.lit(_SALT_BUCKETS)).alias("salt"),
+        )
+        partial = salted.groupBy(key, "salt").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("vc").alias("ps"),
+            F.max("vc").alias("pm"),
+        )
+        return partial.groupBy(key).agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("ps").alias("sum_cents"),
+            F.max("pm").alias("max_cents"),
+        )
+    return ev.select(F.col(key), vc.alias("vc")).groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vc").alias("sum_cents"),
+        F.max("vc").alias("max_cents"),
     )
 
 

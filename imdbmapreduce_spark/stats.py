@@ -175,3 +175,33 @@ def choose_join_strategy(
     if hot:
         return "salted", hot
     return "shuffle", []
+
+
+def choose_agg_salting(
+    stats: KeyStats, shuffle_partitions: int, factor: int = 2
+) -> tuple[str, list[str]]:
+    """The AGGREGATION twin of :func:`choose_join_strategy` (r9 verdict
+    task 5): decide from the same ANALYZE statistics whether a group-by
+    on this key needs the explicit two-stage salted form.
+
+    - ``("salted", hot_keys)`` when some key's row count exceeds
+      ``factor`` x a reducer's fair share (n_rows / shuffle_partitions)
+      — the straggler condition for aggregates whose per-key state does
+      NOT stay tiny under partial aggregation (collect_set,
+      count-distinct, percentile sketches): every row of a hot key
+      lands on one reducer in the plain plan;
+    - ``("plain", [])`` otherwise — a uniform or high-cardinality key
+      never concentrates more than the fair share, and the salt's
+      second exchange is pure overhead.
+
+    Only MCV keys can qualify (the tail is uniform by assumption), so
+    the check is O(K) driver arithmetic over stats the warehouse's
+    ANALYZE pass already maintains — the decision costs nothing at plan
+    time, which is the point at 100 TB: pick the shape from statistics,
+    not by materializing the straggler first.
+    """
+    fair = max(stats.n_rows // max(shuffle_partitions, 1), 1)
+    hot = [k for k, c in stats.mcv if c > factor * fair]
+    if hot:
+        return "salted", hot
+    return "plain", []

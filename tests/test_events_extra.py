@@ -502,3 +502,56 @@ def test_k_anonymity_ladder_monotone(spark, sf_dir):
     assert rows[0].n_classes >= rows[1].n_classes >= rows[2].n_classes
     assert rows[0].min_class_size <= rows[1].min_class_size <= rows[2].min_class_size
     assert rows[0].rows_below_k >= rows[1].rows_below_k >= rows[2].rows_below_k
+
+
+def test_agg_salting_decision_flips_with_key_statistics(spark, sf_dir):
+    """The stats-driven aggregation plan (r9 verdict task 5): on the
+    skewed 5-type events key the planner must pick the salted two-stage
+    shape (every type's count ~20% of rows >> 2x fair share at 32
+    partitions); on a unique key (event_id)
+    it must pick the plain one-exchange GROUP BY. Pinned three ways: the
+    choose_agg_salting decision itself, the salt column in/out of the
+    standing query's executed plan, and value equality of both physical
+    shapes on the same frame."""
+    from imdbmapreduce_spark.plans.events import (
+        _PLAN_PARTITIONS,
+        _stats_driven_key_stats,
+    )
+    from imdbmapreduce_spark.stats import choose_agg_salting, key_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    decision_type, hot = choose_agg_salting(
+        key_stats(ev, "event_type"), _PLAN_PARTITIONS
+    )
+    assert decision_type == "salted"
+    assert len(hot) == 5  # every type exceeds 2x fair share
+    # the uniform side: a unique key (event_id) never concentrates more
+    # than one row per key, so the planner must skip the salt. (user_id
+    # is NOT uniform enough at the smallest fixture: ~tens of users over
+    # thousands of events puts each over 2x the 1/32 fair share.)
+    decision_user, hot_user = choose_agg_salting(
+        key_stats(ev, "event_id"), _PLAN_PARTITIONS
+    )
+    assert (decision_user, hot_user) == ("plain", [])
+
+    vc = F.round(F.col("value") * 100).cast("long")
+    plan_type = _stats_driven_key_stats(ev, "event_type", vc)
+    plan_user = _stats_driven_key_stats(ev, "event_id", vc)
+    assert "salt" in plan_type._jdf.queryExecution().executedPlan().toString()
+    assert "salt" not in plan_user._jdf.queryExecution().executedPlan().toString()
+
+    # both shapes exact: the salted plan's merged output equals a plain
+    # group-by on the same frame, bit for bit
+    plain_type = {
+        tuple(r)
+        for r in ev.select("event_type", vc.alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("sum_cents"),
+            F.max("vc").alias("max_cents"),
+        )
+        .collect()
+    }
+    assert {tuple(r) for r in plan_type.collect()} == plain_type
