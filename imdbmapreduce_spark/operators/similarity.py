@@ -2029,7 +2029,20 @@ def _pca_power_distributed(spark: SparkSession, gram_df: DataFrame) -> DataFrame
 
 # --- sorted-projection SNM over embeddings ----------------------------------
 
-_SNM_EMB_W = 8  # window: each vector vs its w successors per sort key
+_SNM_EMB_W = 16  # window: each vector vs its w successors per sort key
+# Passes = number of independent JL sort keys (r9 verdict task 4: the
+# r9 shipping point of 2 passes x w=8 measured 0.0 blocking recall vs
+# the theta=0.45 truth — on random unit vectors two projections rarely
+# co-locate the tail). The r10 sweep (SCALE.md) measured the passes x
+# window grid; 8 x 16 clears recall 0.571 / 0.786 at sf0.001 / sf0.01
+# (floor pinned at 0.5 in the audit) at 8x the r9 candidate budget —
+# still passes*w*n by construction. The same sweep measured the
+# family's structural boundary: at fixed (passes, window) recall DECAYS
+# with corpus size (0.153 at sf0.1's n=2000) because a theta=0.45
+# pair's rank gap grows with n on random vectors — real dedup corpora
+# sit at cos 0.9+ where projections collapse; on this synthetic tail
+# the embedding-cells family is the right tool past ~1k vectors.
+_SNM_EMB_PASSES = 8
 # Verify threshold for this family. Deliberately below the all-pairs
 # query's 0.45: on random unit vectors the 0.45 tail is ~1e-4 of pairs
 # and projection adjacency rarely lands on it, so the registered query
@@ -2075,14 +2088,14 @@ def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imdbmapreduce_spark.operators.dedup import _global_rank
 
     ex = _shared_components(spark, sf_dir)
-    signs = _rp_signs(spark).filter(F.col("k") < 2)
+    signs = _rp_signs(spark).filter(F.col("k") < _SNM_EMB_PASSES)
     proj = (
         ex.join(F.broadcast(signs), "pos")
         .groupBy("vec_id", "k")
         .agg(F.sum(F.col("s") * F.col("v")).alias("key"))
     )
     cands = None
-    for k in (0, 1):
+    for k in range(_SNM_EMB_PASSES):
         ranked = _global_rank(
             proj.filter(F.col("k") == k).select("vec_id", "key"), ["key", "vec_id"]
         )
@@ -2091,9 +2104,24 @@ def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.dropDuplicates(["a_id", "b_id"])
 
 
-@query(
-    "snm_embedding_pairs",
-    oracle=f"""
+def _snm_emb_oracle() -> str:
+    """Generate the P-pass oracle (one rank CTE + one window-join UNION
+    branch per JL sort key — P is _SNM_EMB_PASSES, so the SQL stays in
+    lockstep with the Spark loop when the pass count is tuned)."""
+    rank_ctes = ", ".join(
+        f"""r{k} AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY key, vec_id) AS rk
+      FROM proj WHERE k = {k}
+    )"""
+        for k in range(_SNM_EMB_PASSES)
+    )
+    cand_union = "\n      UNION\n".join(
+        f"""      SELECT LEAST(a.vec_id, b.vec_id) AS a_id,
+             GREATEST(a.vec_id, b.vec_id) AS b_id
+      FROM r{k} a JOIN r{k} b ON b.rk - a.rk BETWEEN 1 AND {_SNM_EMB_W}"""
+        for k in range(_SNM_EMB_PASSES)
+    )
+    return f"""
     WITH ex AS (
       SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS pos,
              CAST(round(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)*{_SCALE}) AS BIGINT) AS v
@@ -2102,25 +2130,13 @@ def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), signs AS (
       SELECT CAST(p.i AS INTEGER) AS pos, CAST(q.k AS INTEGER) AS k,
              (CAST(('0x' || substring(md5(CAST(p.i AS VARCHAR) || '_' || CAST(q.k AS VARCHAR)), 1, 1)) AS INTEGER) % 2) * 2 - 1 AS s
-      FROM range(0, {_RP_MAXD}) p(i) CROSS JOIN range(0, 2) q(k)
+      FROM range(0, {_RP_MAXD}) p(i) CROSS JOIN range(0, {_SNM_EMB_PASSES}) q(k)
     ), proj AS (
       SELECT e.vec_id, s.k, CAST(SUM(s.s * e.v) AS BIGINT) AS key
       FROM ex e JOIN signs s USING (pos)
       GROUP BY 1, 2
-    ), r0 AS (
-      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY key, vec_id) AS rk
-      FROM proj WHERE k = 0
-    ), r1 AS (
-      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY key, vec_id) AS rk
-      FROM proj WHERE k = 1
-    ), cand AS (
-      SELECT LEAST(a.vec_id, b.vec_id) AS a_id,
-             GREATEST(a.vec_id, b.vec_id) AS b_id
-      FROM r0 a JOIN r0 b ON b.rk - a.rk BETWEEN 1 AND {_SNM_EMB_W}
-      UNION
-      SELECT LEAST(a.vec_id, b.vec_id) AS a_id,
-             GREATEST(a.vec_id, b.vec_id) AS b_id
-      FROM r1 a JOIN r1 b ON b.rk - a.rk BETWEEN 1 AND {_SNM_EMB_W}
+    ), {rank_ctes}, cand AS (
+{cand_union}
     ), norms AS (
       SELECT vec_id, SUM(v*v) AS n2 FROM ex GROUP BY 1
     ), dots AS (
@@ -2140,12 +2156,14 @@ def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(d.dot AS DOUBLE)
           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
           >= {_SNM_EMB_THETA}
-    """,
-)
+    """
+
+
+@query("snm_embedding_pairs", oracle=_snm_emb_oracle())
 def snm_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood near-dup pairs over EMBEDDINGS — the SNM
     family (operators/dedup.py) extended to the vector modality:
-    vectors sort by their exact integer projection onto two independent
+    vectors sort by their exact integer projection onto independent
     Rademacher directions (the shared JL sign table of
     :func:`embedding_random_projection` — a 1-D projection is the
     natural SNM key for vectors: cosine-close vectors project close),
@@ -2157,14 +2175,23 @@ def snm_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why beside SemDeDup cells: candidate volume is passes·w·n by
     construction — no codebook to train or persist, no cluster-recall
-    boundary; the trade is recall limited to projection-adjacent pairs
-    (more passes = more directions buy recall linearly). The global
-    rank reuses the distributed two-pass machinery (range partition +
-    offset join — no single-partition window).
+    boundary; the trade is recall limited to projection-adjacent pairs.
+    The r10 retune (verdict task 4) sized that trade by measurement:
+    {_SNM_EMB_PASSES} passes x w={_SNM_EMB_W} clears blocking recall
+    0.571 / 0.786 vs the theta=0.45 truth at sf0.001 / sf0.01 (floor
+    0.5, pinned in neardup_recall_audit — the r9 point of 2 x 8
+    measured 0.0), and the same sweep measured the structural boundary:
+    fixed-window recall decays with corpus size on random vectors
+    (0.153 at sf0.1), so past ~1k vectors of tail-distribution data the
+    embedding-cells family is the right tool and this family's value is
+    codebook-free simplicity on small-to-mid slices. The global rank
+    reuses the distributed two-pass machinery (range partition + offset
+    join — no single-partition window).
 
-    Scale: two |vectors|-row ranks + two uniform cell equi-joins; the
-    verify joins the shared quantized-component artifact on
-    candidate-pair ids — bounded at 2·passes·w rows per vector.
+    Scale: {_SNM_EMB_PASSES} |vectors|-row ranks + uniform cell
+    equi-joins; the verify joins the shared quantized-component
+    artifact on candidate-pair ids — bounded at 2·passes·w rows per
+    vector.
     """
     ex = _shared_components(spark, sf_dir)
     cands = snm_embedding_candidates(spark, sf_dir)
@@ -2193,3 +2220,10 @@ def snm_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine >= _SNM_EMB_THETA)
         .select("a_id", "b_id", cosine.alias("cosine"))
     )
+
+
+snm_embedding_pairs.__doc__ = (
+    snm_embedding_pairs.__doc__
+    .replace("{_SNM_EMB_W}", str(_SNM_EMB_W))
+    .replace("{_SNM_EMB_PASSES}", str(_SNM_EMB_PASSES))
+)

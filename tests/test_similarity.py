@@ -735,6 +735,7 @@ def test_snm_embedding_pairs_are_exact_and_window_bounded(spark, sf_dir):
     from imdbmapreduce_spark import registry
     from imdbmapreduce_spark.operators.similarity import (
         _SCALE,
+        _SNM_EMB_PASSES,
         _SNM_EMB_THETA,
         _SNM_EMB_W,
     )
@@ -768,4 +769,4 @@ def test_snm_embedding_pairs_are_exact_and_window_bounded(spark, sf_dir):
     for r in out:
         per_vec[r.a_id] += 1
         per_vec[r.b_id] += 1
-    assert max(per_vec.values()) <= 2 * 2 * _SNM_EMB_W
+    assert max(per_vec.values()) <= 2 * _SNM_EMB_PASSES * _SNM_EMB_W
