@@ -176,11 +176,70 @@ def gen_customer() -> None:
     print(f"customer: {N_CUST}")
 
 
+# --- rare-tail (Zipf) corpus variant (r9 verdict task 3) --------------------
+#
+# The sf1 corpus above reuses the driver fixtures' ~31-token vocabulary,
+# which SATURATES at 50k docs (every shingle's df ~90) — the regime where
+# the df-ceiling's recall collapses (measured 0.07) and the band/SNM
+# families win. The bounded joins' DESIGN regime — a power-law vocabulary
+# with a genuine rare tail, the shape real web text has (Zipf, s~1.05) —
+# had no sf1 measurement, so the corpus-routing claim ("ceiling for
+# rare-tail, bands/SNM for saturated") was half-measured. This variant
+# writes fixtures/sf1_zipf/documents.parquet: same row count, same
+# length/lang/source/near-copy structure, vocabulary of 50k tokens drawn
+# Zipf — most 3-gram shingles are then globally rare while a boilerplate
+# head stays hot, and tools/recall_cost_matrix.py measures both corpus
+# shapes side by side.
+OUT_ZIPF = "/root/repo/fixtures/sf1_zipf"
+ZIPF_VOCAB = 50_000
+ZIPF_S = 1.05
+
+
+def gen_documents_zipf(rng: np.random.Generator) -> None:
+    vocab = np.array([f"w{i:05d}" for i in range(ZIPF_VOCAB)])
+    p = 1.0 / np.arange(1, ZIPF_VOCAB + 1) ** ZIPF_S
+    p /= p.sum()
+    texts: list[str] = []
+    lens = rng.integers(10, 101, N_DOCS)
+    draws = rng.choice(ZIPF_VOCAB, size=int(lens.sum()), p=p)
+    pos = 0
+    langs, lang_w = ["en", "de", "es", "fr", "zh"], [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+    lang_col: list[str] = []
+    for i in range(N_DOCS):
+        n = int(lens[i])
+        if i > 0 and rng.random() < 0.02:
+            base = texts[int(rng.integers(0, i))].split(" ")
+            for _ in range(int(rng.integers(1, 4))):
+                base[int(rng.integers(0, len(base)))] = str(
+                    vocab[int(rng.choice(ZIPF_VOCAB, p=p))]
+                )
+            texts.append(" ".join(base))
+        else:
+            texts.append(" ".join(vocab[draws[pos : pos + n]]))
+        pos += n
+        lang_col.append(langs[int(rng.choice(len(langs), p=lang_w))])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(lang_col, pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(N_DOCS)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    os.makedirs(OUT_ZIPF, exist_ok=True)
+    pq.write_table(tbl, f"{OUT_ZIPF}/documents.parquet")
+    print(f"documents(zipf): {N_DOCS} rows, vocab={ZIPF_VOCAB}, s={ZIPF_S}")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(SEED)
-    gen_documents(rng)
-    gen_embeddings(rng)
-    gen_supplier_lineitem()
-    gen_customer()
-    print(f"wrote {OUT}")
+    if "--zipf-only" not in os.sys.argv:
+        gen_documents(rng)
+        gen_embeddings(rng)
+        gen_supplier_lineitem()
+        gen_customer()
+        print(f"wrote {OUT}")
+    gen_documents_zipf(np.random.default_rng(SEED + 1))
+    print(f"wrote {OUT_ZIPF}")
