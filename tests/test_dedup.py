@@ -1056,3 +1056,51 @@ def test_containment_bounded_ingest_equals_bounded_batch_restriction(spark, sf_d
         .collect()
     }
     assert inc <= exact_gate
+
+
+def test_block_local_components_match_general_components(spark):
+    """The block-local union-find closure must equal the general
+    min-label connected_components on any edge set whose edges stay
+    within blocks — chains, stars, multi-component blocks, and a block
+    whose min key arrives last (exercises union-by-min through root
+    chains)."""
+    from imdbmapreduce_spark.operators.dedup import (
+        _block_local_components,
+        connected_components,
+    )
+
+    edges = [
+        # block A: chain 5-3-9-1 (min joins last)
+        ("A", 5, 3), ("A", 3, 9), ("A", 9, 1),
+        # block B: star around 20 + separate pair (two components)
+        ("B", 20, 21), ("B", 20, 22), ("B", 25, 26),
+        # block C: duplicate edges + triangle
+        ("C", 30, 31), ("C", 31, 32), ("C", 30, 32), ("C", 30, 31),
+    ]
+    pairs = spark.createDataFrame(
+        [Row(blk=b, custkey_a=a, custkey_b=c) for b, a, c in edges]
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in _block_local_components(pairs).collect()
+    }
+    nodes = spark.createDataFrame(
+        [Row(node=n) for n in sorted({x for _, a, c in edges for x in (a, c)})]
+    )
+    want = {
+        (r.node, r.cluster_id)
+        for r in connected_components(
+            nodes,
+            pairs.select(
+                F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
+            ),
+        ).collect()
+    }
+    assert got == want
+    # explicit expectations: chain collapses to min=1, star to 20,
+    # pair to 25, triangle to 30
+    by_node = dict(got)
+    assert by_node[5] == by_node[3] == by_node[9] == by_node[1] == 1
+    assert by_node[20] == by_node[21] == by_node[22] == 20
+    assert by_node[25] == by_node[26] == 25
+    assert by_node[30] == by_node[31] == by_node[32] == 30
