@@ -2087,20 +2087,36 @@ def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall audit can score the blocking scheme itself."""
     from imdbmapreduce_spark.operators.dedup import _global_rank
 
+    from concurrent.futures import ThreadPoolExecutor
+
     ex = _shared_components(spark, sf_dir)
     signs = _rp_signs(spark).filter(F.col("k") < _SNM_EMB_PASSES)
-    proj = (
+    # Checkpoint the projection table ONCE (all passes' keys in one
+    # job): each pass then ranks an n-row slice of a materialized frame
+    # instead of re-running the join+agg lineage per pass (the r9 loop
+    # paid the projection 2x; at 8 passes it would be 8x).
+    proj = stable_checkpoint(
         ex.join(F.broadcast(signs), "pos")
         .groupBy("vec_id", "k")
         .agg(F.sum(F.col("s") * F.col("v")).alias("key"))
     )
-    cands = None
-    for k in range(_SNM_EMB_PASSES):
+
+    # The passes are independent jobs (each _global_rank checkpoints
+    # its ranked slice); run them concurrently — Spark schedules
+    # concurrent jobs from one session fine, and the per-rank fixed
+    # cost (range-partition sampling + checkpoint) was the retuned
+    # family's wall at small SFs (8 sequential ranks ~= 8x one).
+    def one_pass(k: int) -> DataFrame:
         ranked = _global_rank(
             proj.filter(F.col("k") == k).select("vec_id", "key"), ["key", "vec_id"]
         )
-        pairs = _projection_window_pairs(ranked, _SNM_EMB_W)
-        cands = pairs if cands is None else cands.unionByName(pairs)
+        return _projection_window_pairs(ranked, _SNM_EMB_W)
+
+    with ThreadPoolExecutor(max_workers=_SNM_EMB_PASSES) as pool:
+        parts = list(pool.map(one_pass, range(_SNM_EMB_PASSES)))
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
     return cands.dropDuplicates(["a_id", "b_id"])
 
 
@@ -2193,30 +2209,59 @@ def snm_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact on candidate-pair ids — bounded at 2·passes·w rows per
     vector.
     """
-    ex = _shared_components(spark, sf_dir)
     cands = snm_embedding_candidates(spark, sf_dir)
-    norms = ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
-    a = ex.select(F.col("vec_id").alias("a_id"), "pos", F.col("v").alias("va"))
-    b = ex.select(F.col("vec_id").alias("b_id"), "pos", F.col("v").alias("vb"))
-    dots = (
-        cands.join(a, "a_id")
-        .join(b, ["b_id", "pos"])
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    # Verify on quantized ARRAYS (zip_with product + aggregate sum —
+    # JVM expressions, exact int64): each pair ships two 64-long arrays
+    # in ONE row per side, where the r9 exploded-component join
+    # multiplied every candidate into d rows per side and paid a
+    # (b_id, pos)-keyed shuffle d× the pair volume. Same integer math
+    # as quantized_components elementwise (F.round HALF_UP at _SCALE),
+    # so the oracle's exploded-join dots match bit-for-bit. Measured at
+    # the retuned 8×16 candidate budget (with the checkpointed-
+    # projection + concurrent-pass candidates): sf1 warm 53.0 → 6.4 s,
+    # sf0.1 6.0 s — near-flat across the decade.
+    # Plain shuffle joins on the pair ids: the vq frame is a
+    # |vectors|-row DATA-sized frame — broadcasting it (as r9 shipped
+    # for the norms) contradicts the family's skew-immune scale story
+    # (ADVICE r9).
+    vq = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * _SCALE).cast("long")
+        ).alias("vq"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("vq", lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
-    na = norms.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("nb"))
-    cosine = F.col("dot").cast("double") / (
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cosine = dot.cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
-    # Plain shuffle joins on the pair ids: the norm frames are
-    # |vectors|-row DATA-sized frames, not dims — broadcasting them
-    # (as r9 shipped) contradicts the family's skew-immune scale story
-    # and risks driver/executor OOM at the corpus sizes the docstring
-    # targets (ADVICE r9).
     return (
-        dots.join(na, "a_id")
-        .join(nb, "b_id")
+        cands.join(
+            vq.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("vq").alias("va"),
+                F.col("n2").alias("na"),
+            ),
+            "a_id",
+        )
+        .join(
+            vq.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("vq").alias("vb"),
+                F.col("n2").alias("nb"),
+            ),
+            "b_id",
+        )
         .filter(cosine >= _SNM_EMB_THETA)
         .select("a_id", "b_id", cosine.alias("cosine"))
     )
