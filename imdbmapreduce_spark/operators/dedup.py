@@ -2947,15 +2947,17 @@ def _snm_pass(keyed: DataFrame) -> DataFrame:
 # 100 TB scale this family targets. The key is now the first
 # _SNM_KEY_TOKENS tokens plus an md5 tail of the full string: the prefix
 # preserves the lexicographic neighborhood SNM relies on, the hash tail
-# keeps a deterministic total order among same-prefix keys at 16
-# fixed bytes (same-prefix docs are already co-located, so hash-random
-# adjacency inside that group costs no designed recall). Mirrored
+# keeps a deterministic total order among same-prefix keys at 32 fixed
+# hex bytes (same-prefix docs are already co-located, so hash-random
+# adjacency inside that group costs no designed recall; at fixture doc
+# sizes the md5 is pure overhead — measured +0.4 s at sf0.1 — the cap
+# pays at real document sizes where the full key is O(KB)). Mirrored
 # verbatim in the oracle; blocking recall is re-scored every round by
 # neardup_recall_audit's snm_window arm against the same floor.
 _SNM_KEY_TOKENS = 24
 
 
-def _snm_key(st) -> "F.Column":
+def _snm_key(st) -> Column:
     """Bounded SNM sort key over a sorted-token array column: first
     _SNM_KEY_TOKENS tokens joined, ``' #'``, md5 of the full joined
     string ('#' sorts below 'a'-'z', so a doc whose whole key fits the
