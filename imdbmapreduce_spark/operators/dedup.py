@@ -1762,6 +1762,11 @@ _NEARDUP_RECALL_FLOORS = {
     # (single-pass was 0.75/0.56/0.23 — the second key is what holds
     # recall up as the corpus grows); floor carries margin under 0.81.
     "snm_window": 0.75,
+    # the SNM arrival gate's blocking window vs the exact-Jaccard truth
+    # restricted to one-endpoint-in-shard pairs (same floor family as
+    # snm_window — the gate IS the batch restriction, pinned in tests,
+    # so its blocking recall tracks the batch arm's).
+    "snm_incremental": 0.75,
     # embedding SNM window vs the exact all-pairs cosine truth — a REAL
     # floor since the r10 retune (8 passes x w=16; the r9 2x8 point
     # measured 0.0): 0.571 / 0.786 measured at sf0.001 / sf0.01. The
@@ -1922,6 +1927,14 @@ def neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snm_window",
             _snm_candidates(spark, sf_dir).select("doc_a", "doc_b"),
             jac_truth,
+        ),
+        # the arrival gate's reachable slice of the same window
+        (
+            "snm_incremental",
+            _snm_candidates(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .filter(one_end_shard),
+            jac_truth.filter(one_end_shard),
         ),
         # Blocking recall of the embedding SNM window vs the exact
         # all-pairs cosine truth (same truth as the embedding_cells
@@ -2992,9 +3005,10 @@ def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "snm_neardup_pairs",
-    oracle=f"""
+# Shared SNM oracle body: the batch query runs it verbatim; the arrival
+# gate appends the one-endpoint-in-shard restriction (see
+# snm_incremental_ingest). {AND_SHARD} is the splice point.
+_SNM_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, list_sort(list_distinct({_DUCK_TOKS})) AS st FROM documents
     ), k AS (
@@ -3027,8 +3041,11 @@ def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
     FROM v
     WHERE {_SNM_TAU_DEN} * n_common >= {_SNM_TAU_NUM} * (n_a + n_b - n_common)
-    """,
-)
+      {{AND_SHARD}}
+    """
+
+
+@query("snm_neardup_pairs", oracle=_SNM_ORACLE.replace("{AND_SHARD}", ""))
 def snm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood near-dup pairs (Hernandez & Stolfo's SNM, the
     fifth candidate-generation family beside the exact prefix join,
@@ -3059,6 +3076,58 @@ def snm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted ETS table (/root/reference/Code/csv_to_ets.erl:27-53); SNM is
     that idea generalized to near-equality at corpus scale.
     """
+    return _snm_verified(spark, sf_dir)
+
+
+@query(
+    "snm_incremental_ingest",
+    oracle=_SNM_ORACLE.replace(
+        "{AND_SHARD}",
+        f"AND ((doc_a % {_SHARD_MOD} = {_SHARD_RESIDUE})"
+        f" <> (doc_b % {_SHARD_MOD} = {_SHARD_RESIDUE}))",
+    ),
+)
+def snm_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNM family's arrival gate — the SIXTH and last
+    candidate-generation family to get one (MinHash, SimHash,
+    embedding, containment and ExactSubstr gates already ship; round
+    10): near-dup verdicts for an arriving shard (doc_id ≡
+    {_SHARD_RESIDUE} mod {_SHARD_MOD}) against the standing corpus,
+    in MERGED-ORDER semantics — a pair qualifies iff the two docs land
+    within the window in the sort order of the COMBINED corpus (either
+    pass) and pass the exact Jaccard verify, restricted to pairs with
+    exactly one endpoint in the shard. Fully SQL-expressible (the batch
+    oracle + the shard restriction), so like the containment gate this
+    one is hash-checked end to end — no hash family to hide behind.
+
+    Spark expression vs production shape: this plan re-ranks the merged
+    corpus (LINEAR work, skew-free by the family's contract — compare
+    the df-join families, whose arrival gates probe posting lists). In
+    a deployed ingest loop the standing sort order is a persisted
+    sorted index; each arriving record binary-searches its insertion
+    slot and compares only within ±w of it, making fresh comparisons
+    ∝ shard·passes·w. The merged-order semantics here are exactly what
+    that index maintenance computes, which is why the gate is pinned
+    equal to the batch restriction
+    (tests/test_dedup.py::test_snm_ingest_equals_batch_restriction)
+    rather than defined by its own window arithmetic.
+    """
+    return _snm_verified(spark, sf_dir).filter(
+        _is_shard("doc_a") != _is_shard("doc_b")
+    )
+
+
+snm_incremental_ingest.__doc__ = (
+    snm_incremental_ingest.__doc__
+    .replace("{_SHARD_RESIDUE}", str(_SHARD_RESIDUE))
+    .replace("{_SHARD_MOD}", str(_SHARD_MOD))
+)
+
+
+def _snm_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SNM pipeline (multi-pass window + exact token-set
+    Jaccard verify) — shared by :func:`snm_neardup_pairs` (batch) and
+    :func:`snm_incremental_ingest` (the arrival restriction)."""
     verified = _snm_candidates(spark, sf_dir).select(
         "doc_a",
         "doc_b",

@@ -1104,3 +1104,25 @@ def test_block_local_components_match_general_components(spark):
     assert by_node[20] == by_node[21] == by_node[22] == 20
     assert by_node[25] == by_node[26] == 25
     assert by_node[30] == by_node[31] == by_node[32] == 30
+
+
+def test_snm_ingest_equals_batch_restriction(spark, sf_dir):
+    """The SNM arrival gate must equal the batch SNM pairs restricted
+    to pairs with exactly one endpoint in the standing shard (merged-
+    order semantics — the definition a sorted-index insert computes),
+    all columns, and its blocking-recall audit row must exist with a
+    non-vacuous truth."""
+    from imdbmapreduce_spark.operators.dedup import _SHARD_MOD, _SHARD_RESIDUE
+
+    inc = {
+        tuple(r)
+        for r in registry.get("snm_incremental_ingest").fn(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in registry.get("snm_neardup_pairs").fn(spark, sf_dir).collect()
+        if (r.doc_a % _SHARD_MOD == _SHARD_RESIDUE)
+        != (r.doc_b % _SHARD_MOD == _SHARD_RESIDUE)
+    }
+    assert inc == want
+    assert want, "test premise: the shard participates in >=1 SNM pair"
