@@ -1648,3 +1648,201 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * 1000000 DIV supply AS BIGINT)"
         ).alias("epochs_ppm"),
     )
+
+
+# --- dedup token waterfall (capacity planning across the dedup cascade) -----
+
+# The exact-substr span CTEs share their leading `toks` CTE with
+# _JAC_CTES verbatim (both are the _DUCK_TOKS split over documents), so
+# the waterfall oracle splices the span chain in AFTER the jaccard
+# chain, minus the duplicate head — string surgery on the shared
+# constants, not a re-spelling, so the stages can never drift from the
+# registered ops they account for.
+from imdbmapreduce_spark.operators.dedup import _XS_SPAN_CTES as _XS_CTES_FULL
+
+_XS_TAIL = "wins AS (" + _XS_CTES_FULL.split("wins AS (", 1)[1]
+
+_WATERFALL_ORACLE = f"""
+    WITH RECURSIVE {{JAC}}, {_XS_TAIL},
+    tokc AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM toks
+    ), exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS ck
+            FROM toks)
+      GROUP BY ck
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac_edges
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jac_edges
+    ), walk(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.r
+    ), assign AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY node
+    ), qual AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             (len(t) >= 20 AND len(list_distinct(t)) * 4 >= len(t)) AS is_quality
+      FROM toks WHERE len(t) > 0
+    ), scored AS (
+      SELECT a.cluster_id, a.doc_id,
+             COALESCE(q.n_tokens, 0) AS n_tokens,
+             COALESCE(q.is_quality, FALSE) AS is_quality
+      FROM assign a LEFT JOIN qual q ON a.doc_id = q.doc_id
+    ), nd_keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY is_quality DESC, n_tokens DESC, doc_id ASC) AS rn
+        FROM scored)
+      WHERE rn = 1
+    ), keep2 AS (
+      SELECT k.doc_id FROM exact_keep k JOIN nd_keep n USING (doc_id)
+    ), cut AS (
+      SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS cut
+      FROM spans GROUP BY doc_id
+    ), s0 AS (
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM tokc
+    ), s1 AS (
+      SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_toks) AS BIGINT)
+      FROM tokc JOIN exact_keep USING (doc_id)
+    ), s2 AS (
+      SELECT 2, 'neardup_keepers', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_toks) AS BIGINT)
+      FROM tokc JOIN keep2 USING (doc_id)
+    ), s3 AS (
+      SELECT 3, 'exactsubstr_scrub', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(t.n_toks - COALESCE(c.cut, 0)) AS BIGINT)
+      FROM tokc t JOIN keep2 USING (doc_id)
+      LEFT JOIN cut c ON t.doc_id = c.doc_id
+    ), stages AS (
+      SELECT * FROM s0 UNION ALL SELECT * FROM s1
+      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    )
+    SELECT stage_idx, stage, n_docs, n_tokens,
+           CAST(COALESCE(LAG(n_docs) OVER w - n_docs, 0) AS BIGINT)
+             AS docs_dropped,
+           CAST(COALESCE(LAG(n_tokens) OVER w - n_tokens, 0) AS BIGINT)
+             AS tokens_dropped,
+           CAST(n_tokens * 1000000 // FIRST_VALUE(n_tokens) OVER w AS BIGINT)
+             AS tokens_kept_ppm
+    FROM stages
+    WINDOW w AS (ORDER BY stage_idx)
+    """.replace("{JAC}", _JAC_CTES)
+
+
+@query("dedup_token_waterfall", oracle=_WATERFALL_ORACLE)
+def dedup_token_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capacity-planning question at 100 TB — "how much of the crawl
+    survives each dedup stage?" — answered as a four-row waterfall over
+    the REGISTERED dedup cascade (the composition genre of
+    :func:`filter_ablation_matrix`, applied down the pipeline instead
+    of across filters):
+
+    - ``raw``: every document, whitespace-token counts;
+    - ``exact_dedup``: survivors of :func:`~imdbmapreduce_spark.
+      operators.dedup.dedup_exact`'s min-id-per-content-key rule;
+    - ``neardup_keepers``: of those, the docs that are also their
+      near-dup cluster's keeper under ``neardup_cluster_keepers``'s
+      quality-first survivorship (the pipeline's keep set is the
+      INTERSECTION of the stages' keep sets — each stage can only
+      shrink it, so the waterfall is monotone by construction);
+    - ``exactsubstr_scrub``: same docs, token counts reduced by their
+      corpus-duplicated span tokens (:func:`~imdbmapreduce_spark.
+      operators.dedup.exact_substr_spans` — spans are flagged against
+      the FULL corpus, the conservative accounting: a span does not
+      stop being boilerplate because its other copies were dropped).
+
+    Columns per stage: docs/tokens surviving, docs/tokens dropped vs
+    the previous stage, and tokens_kept_ppm of raw (exact integer
+    truncating division). The Spark side consumes the registered query
+    functions; the oracle splices those queries' own CTE chains
+    (verbatim shared constants), so the report can never drift from
+    the stages it accounts for.
+
+    Scale: three doc_id-keyed semi joins over the already-computed
+    stage artifacts + four single-row aggregates; the only window runs
+    over the FOUR-row stage frame. The expensive parts (cluster
+    assignment, span mining) are the registered stages' own
+    session-cached/persisted work — this report adds one cheap pass.
+    """
+    from imdbmapreduce_spark.operators.dedup import (
+        dedup_exact,
+        exact_substr_spans,
+    )
+    from imdbmapreduce_spark.plans.relational import neardup_cluster_keepers
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_toks")
+    )
+    keep1 = dedup_exact(spark, sf_dir).select(F.col("keep_id").alias("doc_id"))
+    keep2 = keep1.join(
+        neardup_cluster_keepers(spark, sf_dir).select(
+            F.col("keep_id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    cut = (
+        exact_substr_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("long").alias("cut"))
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    scrubbed = (
+        tok.join(keep2, "doc_id")
+        .join(cut, "doc_id", "left")
+        .select(
+            (F.col("n_toks") - F.coalesce("cut", F.lit(0))).alias("n_toks")
+        )
+    )
+    stages = (
+        stage(0, "raw", tok)
+        .unionByName(stage(1, "exact_dedup", tok.join(keep1, "doc_id")))
+        .unionByName(stage(2, "neardup_keepers", tok.join(keep2, "doc_id")))
+        .unionByName(stage(3, "exactsubstr_scrub", scrubbed))
+    )
+    # the only window runs over the 4-row stage frame — bounded by
+    # construction (the source_temperature_mix convention)
+    w = Window.orderBy("stage_idx")
+    return (
+        stages.withColumn("raw_nt", F.first("n_tokens").over(w))
+        .withColumn(
+            "docs_dropped",
+            F.coalesce(F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "tokens_dropped",
+            F.coalesce(
+                F.lag("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)
+            ).cast("long"),
+        )
+        .select(
+            "stage_idx",
+            "stage",
+            "n_docs",
+            "n_tokens",
+            "docs_dropped",
+            "tokens_dropped",
+            F.expr("(n_tokens * 1000000) div raw_nt").alias("tokens_kept_ppm"),
+        )
+    )

@@ -512,3 +512,55 @@ def test_waterfill_allocation_properties(spark, sf_dir):
     if unsat:
         assert max(unsat) - min(unsat) <= 1
         assert all(c.cap <= min(unsat) for c in sat)
+
+
+def test_dedup_token_waterfall_replays_from_registered_stages(spark, sf_dir):
+    """The waterfall rows must be exactly reconstructible from the
+    registered stage queries it claims to account for (keep sets
+    intersect, scrub subtracts corpus-wide span tokens), and monotone:
+    docs and tokens never increase down the cascade, drops reconcile
+    exactly, ppm is the truncating integer share of raw."""
+    from imdbmapreduce_spark import registry
+
+    tok = {
+        r.doc_id: len(r.text.split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    keep1 = {
+        r.keep_id
+        for r in registry.get("dedup_exact").fn(spark, sf_dir).collect()
+    }
+    keep2 = keep1 & {
+        r.keep_id
+        for r in registry.get("neardup_cluster_keepers").fn(spark, sf_dir).collect()
+    }
+    cut = {}
+    for r in registry.get("exact_substr_spans").fn(spark, sf_dir).collect():
+        cut[r.doc_id] = cut.get(r.doc_id, 0) + r.span_tokens
+
+    raw_docs, raw_toks = len(tok), sum(tok.values())
+    expect = [
+        (0, "raw", raw_docs, raw_toks),
+        (1, "exact_dedup", len(keep1), sum(tok[d] for d in keep1)),
+        (2, "neardup_keepers", len(keep2), sum(tok[d] for d in keep2)),
+        (
+            3,
+            "exactsubstr_scrub",
+            len(keep2),
+            sum(tok[d] - cut.get(d, 0) for d in keep2),
+        ),
+    ]
+    rows = sorted(
+        registry.get("dedup_token_waterfall").fn(spark, sf_dir).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    prev = None
+    for r, (idx, name, nd, nt) in zip(rows, expect):
+        assert (r.stage_idx, r.stage, r.n_docs, r.n_tokens) == (idx, name, nd, nt)
+        assert r.tokens_kept_ppm == nt * 1_000_000 // raw_toks
+        if prev is None:
+            assert (r.docs_dropped, r.tokens_dropped) == (0, 0)
+        else:
+            assert r.docs_dropped == prev.n_docs - r.n_docs >= 0
+            assert r.tokens_dropped == prev.n_tokens - r.n_tokens >= 0
+        prev = r
