@@ -2992,16 +2992,27 @@ def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     its prefix). Factored out so the recall audit can score the blocking
     scheme itself (the classic SNM evaluation: fraction of
     independently-defined true matches landing inside the window)
-    separately from the verify threshold."""
-    docs = table(spark, sf_dir, "documents")
-    st = F.array_sort(F.array_distinct(tokens("text")))
-    base = docs.select("doc_id", st.alias("st")).filter(F.size("st") > 0)
-    fwd = base.withColumn("key", _snm_key(F.col("st")))
-    rev = base.withColumn("key", _snm_key(F.reverse("st")))
-    return (
-        _snm_pass(fwd)
-        .unionByName(_snm_pass(rev))
-        .dropDuplicates(["doc_a", "doc_b"])
+    separately from the verify threshold. Session-cached (round 10):
+    four consumers run it per bench/audit session — the batch query,
+    the arrival gate, and the scoreboard's two SNM arms — and the
+    window is the family's whole cost."""
+
+    def build() -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        st = F.array_sort(F.array_distinct(tokens("text")))
+        base = docs.select("doc_id", st.alias("st")).filter(F.size("st") > 0)
+        fwd = base.withColumn("key", _snm_key(F.col("st")))
+        rev = base.withColumn("key", _snm_key(F.reverse("st")))
+        return (
+            _snm_pass(fwd)
+            .unionByName(_snm_pass(rev))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+
+    return shared_cache(
+        spark,
+        ("snm_candidates", sf_dir, _SNM_WINDOW, _SNM_KEY_TOKENS),
+        build,
     )
 
 
