@@ -2864,7 +2864,9 @@ _SNM_TAU_NUM, _SNM_TAU_DEN = 7, 10  # token-set Jaccard threshold 0.7
 _RANK_PARTS = 32  # range partitions for the global sort (thousands at 100 TB)
 
 
-def _global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
+def _global_rank(
+    df: DataFrame, order_cols: list[str], parts: int | None = None
+) -> DataFrame:
     """Attach a 1-based GLOBAL rank ``rk`` by a total order — WITHOUT the
     single-partition window Spark plans for an unpartitioned
     ``row_number`` (the classic driver-of-scale-death: one task sorts
@@ -2882,7 +2884,12 @@ def _global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
     The only unpartitioned window runs over the OFFSETS frame —
     ``_RANK_PARTS`` rows, bounded by construction.
     """
-    ranged = df.repartitionByRange(_RANK_PARTS, *order_cols).withColumn(
+    # parts: callers that know the input is small may pass a smaller
+    # range-partition count — the rank VALUES are partition-boundary-
+    # independent by construction, so this is a pure plan knob (the
+    # range partitioner's sampling pass is the fixed cost that
+    # dominates on few-thousand-row inputs).
+    ranged = df.repartitionByRange(parts or _RANK_PARTS, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     # Checkpoint after the local rank: the frame is consumed twice (the
@@ -2913,6 +2920,66 @@ def _global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
         local.join(F.broadcast(offs), "_pid")
         .withColumn("rk", (F.col("_lrk") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrk")
+    )
+
+
+def _grouped_global_rank(
+    df: DataFrame, group_col: str, order_cols: list[str], parts: int
+) -> DataFrame:
+    """:func:`_global_rank` for MANY independent sort orders at once:
+    every row gets ``rk`` = its 1-based position in the total order of
+    ITS group — one ranged exchange for all groups instead of one rank
+    job per group (the multi-pass SNM shape: 8 projection keys = 8
+    groups; the per-job fixed cost of 8 separate ranks was the
+    embedding family's wall at bench SFs).
+
+    Same two-pass discipline as :func:`_global_rank`: range-partition
+    on (group, order) — partition id is then monotone in each group's
+    order — rank locally, and correct with per-(partition, group)
+    counts: within-pid start of the group (rows of smaller groups in
+    the same partition) and the group's global offset (its rows in
+    earlier partitions). The offsets frame is ``parts x |groups|`` rows
+    — bounded by construction; both correction windows run over it,
+    never over data.
+    """
+    ranged = df.repartitionByRange(parts, group_col, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = stable_checkpoint(
+        ranged.withColumn(
+            "_lrk",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(group_col, *order_cols)
+            ),
+        )
+    )
+    cnt = local.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_n"))
+    offs = cnt.select(
+        "_pid",
+        group_col,
+        F.coalesce(
+            F.sum("_n").over(
+                Window.partitionBy("_pid")
+                .orderBy(group_col)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_start"),
+        F.coalesce(
+            F.sum("_n").over(
+                Window.partitionBy(group_col)
+                .orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_goff"),
+    )
+    return (
+        local.join(F.broadcast(offs), ["_pid", group_col])
+        .withColumn(
+            "rk", (F.col("_lrk") - F.col("_start") + F.col("_goff")).cast("long")
+        )
+        .drop("_pid", "_lrk", "_start", "_goff")
     )
 
 

@@ -2051,43 +2051,12 @@ _SNM_EMB_PASSES = 8
 _SNM_EMB_THETA = 0.35
 
 
-def _projection_window_pairs(ranked: DataFrame, w: int) -> DataFrame:
-    """Window-pair a globally ranked (vec_id, rk) frame: id-normalized
-    (a_id < b_id) pairs within ``w`` ranks, via the same rank-cell
-    equi-join as the text SNM (each left row probes its own cell and the
-    next; pairs within w ranks never span more than two cells)."""
-    cells = ranked.select(
-        "vec_id", "rk", F.floor((F.col("rk") - 1) / w).alias("cell")
-    )
-    left = cells.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("rk").alias("rk_a"),
-        F.explode(F.array(F.col("cell"), F.col("cell") + 1)).alias("cand_cell"),
-    )
-    right = cells.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("rk").alias("rk_b"),
-        F.col("cell").alias("cell_b"),
-    )
-    diff = F.col("rk_b") - F.col("rk_a")
-    return (
-        left.join(right, left.cand_cell == right.cell_b)
-        .filter((diff >= 1) & (diff <= w))
-        .select(
-            F.least("id_a", "id_b").alias("a_id"),
-            F.greatest("id_a", "id_b").alias("b_id"),
-        )
-    )
-
-
 def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding-SNM candidate window — id-normalized (a_id, b_id)
     pairs within _SNM_EMB_W ranks of EITHER projection sort, BEFORE the
     cosine verify. Factored (like the text family's _snm_candidates) so
     the recall audit can score the blocking scheme itself."""
-    from imdbmapreduce_spark.operators.dedup import _global_rank
-
-    from concurrent.futures import ThreadPoolExecutor
+    from imdbmapreduce_spark.operators.dedup import _grouped_global_rank
 
     ex = _shared_components(spark, sf_dir)
     signs = _rp_signs(spark).filter(F.col("k") < _SNM_EMB_PASSES)
@@ -2101,23 +2070,43 @@ def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("s") * F.col("v")).alias("key"))
     )
 
-    # The passes are independent jobs (each _global_rank checkpoints
-    # its ranked slice); run them concurrently — Spark schedules
-    # concurrent jobs from one session fine, and the per-rank fixed
-    # cost (range-partition sampling + checkpoint) was the retuned
-    # family's wall at small SFs (8 sequential ranks ~= 8x one).
-    def one_pass(k: int) -> DataFrame:
-        ranked = _global_rank(
-            proj.filter(F.col("k") == k).select("vec_id", "key"), ["key", "vec_id"]
+    # ALL passes rank in ONE grouped job (r10 second pass on this
+    # family's wall): _grouped_global_rank range-partitions on
+    # (k, key) once and corrects per-(partition, k) offsets, replacing
+    # 8 separate rank jobs whose per-job fixed cost dominated at bench
+    # SFs; the window pairing is then ONE (k, cell) equi-join for
+    # every pass. Partition count sized to the materialized frame
+    # (~4k rows each, capped) — the rank values are partition-
+    # boundary-independent, so this is a pure plan knob.
+    parts = max(1, min(32, -(-proj.count() // 4096)))
+    ranked = _grouped_global_rank(proj, "k", ["key", "vec_id"], parts)
+    cells = ranked.select(
+        "k", "vec_id", "rk", F.floor((F.col("rk") - 1) / _SNM_EMB_W).alias("cell")
+    )
+    left = cells.select(
+        "k",
+        F.col("vec_id").alias("id_a"),
+        F.col("rk").alias("rk_a"),
+        F.explode(F.array(F.col("cell"), F.col("cell") + 1)).alias("cand_cell"),
+    )
+    right = cells.select(
+        "k",
+        F.col("vec_id").alias("id_b"),
+        F.col("rk").alias("rk_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    diff = F.col("rk_b") - F.col("rk_a")
+    return (
+        left.join(
+            right, (left.cand_cell == right.cell_b) & (left.k == right.k)
         )
-        return _projection_window_pairs(ranked, _SNM_EMB_W)
-
-    with ThreadPoolExecutor(max_workers=_SNM_EMB_PASSES) as pool:
-        parts = list(pool.map(one_pass, range(_SNM_EMB_PASSES)))
-    cands = parts[0]
-    for p in parts[1:]:
-        cands = cands.unionByName(p)
-    return cands.dropDuplicates(["a_id", "b_id"])
+        .filter((diff >= 1) & (diff <= _SNM_EMB_W))
+        .select(
+            F.least("id_a", "id_b").alias("a_id"),
+            F.greatest("id_a", "id_b").alias("b_id"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
 
 
 def _snm_emb_oracle() -> str:

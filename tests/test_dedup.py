@@ -1126,3 +1126,30 @@ def test_snm_ingest_equals_batch_restriction(spark, sf_dir):
     }
     assert inc == want
     assert want, "test premise: the shard participates in >=1 SNM pair"
+
+
+def test_grouped_global_rank_matches_per_group_row_number(spark):
+    """_grouped_global_rank must equal an unpartitioned per-group
+    ROW_NUMBER for every group — including groups that straddle range
+    partitions, skewed group sizes, and a parts count larger than some
+    groups (the correction arithmetic's edge cases)."""
+    from imdbmapreduce_spark.operators.dedup import _grouped_global_rank
+
+    rows = (
+        [Row(g=0, k="hot", i=i) for i in range(300)]
+        + [Row(g=1, k=f"k{i:03d}", i=i) for i in range(40)]
+        + [Row(g=2, k="x", i=0)]  # singleton group
+        + [Row(g=3, k=f"z{i % 7}", i=i) for i in range(25)]  # ties on k
+    )
+    df = spark.createDataFrame(rows)
+    for parts in (1, 4, 16):
+        got = {
+            (r.g, r.k, r.i): r.rk
+            for r in _grouped_global_rank(df, "g", ["k", "i"], parts).collect()
+        }
+        by_g: dict[int, list] = {}
+        for r in rows:
+            by_g.setdefault(r.g, []).append(r)
+        for g, members in by_g.items():
+            for pos, r in enumerate(sorted(members, key=lambda x: (x.k, x.i)), 1):
+                assert got[(g, r.k, r.i)] == pos, (parts, g, r)
