@@ -50,6 +50,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Load telemetry (r10 verdict task 2): three rounds running, bench
+    # regressions needed SCALE.md prose + a manual idle re-run to separate
+    # co-tenant load from real deltas. Record the 1-minute load average at
+    # process start (BEFORE we generate any load ourselves — this is the
+    # co-tenant baseline) and again at sweep end, plus the median-of-3
+    # min/max spread per query, so BENCH_r{N}.json defends itself.
+    load_start = os.getloadavg()
+
     from imdbmapreduce_spark import registry
     from imdbmapreduce_spark.session import get_spark
 
@@ -101,6 +109,23 @@ def main() -> None:
             runs[name].append(time.monotonic() - t0)
     timings = {name: round(sorted(ts)[len(ts) // 2], 4) for name, ts in runs.items()}
 
+    # Per-query pass spread: {name: [min, med, max]} (full detail in
+    # BENCH_LOCAL.json); the stdout line carries the compact summary —
+    # the p50 and max of the RELATIVE spread (max-min)/median across
+    # queries. An idle box shows p50 well under ~0.2; a co-tenant burst
+    # shows fat spreads on queries whose code didn't change.
+    spread_detail = {
+        name: [round(min(ts), 4), timings[name], round(max(ts), 4)]
+        for name, ts in runs.items()
+    }
+    rel = {
+        name: (max(ts) - min(ts)) / max(timings[name], 1e-9)
+        for name, ts in runs.items()
+    }
+    rel_sorted = sorted(rel.values())
+    spread_rel_p50 = rel_sorted[len(rel_sorted) // 2] if rel_sorted else 0.0
+    spread_rel_max_query = max(rel, key=rel.get) if rel else None
+
     # The driver's capture keeps only the LAST 2000 chars of stdout and
     # parses the JSON line out of that window (measured: BENCH_r01-03 all
     # have tail_len=2000; r03's 75-query line overflowed it and the driver
@@ -150,6 +175,7 @@ def main() -> None:
     tpch_wall = time.monotonic() - t0
     tpch_serial = sum(timings[n] for n in tpch_names)
 
+    load_end = os.getloadavg()
     full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -159,12 +185,16 @@ def main() -> None:
         "index_build": {g: round(s, 3) for g, s in sorted(index_build.items())},
         "tpch_serial_total": round(tpch_serial, 4),
         "tpch_concurrent_wall": round(tpch_wall, 4),
+        "load_1m": {"start": round(load_start[0], 2), "end": round(load_end[0], 2)},
+        "spread_rel_p50": round(spread_rel_p50, 3),
+        "spread_rel_max": round(max(rel.values()), 3) if rel else 0.0,
+        "spread_rel_max_query": spread_rel_max_query,
         "sf": sf,
     }
     try:
         local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
         with open(local, "w") as f:
-            json.dump(full, f, indent=1, sort_keys=False)
+            json.dump(dict(full, spread=spread_detail), f, indent=1, sort_keys=False)
             f.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout line is still authoritative

@@ -39,6 +39,26 @@ def test_remainder_preserves_the_total():
     assert set(inline_names) == set(slowest[: len(inline_names)])
 
 
+def test_telemetry_fields_survive_compaction_within_budget():
+    """r10 verdict task 2: the stdout line carries load + spread telemetry
+    so the driver's BENCH_r{N}.json can separate co-tenant load from real
+    regressions without SCALE.md prose. The extra fields must ride along
+    verbatim and the line must still fit the capture window."""
+    full = _full(300)
+    full.update(
+        load_1m={"start": 0.13, "end": 7.42},
+        spread_rel_p50=0.083,
+        spread_rel_max=1.912,
+        spread_rel_max_query="some_rather_long_query_name_0123",
+    )
+    line = compact_bench_line(full)
+    assert len(line) <= 2000
+    d = json.loads(line)
+    assert d["load_1m"] == {"start": 0.13, "end": 7.42}
+    assert d["spread_rel_p50"] == 0.083
+    assert d["spread_rel_max_query"] == "some_rather_long_query_name_0123"
+
+
 def test_small_registry_needs_no_remainder():
     d = json.loads(compact_bench_line(_full(10)))
     assert "..." not in d["queries"]
