@@ -177,6 +177,85 @@ def choose_join_strategy(
     return "shuffle", []
 
 
+@dataclass(frozen=True)
+class DfProfile:
+    """df-distribution profile of a prefix-posting table — the ANALYZE
+    artifact for near-dup family routing (r10 verdict task 1): how many
+    tau-prefix postings exist, how many sit over the candidate-join
+    df-ceiling, and the lower-median df. Pure data; the decision lives
+    in :func:`choose_neardup_family`."""
+
+    n_prefix_postings: int
+    over_ceiling: int
+    median_df: int
+    ceiling: int
+
+    @property
+    def over_ppm(self) -> int:
+        """Integer parts-per-million of prefix postings over the ceiling
+        (EST_SCALE = 1e6, truncating division — replays bit-for-bit in
+        DuckDB's // operator)."""
+        return (self.over_ceiling * EST_SCALE) // max(self.n_prefix_postings, 1)
+
+
+# Routing threshold: route to the bounded prefix join only when at most
+# 5% of tau-prefix postings exceed the df-ceiling. The bounded form's
+# recall loss is EXACTLY the pairs whose rarest shared shingle is hotter
+# than the ceiling (dedup.py's bounded-join theorem), so the over-ceiling
+# posting share is the direct proxy for that loss. Measured anchors
+# (SCALE.md round-10 two-corpus matrix): rare-tail zipf sf1 = 200 ppm
+# over-ceiling -> bounded recall 1.000; saturated sf1 = ~10^6 ppm ->
+# bounded recall 0.068. The two regimes sit 3+ orders of magnitude from
+# the threshold on either side.
+NEARDUP_OVER_PPM_MAX = 50_000
+
+
+def df_profile(prefix_postings: DataFrame, ceiling: int) -> DfProfile:
+    """Collect a :class:`DfProfile` from a prefix-posting frame carrying
+    a ``df`` column (dedup.py's ranked-shingle artifact filtered to the
+    tau-prefix). One histogram aggregation (groupBy df) + driver-side
+    arithmetic over the collected histogram — the number of DISTINCT df
+    values with at least one shingle is <= sqrt(2·postings) (values
+    1,2,...,m alone sum to m(m+1)/2 <= postings), so driver traffic
+    stays ANALYZE-sized at any corpus scale. Median is the LOWER median
+    (the df at sorted position (n+1)//2), the same integer the audit
+    oracle computes with row_number."""
+    hist = (
+        prefix_postings.groupBy(F.col("df").cast("long").alias("df"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy("df")
+        .collect()
+    )
+    n = sum(int(r["c"]) for r in hist)
+    over = sum(int(r["c"]) for r in hist if int(r["df"]) > ceiling)
+    med, acc, target = 0, 0, (n + 1) // 2
+    for r in hist:
+        acc += int(r["c"])
+        if acc >= target:
+            med = int(r["df"])
+            break
+    return DfProfile(
+        n_prefix_postings=n, over_ceiling=over, median_df=med, ceiling=ceiling
+    )
+
+
+def choose_neardup_family(
+    profile: DfProfile, over_ppm_max: int = NEARDUP_OVER_PPM_MAX
+) -> str:
+    """The near-dup routing decision (r10 verdict task 1 — the capstone
+    of the two-corpus matrix): ``"bounded_prefix"`` when the corpus has
+    a genuine rare tail (over-ceiling posting share <= the threshold —
+    the df-ceiling then costs ~zero recall and the bounded prefix join
+    is the fastest complete family, measured recall 1.000 at rare-tail
+    sf1), ``"band"`` when the vocabulary is saturated (the ceiling
+    truncates most prefixes, bounded recall collapses — measured 0.068
+    at saturated sf1 — while the MinHash band family stays flat and
+    recall-stable). O(1) driver arithmetic over the collected profile;
+    consumed by dedup.py's ``neardup_pairs_routed`` and audited by
+    ``neardup_family_audit`` whose oracle replays this arithmetic."""
+    return "bounded_prefix" if profile.over_ppm <= over_ppm_max else "band"
+
+
 def choose_agg_salting(
     stats: KeyStats, shuffle_partitions: int, factor: int = 2
 ) -> tuple[str, list[str]]:

@@ -831,7 +831,7 @@ def streaming_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CUST_SHARD_MOD,
         _CUST_SHARD_RESIDUE,
         _customer_base_entities,
-        _with_link_block,
+        _link_postings,
         entity_arrival_verdicts,
     )
 
@@ -846,7 +846,7 @@ def streaming_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust.filter(is_new).repartition(4).write.mode("overwrite").json(path)
 
-    base = _with_link_block(cust.filter(~is_new))
+    base = _link_postings(cust.filter(~is_new))
     assign = _customer_base_entities(spark, sf_dir)
     sink = os.path.join(os.path.dirname(path), "verdicts")
     shutil.rmtree(sink, ignore_errors=True)
@@ -855,7 +855,7 @@ def streaming_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def on_batch(mb: DataFrame, epoch: int) -> None:
-        clean = _with_link_block(
+        clean = _link_postings(
             mb.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
         )
         verdicts = entity_arrival_verdicts(clean, base, assign)

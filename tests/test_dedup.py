@@ -810,31 +810,50 @@ def test_snm_pairs_match_python_replay(spark, sf_dir):
     assert not per_doc or max(per_doc.values()) <= 2 * 2 * _SNM_WINDOW
 
 
+def _lev(x: str, y: str) -> int:
+    """Plain O(len²) Levenshtein — the replay tests' independent verify
+    (no suffix/prefix reduction, no library)."""
+    prev = list(range(len(y) + 1))
+    for i, cx in enumerate(x, 1):
+        cur = [i]
+        for j, cy in enumerate(y, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy)))
+        prev = cur
+    return prev[len(y)]
+
+
+def _replay_multipass_pairs(cust_rows, max_dist):
+    """Brute-force two-pass blocked match replay: prefix blocks and
+    reversed-name (suffix) blocks, full-name Levenshtein verify, pairs
+    deduped across passes — the python truth for the multi-pass ER
+    family."""
+    from imdbmapreduce_spark.operators.dedup import _LINK_BLOCK_CHARS
+
+    expected = {}
+    for keyfn in (
+        lambda n: n[:_LINK_BLOCK_CHARS],
+        lambda n: n[::-1][:_LINK_BLOCK_CHARS],
+    ):
+        by_block: dict[str, list] = {}
+        for r in cust_rows:
+            by_block.setdefault(keyfn(r.c_name), []).append(r)
+        for members in by_block.values():
+            for a, b in combinations(sorted(members, key=lambda r: r.c_custkey), 2):
+                d = _lev(a.c_name, b.c_name)
+                if d <= max_dist:
+                    expected[(a.c_custkey, b.c_custkey)] = d
+    return expected
+
+
 def test_customer_fuzzy_matches_python_replay(spark, sf_dir):
-    """Blocked Levenshtein pairs equal a brute-force within-block replay
-    (block prefix pins all but the name's last 2 chars, so the edit
-    distance reduces to differing-position count there — asserting the
-    full-name levenshtein agrees keeps the check independent)."""
-    from imdbmapreduce_spark.operators.dedup import (
-        _LINK_BLOCK_CHARS,
-        _LINK_MAX_DIST,
-    )
+    """Multi-pass blocked Levenshtein pairs equal a brute-force replay
+    over BOTH blocking passes (prefix and reversed-name) with full-name
+    edit distance — independent of the suffix-reduction and the
+    pass-union plumbing in the plan."""
+    from imdbmapreduce_spark.operators.dedup import _LINK_MAX_DIST
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
-    by_block: dict[str, list] = {}
-    for r in cust:
-        by_block.setdefault(r.c_name[:_LINK_BLOCK_CHARS], []).append(r)
-    expected = {}
-    for members in by_block.values():
-        for a, b in combinations(sorted(members, key=lambda r: r.c_custkey), 2):
-            tail_a, tail_b = (
-                a.c_name[_LINK_BLOCK_CHARS:],
-                b.c_name[_LINK_BLOCK_CHARS:],
-            )
-            assert len(tail_a) == len(tail_b)
-            d = sum(x != y for x, y in zip(tail_a, tail_b))
-            if d <= _LINK_MAX_DIST:
-                expected[(a.c_custkey, b.c_custkey)] = d
+    expected = _replay_multipass_pairs(cust, _LINK_MAX_DIST)
     out = registry.get("customer_fuzzy_matches").fn(spark, sf_dir).collect()
     got = {(r.custkey_a, r.custkey_b): r.lev_dist for r in out}
     assert got == expected
@@ -885,12 +904,7 @@ def test_customer_entity_arrival_matches_union_find_replay(spark, sf_dir):
     new = [r for r in cust if r.c_custkey % _CUST_SHARD_MOD == _CUST_SHARD_RESIDUE]
     base = [r for r in cust if r.c_custkey % _CUST_SHARD_MOD != _CUST_SHARD_RESIDUE]
 
-    def lev_le1(x, y):  # names are equal-length here
-        return sum(a != b for a, b in zip(x, y)) <= 1 and len(x) == len(y)
-
-    by_block: dict[str, list] = {}
-    for r in base:
-        by_block.setdefault(r.c_name[:_LINK_BLOCK_CHARS], []).append(r)
+    base_pairs = _replay_multipass_pairs(base, 1)
     parent = {r.c_custkey: r.c_custkey for r in base}
 
     def find(x):
@@ -899,28 +913,27 @@ def test_customer_entity_arrival_matches_union_find_replay(spark, sf_dir):
             x = parent[x]
         return x
 
-    for members in by_block.values():
-        for a, b in combinations(members, 2):
-            if lev_le1(a.c_name, b.c_name):
-                ra, rb = find(a.c_custkey), find(b.c_custkey)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
+    for ka, kb in base_pairs:
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # probe: either pass's block reaches the base record, deduped
+    def blocks(n: str):
+        return {n[:_LINK_BLOCK_CHARS], n[::-1][:_LINK_BLOCK_CHARS]}
+
     # entity id = min member key of the component = the root here
     expected = {}
     for r in new:
-        ents = {
-            find(o.c_custkey)
-            for o in by_block.get(r.c_name[:_LINK_BLOCK_CHARS], [])
-            if lev_le1(r.c_name, o.c_name)
+        linked = {
+            o.c_custkey: find(o.c_custkey)
+            for o in base
+            if blocks(r.c_name) & blocks(o.c_name) and _lev(r.c_name, o.c_name) <= 1
         }
-        links = [
-            o
-            for o in by_block.get(r.c_name[:_LINK_BLOCK_CHARS], [])
-            if lev_le1(r.c_name, o.c_name)
-        ]
+        ents = set(linked.values())
         expected[r.c_custkey] = (
             min(ents) if ents else r.c_custkey,
-            len(links),
+            len(linked),
             len(ents),
         )
     out = registry.get("customer_entity_arrival").fn(spark, sf_dir).collect()
@@ -1153,3 +1166,125 @@ def test_grouped_global_rank_matches_per_group_row_number(spark):
         for g, members in by_g.items():
             for pos, r in enumerate(sorted(members, key=lambda x: (x.k, x.i)), 1):
                 assert got[(g, r.k, r.i)] == pos, (parts, g, r)
+
+
+def test_neardup_family_router_flips_with_corpus_shape(spark, sf_dir):
+    """The near-dup corpus router (r10 verdict task 1): profile
+    arithmetic, decision flip between corpus shapes, audit-row
+    agreement, and both routed branches on the same corpus — the
+    choose_agg_salting flip-test discipline applied to the family
+    decision."""
+    from imdbmapreduce_spark.operators.dedup import (
+        _JAC_DF_CEIL,
+        _neardup_routed,
+        _prefix_postings,
+        neardup_family_audit,
+        neardup_pairs_routed,
+    )
+    from imdbmapreduce_spark.stats import (
+        NEARDUP_OVER_PPM_MAX,
+        DfProfile,
+        choose_neardup_family,
+        df_profile,
+    )
+
+    # profile arithmetic on synthetic posting frames: a rare-tail shape
+    # (3% of postings over the ceiling) routes bounded; a saturated one
+    # (every posting's df over the ceiling) routes band.
+    rare = spark.createDataFrame([(d,) for d in [1] * 97 + [100] * 3], "df long")
+    p = df_profile(rare, 64)
+    assert (p.n_prefix_postings, p.over_ceiling, p.median_df) == (100, 3, 1)
+    assert p.over_ppm == 30_000
+    assert choose_neardup_family(p) == "bounded_prefix"
+    sat = spark.createDataFrame([(90,)] * 50, "df long")
+    ps = df_profile(sat, 64)
+    assert (ps.over_ppm, ps.median_df) == (1_000_000, 90)
+    assert choose_neardup_family(ps) == "band"
+    # threshold boundary is inclusive on the bounded side
+    at = DfProfile(1_000_000, NEARDUP_OVER_PPM_MAX, 1, 64)
+    over = DfProfile(1_000_000, NEARDUP_OVER_PPM_MAX + 1, 1, 64)
+    assert choose_neardup_family(at) == "bounded_prefix"
+    assert choose_neardup_family(over) == "band"
+
+    # the driver corpus is rare-tail: the router and the oracle-checked
+    # audit row must agree on every number and on the decision.
+    prof = df_profile(_prefix_postings(spark, sf_dir), _JAC_DF_CEIL)
+    assert choose_neardup_family(prof) == "bounded_prefix"
+    audit = neardup_family_audit(spark, sf_dir).first()
+    assert audit.family == "bounded_prefix"
+    assert audit.n_prefix_postings == prof.n_prefix_postings
+    assert audit.over_ceiling == prof.over_ceiling
+    assert audit.over_ppm == prof.over_ppm
+    assert audit.median_df == prof.median_df
+
+    # the registered query took the bounded branch; its pair set equals
+    # the forced bounded branch, and the forced band branch finds the
+    # same pairs on this corpus (both families are complete at fixture
+    # scale — the routing difference is cost/recall at sf1, measured in
+    # SCALE.md, not fixture-visible truth).
+    key = lambda df: {(r.doc_a, r.doc_b) for r in df.collect()}
+    routed = key(neardup_pairs_routed(spark, sf_dir))
+    bounded = key(_neardup_routed(spark, sf_dir, "bounded_prefix"))
+    band = key(_neardup_routed(spark, sf_dir, "band"))
+    assert routed == bounded
+    assert band == bounded
+    assert routed, "test premise: the fixture corpus has near-dup pairs"
+
+    # plan-shape pin: the band branch consumes the minhash signature
+    # table (mh0 columns); the bounded branch never touches it.
+    band_plan = _neardup_routed(spark, sf_dir, "band")._jdf.queryExecution().executedPlan().toString()
+    bounded_plan = _neardup_routed(spark, sf_dir, "bounded_prefix")._jdf.queryExecution().executedPlan().toString()
+    assert "mh0" in band_plan
+    assert "mh0" not in bounded_plan
+
+
+def test_multipass_blocking_finds_first_char_typo(spark):
+    """r10 verdict task 5's planted-typo pin: a first-character typo is
+    UNREACHABLE by prefix blocking alone (the typo moves the record to
+    another block by construction — Hernandez & Stolfo's multi-pass
+    motivation) and must be found by the reversed-name pass; and a
+    chain alternating passes (pass-1 edge, then pass-2 edge) must
+    close into ONE entity through the star merge."""
+    from pyspark.sql import Row
+
+    from imdbmapreduce_spark.operators.dedup import (
+        _blocked_fuzzy_pairs,
+        _entity_components,
+        _link_postings,
+    )
+
+    cust = spark.createDataFrame(
+        [
+            Row(c_custkey=1, c_name="Customer#000000042"),
+            Row(c_custkey=2, c_name="Xustomer#000000042"),  # first-char typo of 1
+            Row(c_custkey=3, c_name="Customer#000000043"),  # last-char variant of 1
+            Row(c_custkey=5, c_name="Xustomer#000000043"),  # last-char variant of 2,
+            # first-char typo of 3 — chains the two pass families together
+            Row(c_custkey=9, c_name="Zupplier#999999999"),  # matches nothing
+        ]
+    )
+    postings = _link_postings(cust)
+    pairs = (
+        _blocked_fuzzy_pairs(postings, postings)
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .collect()
+    )
+    by_pass = {
+        p: {(r.custkey_a, r.custkey_b) for r in pairs if r["pass"] == p}
+        for p in (1, 2)
+    }
+    # the planted typo pair (1,2): pass 2 ONLY
+    assert (1, 2) in by_pass[2]
+    assert (1, 2) not in by_pass[1]
+    # the suffix variant (1,3): pass 1 ONLY (reversed blocks differ)
+    assert (1, 3) in by_pass[1]
+    assert (1, 3) not in by_pass[2]
+    # full pair inventory: 1-2 (p2), 1-3 (p1), 2-5 (p1), 3-5 (p2)
+    assert by_pass[1] == {(1, 3), (2, 5)}
+    assert by_pass[2] == {(1, 2), (3, 5)}
+
+    # the alternating chain 3 -p1- 1 -p2- 2 -p1- 5 closes into one
+    # entity with the min key as id — the cross-pass star merge at work
+    pair_df = spark.createDataFrame(pairs)
+    assign = {r.node: r.cluster_id for r in _entity_components(pair_df).collect()}
+    assert assign == {1: 1, 2: 1, 3: 1, 5: 1}

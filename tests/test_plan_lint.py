@@ -55,6 +55,9 @@ _BNLJ_ALLOWED = {
     # scalar-threshold pattern; r7 — N entered the plan lazily instead
     # of an eager driver .count())
     "events_cms_audit",
+    # 1-row (n, over_c) totals broadcast into the sqrt-bounded df
+    # histogram for the lower-median scan (the q11 pattern)
+    "neardup_family_audit",
 }
 
 
