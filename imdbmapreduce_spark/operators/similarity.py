@@ -2109,10 +2109,13 @@ def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _snm_emb_oracle() -> str:
+def _snm_emb_oracle(theta: float = _SNM_EMB_THETA) -> str:
     """Generate the P-pass oracle (one rank CTE + one window-join UNION
     branch per JL sort key — P is _SNM_EMB_PASSES, so the SQL stays in
-    lockstep with the Spark loop when the pass count is tuned)."""
+    lockstep with the Spark loop when the pass count is tuned).
+    ``theta`` parameterizes the final verify threshold: the family
+    query verifies at its own _SNM_EMB_THETA; the routed consumer
+    (:func:`embedding_neardup_routed`) at the corpus _NEARDUP_THETA."""
     rank_ctes = ", ".join(
         f"""r{k} AS (
       SELECT vec_id, ROW_NUMBER() OVER (ORDER BY key, vec_id) AS rk
@@ -2160,7 +2163,7 @@ def _snm_emb_oracle() -> str:
     JOIN norms nb ON nb.vec_id = d.b_id
     WHERE CAST(d.dot AS DOUBLE)
           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-          >= {_SNM_EMB_THETA}
+          >= {theta}
     """
 
 
@@ -2261,3 +2264,49 @@ snm_embedding_pairs.__doc__ = (
     .replace("{_SNM_EMB_W}", str(_SNM_EMB_W))
     .replace("{_SNM_EMB_PASSES}", str(_SNM_EMB_PASSES))
 )
+
+
+def _embedding_neardup_by_family(
+    spark: SparkSession, sf_dir: str, family: str
+) -> DataFrame:
+    """The dispatch behind :func:`embedding_neardup_routed`, factored
+    over the decision so the flip test can force each branch. Both
+    branches answer the SAME question — embedding near-dup pairs at the
+    corpus threshold _NEARDUP_THETA with the bit-exact quantized cosine
+    — differing only in candidate generation (sorted-projection windows
+    vs IVF cells)."""
+    if family == "snm":
+        return snm_embedding_pairs(spark, sf_dir).filter(
+            F.col("cosine") >= _NEARDUP_THETA
+        )
+    return neardup_embedding_cells(spark, sf_dir)
+
+
+@query("embedding_neardup_routed", oracle=_snm_emb_oracle(theta=_NEARDUP_THETA))
+def embedding_neardup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the candidate FAMILY CHOSEN BY
+    CORPUS SIZE (r10 verdict task 6 — the routing note turned into
+    code, the vector twin of ``neardup_pairs_routed``): up to
+    EMB_SNM_MAX_VECTORS the codebook-free sorted-projection SNM windows
+    generate candidates (measured blocking recall 0.786 at n=500);
+    past the boundary the family's fixed window decays (0.153 at
+    n=2000, SCALE.md round-10 sweep) and the adaptive-cell SemDeDup
+    layout — whose sqrt(n) cell count keeps same-cell recall
+    scale-stable — takes over. Both branches verify with the bit-exact
+    quantized cosine at the corpus _NEARDUP_THETA, so routing changes
+    candidate coverage only, never the truth of an emitted pair.
+
+    The one-number size stat costs one count() (ANALYZE-sized); the
+    decision is made BEFORE any candidate join runs. The driver's
+    correctness corpora sit under the boundary (500 vectors at
+    sf0.001/0.01), so the oracle replays the SNM branch at the routed
+    threshold; the cells branch is codebook-based (not SQL-portable —
+    same rows-only rationale as ``neardup_embedding_cells``) and is
+    pinned by the forced-branch flip test in tests/test_similarity.py.
+    """
+    from imdbmapreduce_spark.stats import choose_embedding_neardup_family
+
+    n = table(spark, sf_dir, "embeddings").count()
+    return _embedding_neardup_by_family(
+        spark, sf_dir, choose_embedding_neardup_family(n)
+    )

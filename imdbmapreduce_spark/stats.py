@@ -256,6 +256,29 @@ def choose_neardup_family(
     return "bounded_prefix" if profile.over_ppm <= over_ppm_max else "band"
 
 
+# Embedding-SNM corpus-size boundary (r10 verdict task 6): the family's
+# fixed (passes, window) blocking recall DECAYS with corpus size on
+# tail-distribution vectors — measured 0.786 at n=500 (sf0.01) falling
+# to 0.153 at n=2000 (sf0.1) against the exact theta=0.45 truth
+# (SCALE.md round-10 sweep) — because a true pair's rank gap grows with
+# n while the window stays fixed. Past ~1k vectors the adaptive-cell
+# SemDeDup layout is the right tool (its sqrt(n) cell count keeps
+# same-cell recall scale-stable). 1024 sits between the two measured
+# regimes.
+EMB_SNM_MAX_VECTORS = 1024
+
+
+def choose_embedding_neardup_family(n_vectors: int) -> str:
+    """Route embedding near-dup candidate generation by corpus size
+    (the measured boundary above): ``"snm"`` — codebook-free sorted-
+    projection windows — up to EMB_SNM_MAX_VECTORS, ``"cells"`` — the
+    IVF-cell SemDeDup layout — past it. The one-number twin of
+    :func:`choose_neardup_family`; consumed by
+    ``similarity.embedding_neardup_routed``, flip pinned in
+    tests/test_similarity.py."""
+    return "snm" if n_vectors <= EMB_SNM_MAX_VECTORS else "cells"
+
+
 def choose_agg_salting(
     stats: KeyStats, shuffle_partitions: int, factor: int = 2
 ) -> tuple[str, list[str]]:

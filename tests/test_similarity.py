@@ -770,3 +770,40 @@ def test_snm_embedding_pairs_are_exact_and_window_bounded(spark, sf_dir):
         per_vec[r.a_id] += 1
         per_vec[r.b_id] += 1
     assert max(per_vec.values()) <= 2 * _SNM_EMB_PASSES * _SNM_EMB_W
+
+
+def test_embedding_neardup_routing_flips_at_the_measured_boundary(spark, sf_dir):
+    """r10 verdict task 6: the embedding near-dup family is chosen by
+    corpus size in CODE — SNM windows under the measured decay boundary
+    (recall 0.786 at n=500), SemDeDup cells past it (SNM recall 0.153
+    at n=2000). Pins the gate arithmetic, the boundary inclusivity,
+    that the registered query took the SNM branch on the fixture
+    corpus, and that the forced cells branch emits the cells family's
+    exact pair set."""
+    from imdbmapreduce_spark.operators.similarity import (
+        _NEARDUP_THETA,
+        _embedding_neardup_by_family,
+        embedding_neardup_routed,
+        neardup_embedding_cells,
+        snm_embedding_pairs,
+    )
+    from imdbmapreduce_spark.stats import (
+        EMB_SNM_MAX_VECTORS,
+        choose_embedding_neardup_family,
+    )
+
+    assert choose_embedding_neardup_family(500) == "snm"
+    assert choose_embedding_neardup_family(2000) == "cells"
+    assert choose_embedding_neardup_family(EMB_SNM_MAX_VECTORS) == "snm"
+    assert choose_embedding_neardup_family(EMB_SNM_MAX_VECTORS + 1) == "cells"
+
+    key = lambda df: {(r.a_id, r.b_id, round(r.cosine, 12)) for r in df.collect()}
+    routed = key(embedding_neardup_routed(spark, sf_dir))
+    snm = key(
+        snm_embedding_pairs(spark, sf_dir).filter(F.col("cosine") >= _NEARDUP_THETA)
+    )
+    assert routed == snm  # fixture corpus (500 vectors) routes SNM
+    cells = key(_embedding_neardup_by_family(spark, sf_dir, "cells"))
+    assert cells == key(neardup_embedding_cells(spark, sf_dir))
+    # both branches' pairs are true pairs at the SAME corpus threshold
+    assert all(c >= _NEARDUP_THETA for _, _, c in routed | cells)
