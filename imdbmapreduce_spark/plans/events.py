@@ -1569,23 +1569,28 @@ def salted_join(
     """,
 )
 def events_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Profile-driven salted join — the consumer that closes the loop on
-    :func:`events_key_skew_profile`: the profiler MEASURES the skew,
-    this query ACTS on it. Enriches every event with its type's average
+    """Stats-driven skew join — the JOIN consumer of the CBO loop
+    (round 11, r10 verdict task 8; ``events_salted_type_stats`` is the
+    aggregation twin): enriches every event with its type's average
     value (the fact ⨝ per-key-dim shape), but the join key is
     event_type — 5 distinct values, so a plain shuffle join lands 100%
     of a 100 TB fact table on ≤5 reducer tasks no matter how many
     executors exist.
 
-    The hot-key list is read from the same per-key counts the profiler
-    reports: a key is hot when its row count exceeds 2× the per-task
-    target (n_rows / shuffle partitions) — the exact condition under
-    which one task becomes the straggler. Hot keys route through
-    :func:`salted_join` (key spread over {salt} salt buckets); the
-    remainder joins plain. The ORACLE is the unsalted join — hash
-    equality proves the rewrite is lossless. tests/test_events_extra.py
-    pins the distribution claim: after salting, the hottest (key, salt)
-    group carries ~1/{salt} of the hottest key's rows.
+    The physical shape is picked by :func:`imdbmapreduce_spark.stats.
+    choose_join_strategy` from both sides' ANALYZE statistics (rows,
+    NDV, MCV) — broadcast when the dim fits the budget, salted
+    (:func:`salted_join`, {salt} buckets) when some key's ESTIMATED
+    join output exceeds 2× a reducer's fair share, plain shuffle
+    otherwise. This query models the dim-too-big-to-broadcast scenario
+    (broadcast budget 0 — at 100 TB a 100M-row dim is not
+    broadcastable), under which the events type key decides ``salted``
+    with all hot types listed; a uniform high-cardinality key decides
+    ``shuffle`` and a within-budget dim decides ``broadcast`` — all
+    three pinned by tests/test_events_extra.py, the salt column in/out
+    of the executed plan on each side of the flip. The ORACLE is the
+    plain unsalted join — hash equality proves every routed shape is a
+    lossless rewrite.
     """
     ev = table(spark, sf_dir, "events")
     vc = F.round(F.col("value") * 100).cast("long")
@@ -1593,15 +1598,8 @@ def events_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = fact.groupBy("event_type").agg(
         F.expr("sum(cents) div count(1)").cast("long").alias("type_avg_cents")
     )
-    # driver-side profile read: per-key counts (the profiler's `u`/`t`
-    # tables), hot = would overflow one reducer's fair share
-    counts = fact.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
-    n_rows = sum(r.c for r in counts)
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    target = max(n_rows // width, 1)
-    hot_keys = [r.event_type for r in counts if r.c > 2 * target]
-    joined = salted_join(
-        fact, dim, "event_type", hot_keys, _SKEW_JOIN_SALT, "event_id"
+    joined = _stats_driven_fact_dim_join(
+        spark, fact, dim, "event_type", "event_id", broadcast_threshold_rows=0
     )
     return joined.select(
         "event_id",
@@ -1610,6 +1608,37 @@ def events_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_avg_cents",
         (F.col("cents") - F.col("type_avg_cents")).alias("delta_cents"),
     )
+
+
+def _stats_driven_fact_dim_join(
+    spark: SparkSession,
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_col: str,
+    broadcast_threshold_rows: int,
+) -> DataFrame:
+    """The stats-driven join dispatch behind
+    :func:`events_skewed_join_salted`, factored over (frames, key) so
+    the flip test can run the identical planner path on uniform /
+    skewed / broadcastable fixtures and watch all three decisions.
+    ``key_stats`` runs the ANALYZE pass on both sides (K+1 driver rows
+    each — the artifact a warehouse maintains per table); the decision
+    is O(K) driver arithmetic, made BEFORE any join materializes."""
+    from imdbmapreduce_spark.stats import choose_join_strategy, key_stats
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    decision, hot = choose_join_strategy(
+        key_stats(fact, key),
+        key_stats(dim, key),
+        width,
+        broadcast_threshold_rows=broadcast_threshold_rows,
+    )
+    if decision == "broadcast":
+        return fact.join(F.broadcast(dim), key)
+    if decision == "salted":
+        return salted_join(fact, dim, key, hot, _SKEW_JOIN_SALT, salt_col)
+    return fact.join(dim.hint("shuffle_hash"), key)
 
 
 events_skewed_join_salted.__doc__ = events_skewed_join_salted.__doc__.replace(

@@ -555,3 +555,67 @@ def test_agg_salting_decision_flips_with_key_statistics(spark, sf_dir):
         .collect()
     }
     assert {tuple(r) for r in plan_type.collect()} == plain_type
+
+
+def test_join_strategy_decision_flips_with_key_statistics(spark):
+    """The stats-driven JOIN plan (r10 verdict task 8 — the CBO loop now
+    drives a standing join beside the standing aggregation): the same
+    planner path must pick all three shapes from statistics alone —
+    salted on a skewed key (dim over budget), plain shuffle on a
+    uniform key (dim over budget), broadcast when the dim fits —
+    pinned by decision, executed-plan shape, and value equality of
+    every shape against the plain join."""
+    from imdbmapreduce_spark.plans.events import _stats_driven_fact_dim_join
+    from imdbmapreduce_spark.stats import choose_join_strategy, key_stats
+
+    def plan_str(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # skewed: one key owns 90% of rows; dim "too big to broadcast"
+    skew = spark.createDataFrame(
+        [(("hot" if i % 10 else f"cold{i:03d}"), i) for i in range(500)],
+        "k string, v long",
+    )
+    sdim = skew.groupBy("k").count().withColumnRenamed("count", "dim_n")
+    dec_skew, hot = choose_join_strategy(
+        key_stats(skew, "k"), key_stats(sdim, "k"), 32, broadcast_threshold_rows=0
+    )
+    assert (dec_skew, hot) == ("salted", ["hot"])
+
+    # uniform: 200 keys x 5 rows never exceed 2x fair share at width 32
+    uni = spark.createDataFrame(
+        [(f"k{i % 200:03d}", i) for i in range(1000)], "k string, v long"
+    )
+    udim = uni.groupBy("k").count().withColumnRenamed("count", "dim_n")
+    dec_uni, hot_uni = choose_join_strategy(
+        key_stats(uni, "k"), key_stats(udim, "k"), 32, broadcast_threshold_rows=0
+    )
+    assert (dec_uni, hot_uni) == ("shuffle", [])
+
+    # broadcast: same skewed frames, dim within the row budget
+    dec_bc, _ = choose_join_strategy(
+        key_stats(skew, "k"), key_stats(sdim, "k"), 32,
+        broadcast_threshold_rows=1_000_000,
+    )
+    assert dec_bc == "broadcast"
+
+    # the dispatcher's executed plans carry the decision's signature...
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        j_salted = _stats_driven_fact_dim_join(spark, skew, sdim, "k", "v", 0)
+        j_shuffle = _stats_driven_fact_dim_join(spark, uni, udim, "k", "v", 0)
+        j_bc = _stats_driven_fact_dim_join(spark, skew, sdim, "k", "v", 1_000_000)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    assert "_salt" in plan_str(j_salted)
+    assert "_salt" not in plan_str(j_shuffle)
+    assert "BroadcastHashJoin" in plan_str(j_bc)
+    assert "_salt" not in plan_str(j_bc)
+
+    # ...and every shape is a lossless rewrite of the plain join
+    want = sorted((r.k, r.v, r.dim_n) for r in skew.join(sdim, "k").collect())
+    assert sorted((r.k, r.v, r.dim_n) for r in j_salted.collect()) == want
+    assert sorted((r.k, r.v, r.dim_n) for r in j_bc.collect()) == want
+    want_u = sorted((r.k, r.v, r.dim_n) for r in uni.join(udim, "k").collect())
+    assert sorted((r.k, r.v, r.dim_n) for r in j_shuffle.collect()) == want_u
