@@ -3644,8 +3644,25 @@ def _entity_components(pairs: DataFrame) -> DataFrame:
     so components of the star graph equal components of the unioned
     match edges — the iterative closure runs over |matched nodes| star
     edges instead of the full candidate pair set. Returns
-    (node, cluster_id = min reachable key) for every matched node."""
-    local = _block_local_components(pairs, keys=("pass", "blk"))
+    (node, cluster_id = min reachable key) for every matched node.
+
+    FAST PATH (the common clean-corpus case, measured +2.1 s at sf0.1
+    without it): when NO node carries two distinct pass-local labels,
+    the local assignments are already transitively closed — every star
+    component is exactly one label group — so they ARE the components
+    and the iterative loop is skipped. The guard is one aggregation
+    over the (node, cluster_id) pairs; any conflicting node (the
+    planted-typo chain case) falls through to the general closure."""
+    local = stable_checkpoint(_block_local_components(pairs, keys=("pass", "blk")))
+    conflicts = (
+        local.groupBy("node")
+        .agg(F.count_distinct("cluster_id").alias("nlab"))
+        .filter(F.col("nlab") > 1)
+        .limit(1)
+        .count()
+    )
+    if conflicts == 0:
+        return local
     star = local.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("src"), F.col("cluster_id").alias("dst")
     )
