@@ -30,6 +30,8 @@ __all__ = [
     "write_partitioned",
     "overwrite_partitions",
     "write_with_metrics",
+    "write_bucketed_table",
+    "bucketed_colocated_join",
 ]
 
 _BITS = 16  # per-dimension resolution; 2 dims × 16 bits = 32-bit key
@@ -532,3 +534,136 @@ def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_small, F.lit("compact")).otherwise(F.lit("keep")).alias("action"),
         F.when(is_small, F.floor(off / _CMP_TARGET)).alias("target_file"),
     )
+
+
+# --- bucketed tables: co-located joins without the exchange ----------------
+
+_N_BUCKETS = 16
+# bump when the bucketed tables' schema/derivation changes: the tag keys
+# the warehouse table names, so stale layouts are never silently reused
+_BUCKET_SCHEMA_V = 1
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, key: str, n_buckets: int = _N_BUCKETS
+) -> None:
+    """Persist ``df`` as a warehouse table BUCKETED and SORTED on
+    ``key``: rows are hash-partitioned into ``n_buckets`` files per
+    write task and each file is sorted on the key, and the layout is
+    recorded in the catalog. Every later equi-join between two tables
+    bucketed on their join keys with the same bucket count — and every
+    aggregation on the bucket key — then runs with ZERO exchanges: the
+    scan itself satisfies the hash-partitioning requirement, and the
+    per-file sort satisfies sort-merge join's ordering. This is the
+    amortize-the-shuffle primitive for fact tables joined on the same
+    key query after query (the r10-scale complement to partitionBy's
+    directory pruning: partitioning prunes READS, bucketing removes
+    SHUFFLES)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotent per-(session, corpus) setup of the bucketed
+    orders/customer pair — the one-time layout cost a warehouse pays at
+    ingest so every later custkey join is exchange-free. Table names
+    carry a corpus+schema tag; the in-memory catalog scopes them to the
+    session, so a fresh session rebuilds (the same once-per-session
+    contract as the index artifacts)."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = hashlib.md5(f"{sf_dir}|v{_BUCKET_SCHEMA_V}".encode()).hexdigest()[:8]
+    bo, bc = f"b_orders_{tag}", f"b_customer_{tag}"
+
+    def clear_orphan(name: str) -> None:
+        # the default catalog is in-memory: a table written by a PREVIOUS
+        # session is forgotten by the catalog but its managed location
+        # survives, and CREATE refuses the occupied path
+        # (LOCATION_ALREADY_EXISTS). An unknown-to-the-catalog location
+        # is an orphan by definition — remove it before writing.
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if wh:
+            shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+
+    if not spark.catalog.tableExists(bo):
+        clear_orphan(bo)
+        write_bucketed_table(
+            table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                "o_orderkey",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            ),
+            bo,
+            "o_custkey",
+        )
+    if not spark.catalog.tableExists(bc):
+        clear_orphan(bc)
+        write_bucketed_table(
+            table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+            bc,
+            "c_custkey",
+        )
+    return bo, bc
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order stats off the BUCKETED table pair — the
+    co-located join the brief names as a first-class 100 TB lever:
+    both sides were written bucketed+sorted on the join key
+    (:func:`write_bucketed_table`, {n} buckets), so the sort-merge
+    join needs NO exchange and NO sort on either side, and the
+    downstream per-customer aggregation reuses the same bucketing —
+    the whole plan runs without a single shuffle
+    (tests/test_layout.py pins zero Exchange nodes, against >= 2 for
+    the identical plain-parquet join).
+
+    Why this matters at scale: a 100 TB fact table joined on the same
+    key in every report pays its shuffle ONCE, at write time; the
+    merge hint makes the demonstration explicit (Spark would otherwise
+    broadcast the small test dim and hide the exchange question
+    entirely — on the real cluster the dim side is a 100M-row customer
+    table no one broadcasts). The oracle is the plain join over the
+    raw parquet, so hash equality also proves the bucketed layout
+    lost/duplicated nothing.
+
+    Reference analog: the reference ships every partition to a fixed
+    worker and queries it in place
+    (/root/reference/Code/mapReduce.erl:24-46) — bucketing is that
+    placement idea done declaratively, with the catalog carrying the
+    layout contract instead of process state.
+    """
+    bo, bc = _bucketed_pair(spark, sf_dir)
+    o, c = spark.table(bo), spark.table(bc)
+    j = c.join(o.hint("merge"), c.c_custkey == o.o_custkey)
+    return (
+        j.groupBy(
+            F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+bucketed_colocated_join.__doc__ = bucketed_colocated_join.__doc__.replace(
+    "{n}", str(_N_BUCKETS)
+)

@@ -298,3 +298,35 @@ def test_file_compaction_plan_invariants(spark, sf_dir):
             off = sum(fill.values())
             assert r.target_file == off // _CMP_TARGET
             fill[r.file_id] = r.bytes
+
+
+def test_bucketed_join_runs_with_zero_exchanges(spark, sf_dir):
+    """The co-located join contract: both sides bucketed+sorted on the
+    join key ⇒ the sort-merge join AND the downstream per-key
+    aggregation run with ZERO Exchange nodes, while the identical
+    plain-parquet join (same merge hint) shuffles both sides. Value
+    equality against the plain join proves the bucketed layout
+    lost/duplicated nothing."""
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+
+    df = registry.get("bucketed_colocated_join").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = (
+        c.join(o.hint("merge"), c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("sum_cents"))
+    )
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert plain_plan.count("Exchange") >= 2  # both join sides shuffle
+
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
