@@ -219,7 +219,15 @@ def df_profile(prefix_postings: DataFrame, ceiling: int) -> DfProfile:
     1,2,...,m alone sum to m(m+1)/2 <= postings), so driver traffic
     stays ANALYZE-sized at any corpus scale. Median is the LOWER median
     (the df at sorted position (n+1)//2), the same integer the audit
-    oracle computes with row_number."""
+    oracle computes with row_number.
+
+    Extreme-scale note: at 10^12 postings the sqrt bound is ~1.4M driver
+    rows — still collectible, but the DECISION needs only the
+    over-ceiling share, so a deployment can clamp the groupBy key to
+    ``least(df, ceiling + 1)`` and bound the histogram at ``ceiling + 1``
+    rows; only the reported median coarsens (to "over ceiling") on
+    saturated corpora. Kept exact here so the audit oracle can pin the
+    true median."""
     hist = (
         prefix_postings.groupBy(F.col("df").cast("long").alias("df"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
