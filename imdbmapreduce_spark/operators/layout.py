@@ -667,3 +667,84 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 bucketed_colocated_join.__doc__ = bucketed_colocated_join.__doc__.replace(
     "{n}", str(_N_BUCKETS)
 )
+
+
+def _bucketed_fact_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The FACT-FACT bucketed pair (lineitem + orders on the order
+    key) — same once-per-(session, corpus) contract as
+    :func:`_bucketed_pair`."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = hashlib.md5(f"{sf_dir}|v{_BUCKET_SCHEMA_V}".encode()).hexdigest()[:8]
+    bl, bo = f"b_lineitem_{tag}", f"b_orders_ok_{tag}"
+
+    def clear_orphan(name: str) -> None:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if wh:
+            shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+
+    if not spark.catalog.tableExists(bl):
+        clear_orphan(bl)
+        write_bucketed_table(
+            table(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("line_cents"),
+            ),
+            bl,
+            "l_orderkey",
+        )
+    if not spark.catalog.tableExists(bo):
+        clear_orphan(bo)
+        write_bucketed_table(
+            table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("order_cents"),
+            ),
+            bo,
+            "o_orderkey",
+        )
+    return bl, bo
+
+
+@query(
+    "bucketed_fact_fact_join",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           CAST(round(o.o_totalprice*100) AS BIGINT) AS order_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             AS line_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def bucketed_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FACT-FACT co-located join — the case where bucketing is
+    irreplaceable at 100 TB: lineitem ⨝ orders on the order key, with
+    BOTH sides far too big to broadcast, so without the bucketed
+    layout every run shuffles the two largest tables in the warehouse.
+    Written bucketed+sorted once (:func:`write_bucketed_table`), the
+    sort-merge join and the per-order aggregation both run with ZERO
+    Exchange nodes (pinned in tests/test_layout.py beside the
+    dim-join's pin).
+
+    This is TPC-H's hottest join edge (q3/q4/q12/q18 all traverse it);
+    the bucketed layout converts its per-query shuffle — the single
+    largest recurring data movement in the schema — into a one-time
+    write-side cost, which is exactly how production warehouses lay
+    out their order/line tables. Oracle = the plain join over raw
+    parquet (hash equality: the layout lost nothing).
+    """
+    bl, bo = _bucketed_fact_pair(spark, sf_dir)
+    l, o = spark.table(bl), spark.table(bo)
+    j = o.join(l.hint("merge"), o.o_orderkey == l.l_orderkey)
+    return (
+        j.groupBy(F.col("o_orderkey").alias("orderkey"), "order_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("line_cents").alias("line_cents"),
+        )
+        .select("orderkey", "order_cents", "n_lines", "line_cents")
+    )

@@ -330,3 +330,15 @@ def test_bucketed_join_runs_with_zero_exchanges(spark, sf_dir):
     assert plain_plan.count("Exchange") >= 2  # both join sides shuffle
 
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_fact_fact_join_zero_exchanges(spark, sf_dir):
+    """The fact-fact pair (lineitem ⨝ orders): zero Exchange nodes with
+    the bucketed layout — the case where neither side broadcasts and
+    the plain plan must shuffle the two largest tables."""
+    from imdbmapreduce_spark import registry
+
+    df = registry.get("bucketed_fact_fact_join").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
