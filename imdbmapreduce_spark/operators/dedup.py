@@ -549,7 +549,11 @@ def _is_shard(col: str):
 
 
 def shard_neardup_lookup(
-    spark: SparkSession, sf_dir: str, shard_docs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    shard_docs: DataFrame,
+    tau_num: int | None = None,
+    tau_den: int | None = None,
 ) -> DataFrame:
     """The production ingest loop's core: check ARRIVING documents
     against the EXISTING MinHash index without recomputing the corpus
@@ -620,6 +624,16 @@ def shard_neardup_lookup(
     )
     inter = F.size(F.array_intersect("sh_new", "sh_base"))
     union = F.size("sh_new") + F.size("sh_base") - inter
+    # Gate: the historical family threshold (jaccard >= 0.5, matched to
+    # the 16x4 band s-curve) unless the caller passes an integer tau —
+    # the routed ingest gate verifies at the prefix families' 3/5 with
+    # the exact cross-multiplication, so no float decides membership.
+    if tau_num is None:
+        gate = F.col("jaccard") >= 0.5
+    else:
+        gate = (tau_num + tau_den) * inter >= tau_num * (
+            F.size("sh_new") + F.size("sh_base")
+        )
     return (
         cand.join(
             shard_sets.select(
@@ -634,7 +648,7 @@ def shard_neardup_lookup(
             "matched_doc",
         )
         .withColumn("jaccard", inter.cast("double") / union)
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(gate)
         .select("new_doc", "matched_doc", "jaccard")
     )
 
@@ -1150,28 +1164,43 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
     # per-round shuffle from |nodes| to |edge endpoints|; the singleton
     # majority rejoins via one anti-join at the end, outside the loop.
     active = sym.select("node").distinct()
+    # The label frame is |active| slim rows. When that fits a broadcast
+    # (the common case even on giant-component graphs — labels are one
+    # row per matched node, never per edge), hinting it onto every
+    # loop join removes ALL per-round shuffles of the edge list: the
+    # r12 ER graph (15k nodes / 262k edges, one giant component) ran
+    # the closure 11.4 s -> ~3 s warm with the hint, and a graph too
+    # big to broadcast simply falls back to the shuffle joins below.
+    # The one extra count here is over the checkpointed sym — cheap —
+    # and is exactly the statistic a CBO would read off the edge list.
+    bcast = active.count() <= 2_000_000
+    hint = F.broadcast if bcast else (lambda df: df)
     comp = active.select("node", F.col("node").alias("comp")).transform(stable_checkpoint)
     result = None
     for _ in range(max_iters):
         nbr_min = (
-            sym.join(comp.withColumnRenamed("node", "nbr"), "nbr")
+            sym.join(hint(comp.withColumnRenamed("node", "nbr")), "nbr")
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
         lowered = (
-            comp.join(nbr_min, "node", "left")
+            comp.join(hint(nbr_min), "node", "left")
             .select("node", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
         )
         jumped = (
             lowered.join(
-                lowered.select(F.col("node").alias("comp"), F.col("comp").alias("comp2")),
+                hint(
+                    lowered.select(
+                        F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                    )
+                ),
                 "comp",
             )
             .select("node", F.col("comp2").alias("comp"))
             .transform(stable_checkpoint)
         )
         changed = (
-            jumped.join(comp.withColumnRenamed("comp", "prev"), "node")
+            jumped.join(hint(comp.withColumnRenamed("comp", "prev")), "node")
             .filter(F.col("comp") != F.col("prev"))
             .limit(1)
             .count()
@@ -1843,10 +1872,13 @@ def neardup_pairs_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 0 ppm, measured at sf0.001/0.01/0.1), so the oracle replays the
     bounded-prefix branch; the band branch is pinned by the flip test
     (tests/test_dedup.py) which forces both branches on fixture shapes
-    and checks the decision flips on a saturated frame. When routed to
-    "band" on a real saturated corpus the result is the band family's
-    bounded-recall answer (recall 0.98-1.00 measured vs exact truth on
-    both corpus shapes, where bounded-prefix recall is 0.068).
+    and checks the decision flips on a saturated frame. A corpus whose
+    statistics route to "band" fails LOUDLY with the profile numbers
+    (``stats.assert_routed_family`` — ADVICE r11: a route flip must be
+    a diagnosable contract error, never a bare hash mismatch against
+    the one registered oracle); the band family stays runnable on such
+    corpora through the forced-branch helper and its own registered
+    gates.
 
     Scale: the profile costs one histogram agg per session; both
     branches are the already-measured sub-quadratic plans (SCALE.md
@@ -1854,12 +1886,190 @@ def neardup_pairs_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     join runs — pick the shape from statistics, not by materializing
     the blowup first.
     """
-    from imdbmapreduce_spark.stats import choose_neardup_family, df_profile
-
-    family = choose_neardup_family(
-        df_profile(_prefix_postings(spark, sf_dir), _JAC_DF_CEIL)
+    from imdbmapreduce_spark.stats import (
+        assert_routed_family,
+        choose_neardup_family,
+        df_profile,
     )
+
+    profile = df_profile(_prefix_postings(spark, sf_dir), _JAC_DF_CEIL)
+    family = choose_neardup_family(profile)
+    assert_routed_family("neardup_pairs_routed", family, "bounded_prefix", profile)
     return _neardup_routed(spark, sf_dir, family)
+
+
+# --- routed ARRIVAL gate (r11 verdict task 3) -------------------------------
+
+
+def _jaccard_ingest_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-prefix Jaccard ARRIVAL gate plan: candidates =
+    arriving-shard prefix postings x base prefix postings, both under
+    the df-ceiling, with the same PPJoin length/positional tightening
+    and exact full-set verify as :func:`_jaccard_join` (the theorems
+    are side-split-agnostic: the first surviving common shingle of a
+    qualifying pair lies in BOTH prefixes whichever side each document
+    is on). df/ranks come from the shared full-corpus ranked artifact —
+    the index-snapshot convention every arrival gate here follows.
+    Fresh candidate work is proportional to the SHARD's surviving
+    prefix postings; output is (new_doc, matched_doc, jaccard) at the
+    prefix families' tau."""
+    ex = _shingle_rows_cached(spark, sf_dir)
+    pref = _prefix_postings(spark, sf_dir).filter(F.col("df") <= _JAC_DF_CEIL)
+    pref = stable_checkpoint(pref.select("doc_id", "shingle", "n_sh", "rn"))
+    a = pref.filter(_is_shard("doc_id")).alias("a")
+    b = pref.filter(~_is_shard("doc_id")).alias("b")
+    _min_n = F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+    _max_n = F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    _ub = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (_PFX_TAU_DEN * _min_n >= _PFX_TAU_NUM * _max_n)
+            & (
+                (_PFX_TAU_NUM + _PFX_TAU_DEN) * _ub
+                >= _PFX_TAU_NUM * (F.col("a.n_sh") + F.col("b.n_sh"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("matched_doc"),
+        )
+        .distinct()
+    )
+    common = (
+        ex.select(F.col("doc_id").alias("new_doc"), "shingle")
+        .join(cand, "new_doc")
+        .join(
+            ex.select(F.col("doc_id").alias("matched_doc"), "shingle"),
+            ["matched_doc", "shingle"],
+        )
+        .groupBy("new_doc", "matched_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("n_a")),
+            "new_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("matched_doc"), F.col("n_sh").alias("n_b")
+            ),
+            "matched_doc",
+        )
+        .filter(
+            (_PFX_TAU_NUM + _PFX_TAU_DEN) * F.col("n_common")
+            >= _PFX_TAU_NUM * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "new_doc",
+            "matched_doc",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _neardup_ingest_by_family(
+    spark: SparkSession, sf_dir: str, family: str
+) -> DataFrame:
+    """The dispatch behind :func:`neardup_ingest_routed`, factored over
+    the decision so the flip test can force each branch. Both branches
+    answer the SAME question — arriving-shard documents' near-dup
+    matches against the standing base at exact Jaccard >=
+    {num}/{den}, integer-gated — differing only in candidate
+    generation: the df-ceiling prefix probe vs the MinHash band-bucket
+    lookup against the persisted index."""
+    if family == "bounded_prefix":
+        return _jaccard_ingest_bounded(spark, sf_dir)
+    shard = (
+        table(spark, sf_dir, "documents")
+        .filter(_is_shard("doc_id"))
+        .select("doc_id", "text")
+    )
+    return shard_neardup_lookup(
+        spark, sf_dir, shard, tau_num=_PFX_TAU_NUM, tau_den=_PFX_TAU_DEN
+    )
+
+
+_neardup_ingest_by_family.__doc__ = _neardup_ingest_by_family.__doc__.format(
+    num=_PFX_TAU_NUM, den=_PFX_TAU_DEN
+)
+
+
+@query(
+    "neardup_ingest_routed",
+    oracle=f"""
+    WITH {_DUCK_PREF_CTES}, prefc AS (
+      SELECT * FROM pref WHERE df <= {_JAC_DF_CEIL}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS matched_doc
+      FROM prefc a JOIN prefc b ON a.shingle = b.shingle
+      WHERE a.doc_id % {_SHARD_MOD} = {_SHARD_RESIDUE}
+        AND b.doc_id % {_SHARD_MOD} <> {_SHARD_RESIDUE}
+    ), pairs AS (
+      SELECT c.new_doc, c.matched_doc, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.new_doc
+      JOIN ex eb ON eb.doc_id = c.matched_doc AND eb.shingle = ea.shingle
+      GROUP BY 1, 2
+    )
+    SELECT p.new_doc, p.matched_doc,
+           CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.new_doc = sa.doc_id
+    JOIN sizes sb ON p.matched_doc = sb.doc_id
+    WHERE {_PFX_TAU_NUM + _PFX_TAU_DEN} * p.n_common
+          >= {_PFX_TAU_NUM} * (sa.n_sh + sb.n_sh)
+    """,
+)
+def neardup_ingest_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARRIVAL twin of :func:`neardup_pairs_routed` (r11 verdict
+    task 3 — the router pushed one seam deeper): a production ingest
+    loop should not hard-code WHICH family's gate screens today's
+    delivery; it should consult the standing corpus's statistics. This
+    query profiles the BASE corpus's tau-prefix postings (the arriving
+    shard is excluded — the routing decision must depend only on what
+    the deployment already knows before the delivery lands; df values
+    are the shared index snapshot's, like every gate here) and
+    dispatches: bounded-prefix probe on rare-tail corpora, MinHash
+    band-bucket lookup (verified at the same integer tau) on saturated
+    ones.
+
+    The driver's corpora are rare-tail at every sf, so the registered
+    oracle replays the bounded-prefix probe — the EXACT batch bounded
+    semantics restricted to shard-vs-base pairs; a corpus routing to
+    "band" fails loudly with the profile numbers
+    (``stats.assert_routed_family``), same contract as the batch
+    router. The flip test forces both branches and pins the decision
+    flip on a saturated frame.
+
+    Scale: the profile is one ANALYZE-sized histogram over the base
+    postings of the session-cached ranked artifact; fresh per-delivery
+    work in the routed branch is shard-proportional either way
+    (surviving shard prefix postings, or shard shingle + 64-min
+    aggregation). Reference analog: the arrival-time ingest path,
+    /root/reference/Code/dataToServers.erl:28-53, with the family
+    choice made by statistics instead of configuration.
+    """
+    from imdbmapreduce_spark.stats import (
+        assert_routed_family,
+        choose_neardup_family,
+        df_profile,
+    )
+
+    base_pref = _prefix_postings(spark, sf_dir).filter(~_is_shard("doc_id"))
+    profile = df_profile(base_pref, _JAC_DF_CEIL)
+    family = choose_neardup_family(profile)
+    assert_routed_family("neardup_ingest_routed", family, "bounded_prefix", profile)
+    return _neardup_ingest_by_family(spark, sf_dir, family)
 
 
 # --- near-dup gate recall scoreboard ---------------------------------------
@@ -3452,31 +3662,28 @@ def _snm_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- record linkage (blocked fuzzy matching) -------------------------------
 
-_LINK_BLOCK_CHARS = 16  # blocking key: name prefix (fixes all but 2 digits)
 _LINK_MAX_DIST = 1  # match threshold: Levenshtein edit distance
 
-# The two-pass DuckDB match-pair expression shared by every ER oracle
-# (fuzzy matches, entity groups, arrival gate): pass 1 blocks on the
-# name PREFIX, pass 2 on the name-REVERSED prefix (= suffix), UNION
-# dedupes pairs found by both. Callers provide the `b` CTE with blk /
-# rblk columns and splice extra predicates via {{and_a}} / {{and_x}}.
+# The ER oracle's match-pair expression is the UNBLOCKED quadratic truth:
+# every a<b pair within full-name Levenshtein distance _LINK_MAX_DIST.
+# The Spark side generates candidates from the deletion-neighborhood
+# blocking (:func:`_link_postings`) — complete for distance <= 1 by the
+# FastSS theorem — so hash equality against this exact oracle PROVES the
+# blocking's completeness on the checked corpus, not merely that both
+# engines replay the same (possibly lossy) blocks. (The r11 verdict found
+# exactly that failure in the previous prefix/suffix two-pass scheme: the
+# oracle replayed the blocks, so a recall hole on 18-char names stayed
+# hash-green.) Callers provide the `b` CTE with (c_custkey, c_name) and
+# splice extra predicates via {{and_a}}.
 _DUCK_LINK_PAIRS = f"""
       SELECT a.c_custkey AS ka, x.c_custkey AS kb,
              levenshtein(a.c_name, x.c_name) AS d
-      FROM b a JOIN b x ON a.blk = x.blk AND a.c_custkey < x.c_custkey
-      WHERE levenshtein(a.c_name, x.c_name) <= {_LINK_MAX_DIST}{{and_a}}
-      UNION
-      SELECT a.c_custkey AS ka, x.c_custkey AS kb,
-             levenshtein(a.c_name, x.c_name) AS d
-      FROM b a JOIN b x ON a.rblk = x.rblk AND a.c_custkey < x.c_custkey
+      FROM b a JOIN b x ON a.c_custkey < x.c_custkey
       WHERE levenshtein(a.c_name, x.c_name) <= {_LINK_MAX_DIST}{{and_a}}
 """
 
-_DUCK_LINK_B_CTE = f"""
-      SELECT c_custkey, c_name,
-             substring(c_name, 1, {_LINK_BLOCK_CHARS}) AS blk,
-             substring(reverse(c_name), 1, {_LINK_BLOCK_CHARS}) AS rblk
-      FROM customer
+_DUCK_LINK_B_CTE = """
+      SELECT c_custkey, c_name FROM customer
 """
 
 
@@ -3489,184 +3696,205 @@ _DUCK_LINK_B_CTE = f"""
     """,
 )
 def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution candidate pairs over ``customer``: MULTI-PASS
-    blocked fuzzy matching (Hernandez & Stolfo's multi-pass rationale —
-    round 11, r10 verdict task 5): pass 1 blocks records on a
-    {_LINK_BLOCK_CHARS}-char name-PREFIX, pass 2 on the
-    {_LINK_BLOCK_CHARS}-char prefix of the REVERSED name (= the name
-    suffix); candidates from either pass are verified with Levenshtein
-    edit distance and pairs within distance {_LINK_MAX_DIST} emitted
-    once. A single prefix pass can NEVER pair names differing in the
-    first character (a leading typo moves the record to another block
-    by construction) — the reversed pass reaches exactly those, since
-    a single-edit pair differs on one side of the name only and the
-    other side's block agrees. The record-linkage twin of the document
-    near-dup families (same block-then-verify shape; the verify is
-    string edit distance instead of set similarity).
+    """Entity-resolution candidate pairs over ``customer``: DELETION-
+    NEIGHBORHOOD blocked fuzzy matching (the FastSS / symmetric-delete
+    scheme, Bocek et al., "Fast Similarity Search in Large Dictionaries",
+    2007 — round 12, closing the r11 verdict's recall hole): each record
+    posts its name plus every single-character-deletion variant as
+    blocking keys; candidates are pairs sharing ANY variant, verified
+    with full-name Levenshtein and emitted once within distance
+    {_LINK_MAX_DIST}.
+
+    COMPLETENESS (the property the r11 scheme lacked): two names within
+    edit distance 1 always share a deletion variant — a substitution at
+    position i leaves both i-deletions equal; an insertion's deletion IS
+    the shorter name (its own 0-deletion variant); equal names share
+    themselves. So the candidate set provably covers every true pair at
+    ANY name length. The previous prefix + reversed-prefix two-pass
+    blocking required names >= 2x16 chars for that coverage — on TPC-H's
+    18-char names a substitution at positions 3..16 (7 of the 9 digits)
+    changed BOTH keys and the pair was unreachable; a third middle-band
+    pass would in turn leave the band's own positions uncovered, which is
+    why the fix is a different blocking family, not another pass. The
+    oracle is now the UNBLOCKED exact all-pairs truth, so hash equality
+    proves completeness instead of replaying the blocks
+    (tests/test_dedup.py plants a typo at EVERY name position and pins
+    all of them found).
 
     Generalizes the reference's exact keyed-table lookup
     (/root/reference/Code/server.erl:118-135) to approximate identity.
 
-    Scale shape: TWO equi-joins keyed on block prefixes, unioned and
-    deduped on the pair key; block size remains a property of each
-    blocking key, not the corpus, so pair volume stays linear in
-    customers. `levenshtein` is a JVM built-in — codegen, no Python.
-    The verify runs over the post-block suffix/prefix tails (distance-
-    equal inside a block; see :func:`_link_postings`), the oracle keeps
-    FULL-name levenshtein — hash equality proves the reduction.
+    Scale shape: one equi-join keyed on the variant strings. Postings are
+    (len+1) per record — linear in data with a ~19x constant on these
+    names — and a variant block contains only records whose names
+    coincide after one deletion, so blocks are near-singleton wherever
+    names are distinct (vs the 16-char prefix blocks, whose size was a
+    corpus property). Sharing a variant bounds the pair's distance by 2,
+    so the Levenshtein verify (JVM built-in, codegen) runs on a
+    candidate set within 2x of the true pair set — the full-name DP that
+    cost ~42 s/sf1 under prefix blocking is cheap here because the
+    CANDIDATES are few, not because the strings got shorter.
     """
-    cust = _link_postings(table(spark, sf_dir, "customer"))
-    return (
-        _blocked_fuzzy_pairs(cust, cust)
-        .filter(F.col("custkey_a") < F.col("custkey_b"))
-        .dropDuplicates(["custkey_a", "custkey_b"])
-        .select("custkey_a", "custkey_b", "lev_dist")
-    )
+    return _er_match_pairs(spark, sf_dir)
+
+
+def _er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-cached ER MATCH-PAIR artifact: every a < b customer
+    pair within ``_LINK_MAX_DIST`` full-name edit distance, deduped on
+    the pair key — the "match table" an MDM deployment maintains beside
+    its source records, and the ER analog of the shared ranked-shingle /
+    minhash-signature artifacts the document families already cache.
+    Built once per (session, corpus) by the deletion-neighborhood
+    blocked join; consumed by :func:`customer_fuzzy_matches` (verbatim),
+    :func:`customer_entity_groups` (as the closure's edge list) and
+    :func:`_customer_base_entities` (filtered to base-base pairs — valid
+    because the blocking is COMPLETE, so the base restriction of the
+    full match set equals matching the base alone)."""
+
+    def build() -> DataFrame:
+        cust = _link_postings(table(spark, sf_dir, "customer"))
+        return (
+            _blocked_fuzzy_pairs(cust, cust)
+            .filter(F.col("custkey_a") < F.col("custkey_b"))
+            .dropDuplicates(["custkey_a", "custkey_b"])
+            .select("custkey_a", "custkey_b", "lev_dist")
+        )
+
+    return shared_cache(spark, ("er_match_pairs", sf_dir), build)
 
 
 def _link_postings(cust: DataFrame) -> DataFrame:
-    """The multi-pass blocking POSTING frame: one row per (record,
-    pass) with the pass id, that pass's blocking key, and the
-    post-block tail the verify compares. Pass 1: key = name prefix,
-    tail = suffix (edit distance over strings with a common prefix
-    equals the distance of their suffixes). Pass 2: key = prefix of
-    the REVERSED name, tail = the reversed remainder (common-SUFFIX
-    stripping is distance-preserving for the same reason — reverse
-    both strings). Measured on the 150k-customer sf1 fixture: the
-    full-name DP was the whole cost of the match join (~42 s warm) vs
-    the tail DP; every ER oracle keeps FULL-name levenshtein, so hash
-    equality proves both reductions."""
-    rev = F.reverse(F.col("c_name"))
-    p1 = cust.select(
-        "c_custkey",
-        F.lit(1).alias("pass"),
-        F.substring("c_name", 1, _LINK_BLOCK_CHARS).alias("blk"),
-        F.expr(f"substring(c_name, {_LINK_BLOCK_CHARS + 1})").alias("tail"),
+    """The deletion-neighborhood POSTING frame: one row per (record,
+    blocking key), where the keys are the name itself (``pos`` 0) plus
+    every single-character-deletion variant (``pos`` = the deleted
+    1-indexed position — FastSS / SymSpell's symmetric delete, with
+    the position kept for the join's positional refinement). All
+    generated expressions — transform over an index sequence,
+    substring splice — stay in whole-stage codegen; no Python touches
+    a name."""
+    deletions = F.expr(
+        "transform(sequence(1, length(c_name)), i -> struct("
+        "i AS pos, "
+        "concat(substring(c_name, 1, i-1), substring(c_name, i+1)) AS blk))"
     )
-    p2 = cust.select(
-        "c_custkey",
-        F.lit(2).alias("pass"),
-        F.substring(rev, 1, _LINK_BLOCK_CHARS).alias("blk"),
-        F.substring(rev, _LINK_BLOCK_CHARS + 1, 1 << 30).alias("tail"),
+    variants = F.concat(
+        F.array(F.struct(F.lit(0).alias("pos"), F.col("c_name").alias("blk"))),
+        F.when(F.length("c_name") > 0, deletions).otherwise(
+            F.expr("CAST(array() AS array<struct<pos:int,blk:string>>)")
+        ),
     )
-    return p1.unionByName(p2)
+    return cust.select(
+        "c_custkey", "c_name", F.explode(variants).alias("v")
+    ).select("c_custkey", "c_name", F.col("v.pos").alias("pos"), F.col("v.blk").alias("blk"))
 
 
 def _blocked_fuzzy_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Blocked Levenshtein match candidates between two multi-pass
-    POSTING frames (:func:`_link_postings` — same block-then-verify
-    shape for the batch self-join and the arrival gate's shard-vs-base
-    probe). Joins on (pass, blk) — every emitted pair is intra-block
-    within its pass BY CONSTRUCTION (what lets the entity-groups
-    closure run pass+block-locally before the cross-pass merge) — at
-    edit distance <= ``_LINK_MAX_DIST``. A pair found by BOTH passes
-    appears once per pass; callers needing set semantics dedupe on the
-    pair key. Distance is computed on the post-block tails (see
-    :func:`_link_postings` — exactly equal to full-name distance
-    inside a block, either pass)."""
-    a = left.select(
+    """Blocked Levenshtein match candidates between two deletion-
+    neighborhood POSTING frames (:func:`_link_postings` — same
+    block-then-verify shape for the batch self-join and the arrival
+    gate's shard-vs-base probe). Joins on the variant key with the
+    POSITIONAL refinement ``pos_a = pos_b OR pos_a = 0 OR pos_b = 0``,
+    which is still complete for distance <= 1: a substitution pair of
+    equal-length names differs at exactly one position p (Levenshtein 1
+    at equal length forces Hamming 1) and collides at i = j = p; an
+    insertion pair collides at (0, inserted position); equal names
+    collide at (0, 0). What the refinement prunes is exactly the
+    cross-position bulk — two names whose variants coincide after
+    deleting DIFFERENT positions sit at distance 2; on TPC-H's
+    repeated-zero digit runs that bulk is ~10x the true pair volume.
+    The surviving candidates are verified on FULL-name edit distance
+    <= ``_LINK_MAX_DIST`` (the verify stays load-bearing: same-position
+    deletion collisions of distance-2 pairs exist — any pair whose
+    aligned remainder differs). Every emitted pair is intra-block BY
+    CONSTRUCTION. A pair sharing several qualifying blocks appears once
+    per block; callers needing set semantics dedupe on the pair key."""
+    # Materialize each posting frame once: three join arms below would
+    # otherwise re-run the variant explode six times for a self-join
+    # (measured ~3 s of the 4 s warm match join at sf0.1). The `is`
+    # check keeps the self-join case to ONE materialization.
+    lp = stable_checkpoint(left.select("c_custkey", "c_name", "pos", "blk"))
+    rp = lp if right is left else stable_checkpoint(
+        right.select("c_custkey", "c_name", "pos", "blk")
+    )
+    a = lp.select(
         F.col("c_custkey").alias("custkey_a"),
-        F.col("tail").alias("tail_a"),
-        "pass",
+        F.col("c_name").alias("name_a"),
+        "pos",
         "blk",
     )
-    b = right.select(
+    b = rp.select(
         F.col("c_custkey").alias("custkey_b"),
-        F.col("tail").alias("tail_b"),
-        "pass",
+        F.col("c_name").alias("name_b"),
+        "pos",
         "blk",
     )
-    dist = F.levenshtein("tail_a", "tail_b")
+    # Three EQUI-join arms, so the positional refinement lives in the
+    # hash key, never in a residual predicate (a residual form measured
+    # 9.5 s warm at sf0.1: Catalyst ordered the Levenshtein ahead of the
+    # cheap position check inside the join condition, so every repeated-
+    # character cross-position collision paid a DP; as key columns those
+    # collisions never leave the hash table):
+    #   - same-pos: (blk, pos) — substitution pairs at the differing
+    #     position, plus equal names at (self, self);
+    #   - indel, both orientations: a self-variant (pos 0) against the
+    #     other side's deletions (pos > 0) on blk alone — an 18-char
+    #     self key only collides with a 19-char name's deletion, so the
+    #     arm is true-insert-pairs-sized by construction.
+    same = a.join(b, ["blk", "pos"])
+    ins_a = a.filter(F.col("pos") == 0).join(
+        b.filter(F.col("pos") > 0).drop("pos"), ["blk"]
+    )
+    ins_b = a.filter(F.col("pos") > 0).join(
+        b.filter(F.col("pos") == 0).drop("pos"), ["blk"]
+    )
+    cols = ["custkey_a", "name_a", "custkey_b", "name_b", "blk"]
+    cand = (
+        same.select(*cols)
+        .unionByName(ins_a.select(*cols))
+        .unionByName(ins_b.select(*cols))
+    )
+    dist = F.levenshtein("name_a", "name_b")
     return (
-        a.join(b, ["pass", "blk"])
-        .filter(dist <= _LINK_MAX_DIST)
+        cand.filter(
+            (F.col("custkey_a") != F.col("custkey_b")) & (dist <= _LINK_MAX_DIST)
+        )
         .select(
-            "custkey_a", "custkey_b", dist.cast("long").alias("lev_dist"), "pass", "blk"
+            "custkey_a", "custkey_b", dist.cast("long").alias("lev_dist"), "blk"
         )
     )
 
 
-def _block_local_components(pairs: DataFrame, keys: tuple[str, ...] = ("blk",)) -> DataFrame:
-    """Connected components over an edge list whose edges NEVER cross
-    ``keys`` groups: one shuffle on the keys, then union-find with path
-    compression inside each bounded group (Arrow-batched
-    applyInPandas — groups are <= ~100 records by blocking-key design,
-    so per-group work is constant). Returns ``(node, cluster_id)`` for
-    every edge-incident node, cluster_id = min member key — the same
-    contract as :func:`connected_components`, minus the iterative
-    stages a partition-local problem doesn't need. With the multi-pass
-    keys ("pass", "blk") a node matched in both passes returns one row
-    PER pass; the caller merges those via the star closure (see
-    :func:`customer_entity_groups`). Input columns: custkey_a,
-    custkey_b, *keys."""
-    import pandas as pd
-
-    def uf(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(pdf["custkey_a"], pdf["custkey_b"]):
-            a, b = int(a), int(b)
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min key keeps the root the component minimum
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-
-        rows = [(x, find(x)) for x in parent]
-        return pd.DataFrame(rows, columns=["node", "cluster_id"])
-
-    return (
-        pairs.select(*keys, "custkey_a", "custkey_b")
-        .groupBy(*keys)
-        .applyInPandas(uf, "node long, cluster_id long")
-        .dropDuplicates(["node", "cluster_id"])
-    )
-
-
 def _entity_components(pairs: DataFrame) -> DataFrame:
-    """Components of the multi-pass match graph: per-(pass, blk)
-    union-find (:func:`_block_local_components` — one shuffle, bounded
-    groups), then the cross-pass merge via :func:`connected_components`
-    over the STAR-REDUCED graph: one (node -> pass-local root) edge per
-    local label. Each pass-local cluster is connected through its root,
-    so components of the star graph equal components of the unioned
-    match edges — the iterative closure runs over |matched nodes| star
-    edges instead of the full candidate pair set. Returns
-    (node, cluster_id = min reachable key) for every matched node.
+    """Components of the blocked match graph: dedupe the per-block match
+    edges to one (src < dst) edge per record pair and run the
+    pointer-jumping min-label closure (:func:`connected_components`)
+    directly. Returns (node, cluster_id = min reachable key) for every
+    matched node.
 
-    FAST PATH (the common clean-corpus case, measured +2.1 s at sf0.1
-    without it): when NO node carries two distinct pass-local labels,
-    the local assignments are already transitively closed — every star
-    component is exactly one label group — so they ARE the components
-    and the iterative loop is skipped. The guard is one aggregation
-    over the (node, cluster_id) pairs; any conflicting node (the
-    planted-typo chain case) falls through to the general closure."""
-    local = stable_checkpoint(_block_local_components(pairs, keys=("pass", "blk")))
-    conflicts = (
-        local.groupBy("node")
-        .agg(F.count_distinct("cluster_id").alias("nlab"))
-        .filter(F.col("nlab") > 1)
-        .limit(1)
-        .count()
+    Design note (round 12): the r9-r11 shape here was a block-LOCAL
+    union-find followed by a star merge — a win when blocking produced
+    ~100-record prefix blocks (few groups, real contraction per group).
+    Deletion-neighborhood blocking inverts that geometry: hundreds of
+    thousands of near-singleton variant blocks, so the grouped
+    applyInPandas paid Arrow per-group overhead to contract nothing
+    (measured 15.5 s of a 22 s plan at sf0.1) while the deduped edge
+    list (262k edges over 15k matched customers) feeds the iterative
+    closure in ~3 s. The closure itself stays O(log diameter) rounds
+    over |matched| edges — the 100 TB shape is unchanged; only the
+    pointless contraction level is gone."""
+    # Per-block pair multiplicity is NOT deduped here: connected_components
+    # distincts its symmetrized edge frame anyway, so a pre-dedupe would
+    # just add a shuffle of the same rows.
+    edges = pairs.select(
+        F.least("custkey_a", "custkey_b").alias("src"),
+        F.greatest("custkey_a", "custkey_b").alias("dst"),
     )
-    if conflicts == 0:
-        return local
-    star = local.filter(F.col("node") != F.col("cluster_id")).select(
-        F.col("node").alias("src"), F.col("cluster_id").alias("dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
     )
-    return connected_components(local.select("node").distinct(), star)
+    return connected_components(nodes, edges)
 
 
 @query(
@@ -3708,37 +3936,25 @@ def customer_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     key) with the entity's member count and pooled balance — the
     master-data-management pipeline in one composed plan.
 
-    The closure is PASS+BLOCK-LOCAL with a star merge (r9 task 6's
-    block-local win, extended to multi-pass blocking in round 11):
-    within one pass every edge joins two records of the same block (the
-    match join is a (pass, blk) equi-join), so each pass's closure is
-    ONE grouped union-find — shuffle the edge list on (pass, blk), path
-    compression inside each bounded block (<= ~100 records by
-    blocking-key design) in an Arrow-batched applyInPandas. Components
-    CAN now span passes (the whole point of the second pass), so the
-    per-pass local labels are merged by :func:`connected_components`
-    over the STAR-REDUCED graph — one edge (node -> local root) per
-    (node, pass) label, a graph of matched nodes only, orders of
-    magnitude smaller than the raw candidate set (each pass-local
-    cluster is connected through its root, so star components equal
-    components of the unioned match edges). The general min-label loop
-    runs over that reduced graph, converging in O(log merge-chain)
-    tiny rounds.
+    The closure runs the pointer-jumping min-label loop directly over
+    the DEDUPED pair edges (:func:`_entity_components` — see its design
+    note: deletion-neighborhood blocks are near-singletons, so the
+    r9-r11 block-local union-find level contracted nothing and was
+    dropped in round 12), converging in O(log diameter) rounds over
+    |matched pairs| edges.
 
-    Scale shape: two block-keyed match joins (bounded blocks), one
-    shuffle per pass-local closure with O(block²) ≤ O(100²) per-group
-    work, an iterative closure only over the star reduction, and the
-    golden pick is a struct-argmax folded into the single membership
-    aggregation (no second window pass). Nothing driver-sized; the
-    oracle replays the two-pass closure as a recursive CTE.
+    Scale shape: one variant-keyed match join (near-singleton blocks),
+    one pair-key dedupe, the iterative closure over o(corpus) match
+    edges, and the golden pick is a struct-argmax folded into the
+    single membership aggregation (no second window pass). Nothing
+    driver-sized; the oracle runs the closure over the EXACT unblocked
+    pair set as a recursive CTE — hash equality proves the blocking
+    lost no edge (see :func:`customer_fuzzy_matches`).
     """
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
-    cb = _link_postings(table(spark, sf_dir, "customer"))
-    pairs = _blocked_fuzzy_pairs(cb, cb).filter(
-        F.col("custkey_a") < F.col("custkey_b")
-    )
+    pairs = _er_match_pairs(spark, sf_dir)
     linked = _entity_components(pairs)
     singles = cust.join(
         linked.select(F.col("node").alias("c_custkey")), "c_custkey", "left_anti"
@@ -3788,16 +4004,20 @@ def _customer_base_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing identities."""
 
     def build() -> DataFrame:
-        cust = _link_postings(table(spark, sf_dir, "customer"))
-        base = cust.filter(
-            (F.col("c_custkey") % _CUST_SHARD_MOD) != _CUST_SHARD_RESIDUE
+        is_base = lambda c: (F.col(c) % _CUST_SHARD_MOD) != _CUST_SHARD_RESIDUE  # noqa: E731
+        # base-base restriction of the shared match artifact — equal to
+        # matching the base alone because the blocking is complete
+        pairs = _er_match_pairs(spark, sf_dir).filter(
+            is_base("custkey_a") & is_base("custkey_b")
         )
-        pairs = _blocked_fuzzy_pairs(base, base).filter(
-            F.col("custkey_a") < F.col("custkey_b")
+        nodes = (
+            table(spark, sf_dir, "customer")
+            .filter(is_base("c_custkey"))
+            .select(F.col("c_custkey").alias("node"))
         )
         return connected_components(
-            base.select(F.col("c_custkey").alias("node")).distinct(),
-            pairs.dropDuplicates(["custkey_a", "custkey_b"]).select(
+            nodes,
+            pairs.select(
                 F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
             ),
         )
@@ -3807,9 +4027,10 @@ def _customer_base_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entity_arrival_verdicts(new: DataFrame, base: DataFrame, assign: DataFrame) -> DataFrame:
     """The arrival-gate plan over ANY batch of arriving keyed customers
-    (posting frames from :func:`_link_postings`): multi-pass blocked
-    fuzzy probe vs the standing base (deduped on the record pair — a
-    base record reached by both passes is one link), then per arriving
+    (posting frames from :func:`_link_postings`): deletion-neighborhood
+    blocked fuzzy probe vs the standing base (deduped on the record
+    pair — a base record reached via several variants is one link),
+    then per arriving
     record the entity verdict (min matched base entity / own key, link
     counts). Factored so the streaming twin's micro-batches run the
     identical plan — each record lives in exactly one micro-batch, so
@@ -3839,8 +4060,6 @@ def entity_arrival_verdicts(new: DataFrame, base: DataFrame, assign: DataFrame) 
 _ENTITY_ARRIVAL_ORACLE = f"""
     WITH RECURSIVE b AS (
       SELECT c_custkey, c_name,
-             substring(c_name, 1, {_LINK_BLOCK_CHARS}) AS blk,
-             substring(reverse(c_name), 1, {_LINK_BLOCK_CHARS}) AS rblk,
              c_custkey % {_CUST_SHARD_MOD} = {_CUST_SHARD_RESIDUE} AS is_new
       FROM customer
     ), m AS (
@@ -3856,9 +4075,9 @@ _ENTITY_ARRIVAL_ORACLE = f"""
       SELECT node AS c_custkey, MIN(r) AS entity_id FROM walk GROUP BY node
     ), probe AS (
       SELECT DISTINCT n.c_custkey AS new_custkey, o.c_custkey AS old_custkey
-      FROM b n JOIN b o ON (n.blk = o.blk OR n.rblk = o.rblk)
-      WHERE n.is_new AND NOT o.is_new
-        AND levenshtein(n.c_name, o.c_name) <= {_LINK_MAX_DIST}
+      FROM b n JOIN b o
+        ON n.is_new AND NOT o.is_new
+           AND levenshtein(n.c_name, o.c_name) <= {_LINK_MAX_DIST}
     ), links AS (
       SELECT p.new_custkey, a.entity_id
       FROM probe p JOIN assign a ON p.old_custkey = a.c_custkey

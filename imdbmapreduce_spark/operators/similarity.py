@@ -2190,9 +2190,11 @@ def snm_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5, pinned in neardup_recall_audit — the r9 point of 2 x 8
     measured 0.0), and the same sweep measured the structural boundary:
     fixed-window recall decays with corpus size on random vectors
-    (0.153 at sf0.1), so past ~1k vectors of tail-distribution data the
-    embedding-cells family is the right tool and this family's value is
-    codebook-free simplicity on small-to-mid slices. The global rank
+    (0.153 at sf0.1; the round-12 boundary sweep puts the 0.5-floor
+    crossing at n≈800 — tools/emb_snm_boundary.py), so past
+    EMB_SNM_MAX_VECTORS tail-distribution vectors the embedding-cells
+    family is the right tool and this family's value is codebook-free
+    simplicity on small-to-mid slices. The global rank
     reuses the distributed two-pass machinery (range partition + offset
     join — no single-partition window).
 
@@ -2282,7 +2284,17 @@ def _embedding_neardup_by_family(
     return neardup_embedding_cells(spark, sf_dir)
 
 
-@query("embedding_neardup_routed", oracle=_snm_emb_oracle(theta=_NEARDUP_THETA))
+@query(
+    "embedding_neardup_routed",
+    # the family decision rides along in the result (ADVICE r11): this
+    # router legitimately flips per scale (snm <= 1,024 vectors, cells
+    # past it — bench corpora cross the boundary, so a loud assert like
+    # the document router's would be wrong here), and the oracle checks
+    # the SNM branch at the driver's under-boundary correctness scales —
+    # a flip at an oracle-checked scale now surfaces as an explicit
+    # family-column diff, not a bare pair-set hash mismatch.
+    oracle=f"SELECT q.*, 'snm' AS family FROM ({_snm_emb_oracle(theta=_NEARDUP_THETA)}) q",
+)
 def embedding_neardup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with the candidate FAMILY CHOSEN BY
     CORPUS SIZE (r10 verdict task 6 — the routing note turned into
@@ -2307,6 +2319,7 @@ def embedding_neardup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imdbmapreduce_spark.stats import choose_embedding_neardup_family
 
     n = table(spark, sf_dir, "embeddings").count()
-    return _embedding_neardup_by_family(
-        spark, sf_dir, choose_embedding_neardup_family(n)
+    family = choose_embedding_neardup_family(n)
+    return _embedding_neardup_by_family(spark, sf_dir, family).withColumn(
+        "family", F.lit(family)
     )

@@ -264,16 +264,21 @@ def choose_neardup_family(
     return "bounded_prefix" if profile.over_ppm <= over_ppm_max else "band"
 
 
-# Embedding-SNM corpus-size boundary (r10 verdict task 6): the family's
-# fixed (passes, window) blocking recall DECAYS with corpus size on
-# tail-distribution vectors — measured 0.786 at n=500 (sf0.01) falling
-# to 0.153 at n=2000 (sf0.1) against the exact theta=0.45 truth
-# (SCALE.md round-10 sweep) — because a true pair's rank gap grows with
-# n while the window stays fixed. Past ~1k vectors the adaptive-cell
-# SemDeDup layout is the right tool (its sqrt(n) cell count keeps
-# same-cell recall scale-stable). 1024 sits between the two measured
-# regimes.
-EMB_SNM_MAX_VECTORS = 1024
+# Embedding-SNM corpus-size boundary (r10 verdict task 6; MEASURED at
+# the boundary in round 12 — r11 verdict task 5): the family's fixed
+# (passes, window) blocking recall DECAYS with corpus size on
+# tail-distribution vectors — a true pair's rank gap grows with n while
+# the window stays fixed. The r10 endpoints (0.786 at n=500, 0.153 at
+# n=2000, theta=0.45 truth) left 1024 as an interpolation; the round-12
+# sweep (tools/emb_snm_boundary.py, exact numpy replay of the
+# registered integer semantics — reproduces the r10 n=2000 point at
+# 0.153 exactly) filled the gap: recall 0.538 at n=768, 0.500 at n=800,
+# 0.464 at n=832, 0.357 at n=1024. The family's audited recall floor is
+# 0.5 (neardup_recall_audit), so the interpolated 1024 was past the
+# crossing; the boundary now sits at the last sweep point ABOVE the
+# floor. Past it the adaptive-cell SemDeDup layout is the right tool
+# (its sqrt(n) cell count keeps same-cell recall scale-stable).
+EMB_SNM_MAX_VECTORS = 768
 
 
 def choose_embedding_neardup_family(n_vectors: int) -> str:
@@ -285,6 +290,29 @@ def choose_embedding_neardup_family(n_vectors: int) -> str:
     ``similarity.embedding_neardup_routed``, flip pinned in
     tests/test_similarity.py."""
     return "snm" if n_vectors <= EMB_SNM_MAX_VECTORS else "cells"
+
+
+def assert_routed_family(
+    query_name: str, family: str, oracle_branch: str, profile
+) -> None:
+    """Contract guard for statistics-routed REGISTERED queries (ADVICE
+    r11): each routed query registers the oracle of the branch its
+    checked corpora route to, so a corpus whose statistics route
+    elsewhere must fail LOUDLY with the routing numbers in hand — a
+    diagnosable "re-register the oracle for this corpus shape" error —
+    instead of surfacing as a bare value-hash mismatch in the driver
+    sweep. The forced-branch helpers (``_neardup_routed``,
+    ``_neardup_ingest_by_family``, ``_embedding_neardup_by_family``)
+    remain the way to RUN the other branch; this guard only protects
+    the oracle-checked entry point's contract."""
+    if family != oracle_branch:
+        raise RuntimeError(
+            f"{query_name}: statistics routed to family {family!r} but the "
+            f"registered oracle replays the {oracle_branch!r} branch "
+            f"(profile: {profile}). The result would be correct but could "
+            "not hash-match its oracle — run the forced-branch helper for "
+            "this corpus, or re-register the oracle for its shape."
+        )
 
 
 def choose_agg_salting(

@@ -822,38 +822,28 @@ def _lev(x: str, y: str) -> int:
     return prev[len(y)]
 
 
-def _replay_multipass_pairs(cust_rows, max_dist):
-    """Brute-force two-pass blocked match replay: prefix blocks and
-    reversed-name (suffix) blocks, full-name Levenshtein verify, pairs
-    deduped across passes — the python truth for the multi-pass ER
-    family."""
-    from imdbmapreduce_spark.operators.dedup import _LINK_BLOCK_CHARS
-
+def _replay_exact_pairs(cust_rows, max_dist):
+    """Brute-force UNBLOCKED match replay: every a<b pair within
+    full-name Levenshtein distance — the python truth the deletion-
+    neighborhood blocking must reproduce exactly (its completeness
+    theorem for distance <= 1 under test, not replayed)."""
     expected = {}
-    for keyfn in (
-        lambda n: n[:_LINK_BLOCK_CHARS],
-        lambda n: n[::-1][:_LINK_BLOCK_CHARS],
-    ):
-        by_block: dict[str, list] = {}
-        for r in cust_rows:
-            by_block.setdefault(keyfn(r.c_name), []).append(r)
-        for members in by_block.values():
-            for a, b in combinations(sorted(members, key=lambda r: r.c_custkey), 2):
-                d = _lev(a.c_name, b.c_name)
-                if d <= max_dist:
-                    expected[(a.c_custkey, b.c_custkey)] = d
+    for a, b in combinations(sorted(cust_rows, key=lambda r: r.c_custkey), 2):
+        d = _lev(a.c_name, b.c_name)
+        if d <= max_dist:
+            expected[(a.c_custkey, b.c_custkey)] = d
     return expected
 
 
 def test_customer_fuzzy_matches_python_replay(spark, sf_dir):
-    """Multi-pass blocked Levenshtein pairs equal a brute-force replay
-    over BOTH blocking passes (prefix and reversed-name) with full-name
-    edit distance — independent of the suffix-reduction and the
-    pass-union plumbing in the plan."""
+    """Deletion-neighborhood blocked Levenshtein pairs equal the
+    brute-force ALL-PAIRS replay with full-name edit distance —
+    blocking completeness and verify exactness in one equality,
+    independent of the variant-explode plumbing in the plan."""
     from imdbmapreduce_spark.operators.dedup import _LINK_MAX_DIST
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
-    expected = _replay_multipass_pairs(cust, _LINK_MAX_DIST)
+    expected = _replay_exact_pairs(cust, _LINK_MAX_DIST)
     out = registry.get("customer_fuzzy_matches").fn(spark, sf_dir).collect()
     got = {(r.custkey_a, r.custkey_b): r.lev_dist for r in out}
     assert got == expected
@@ -897,14 +887,13 @@ def test_customer_entity_arrival_matches_union_find_replay(spark, sf_dir):
     from imdbmapreduce_spark.operators.dedup import (
         _CUST_SHARD_MOD,
         _CUST_SHARD_RESIDUE,
-        _LINK_BLOCK_CHARS,
     )
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
     new = [r for r in cust if r.c_custkey % _CUST_SHARD_MOD == _CUST_SHARD_RESIDUE]
     base = [r for r in cust if r.c_custkey % _CUST_SHARD_MOD != _CUST_SHARD_RESIDUE]
 
-    base_pairs = _replay_multipass_pairs(base, 1)
+    base_pairs = _replay_exact_pairs(base, 1)
     parent = {r.c_custkey: r.c_custkey for r in base}
 
     def find(x):
@@ -918,17 +907,16 @@ def test_customer_entity_arrival_matches_union_find_replay(spark, sf_dir):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    # probe: either pass's block reaches the base record, deduped
-    def blocks(n: str):
-        return {n[:_LINK_BLOCK_CHARS], n[::-1][:_LINK_BLOCK_CHARS]}
-
+    # probe: the exact truth — any base record within distance 1
+    # (the deletion-neighborhood blocking is complete for d <= 1, so
+    # the gate must reach every such record)
     # entity id = min member key of the component = the root here
     expected = {}
     for r in new:
         linked = {
             o.c_custkey: find(o.c_custkey)
             for o in base
-            if blocks(r.c_name) & blocks(o.c_name) and _lev(r.c_name, o.c_name) <= 1
+            if _lev(r.c_name, o.c_name) <= 1
         }
         ents = set(linked.values())
         expected[r.c_custkey] = (
@@ -1071,54 +1059,6 @@ def test_containment_bounded_ingest_equals_bounded_batch_restriction(spark, sf_d
     assert inc <= exact_gate
 
 
-def test_block_local_components_match_general_components(spark):
-    """The block-local union-find closure must equal the general
-    min-label connected_components on any edge set whose edges stay
-    within blocks — chains, stars, multi-component blocks, and a block
-    whose min key arrives last (exercises union-by-min through root
-    chains)."""
-    from imdbmapreduce_spark.operators.dedup import (
-        _block_local_components,
-        connected_components,
-    )
-
-    edges = [
-        # block A: chain 5-3-9-1 (min joins last)
-        ("A", 5, 3), ("A", 3, 9), ("A", 9, 1),
-        # block B: star around 20 + separate pair (two components)
-        ("B", 20, 21), ("B", 20, 22), ("B", 25, 26),
-        # block C: duplicate edges + triangle
-        ("C", 30, 31), ("C", 31, 32), ("C", 30, 32), ("C", 30, 31),
-    ]
-    pairs = spark.createDataFrame(
-        [Row(blk=b, custkey_a=a, custkey_b=c) for b, a, c in edges]
-    )
-    got = {
-        (r.node, r.cluster_id)
-        for r in _block_local_components(pairs).collect()
-    }
-    nodes = spark.createDataFrame(
-        [Row(node=n) for n in sorted({x for _, a, c in edges for x in (a, c)})]
-    )
-    want = {
-        (r.node, r.cluster_id)
-        for r in connected_components(
-            nodes,
-            pairs.select(
-                F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
-            ),
-        ).collect()
-    }
-    assert got == want
-    # explicit expectations: chain collapses to min=1, star to 20,
-    # pair to 25, triangle to 30
-    by_node = dict(got)
-    assert by_node[5] == by_node[3] == by_node[9] == by_node[1] == 1
-    assert by_node[20] == by_node[21] == by_node[22] == 20
-    assert by_node[25] == by_node[26] == 25
-    assert by_node[30] == by_node[31] == by_node[32] == 30
-
-
 def test_snm_ingest_equals_batch_restriction(spark, sf_dir):
     """The SNM arrival gate must equal the batch SNM pairs restricted
     to pairs with exactly one endpoint in the standing shard (merged-
@@ -1238,13 +1178,72 @@ def test_neardup_family_router_flips_with_corpus_shape(spark, sf_dir):
     assert "mh0" not in bounded_plan
 
 
-def test_multipass_blocking_finds_first_char_typo(spark):
-    """r10 verdict task 5's planted-typo pin: a first-character typo is
-    UNREACHABLE by prefix blocking alone (the typo moves the record to
-    another block by construction — Hernandez & Stolfo's multi-pass
-    motivation) and must be found by the reversed-name pass; and a
-    chain alternating passes (pass-1 edge, then pass-2 edge) must
-    close into ONE entity through the star merge."""
+def test_neardup_ingest_router_and_forced_branches(spark, sf_dir):
+    """The ARRIVAL router (r11 verdict task 3): the registered gate's
+    routed output equals the forced bounded-prefix branch; the forced
+    band branch — same integer tau verify — finds the same
+    shard-vs-base pairs at fixture scale; the decision is made from the
+    BASE corpus's profile; every emitted pair crosses the shard
+    boundary; and a saturated profile fails LOUDLY through
+    ``assert_routed_family`` (ADVICE r11) instead of surfacing as a
+    bare hash mismatch against the bounded oracle."""
+    import pytest
+
+    from imdbmapreduce_spark.operators.dedup import (
+        _JAC_DF_CEIL,
+        _SHARD_MOD,
+        _SHARD_RESIDUE,
+        _is_shard,
+        _neardup_ingest_by_family,
+        _prefix_postings,
+        neardup_ingest_routed,
+    )
+    from imdbmapreduce_spark.stats import (
+        DfProfile,
+        assert_routed_family,
+        choose_neardup_family,
+        df_profile,
+    )
+
+    base_prof = df_profile(
+        _prefix_postings(spark, sf_dir).filter(~_is_shard("doc_id")), _JAC_DF_CEIL
+    )
+    assert choose_neardup_family(base_prof) == "bounded_prefix"
+
+    key = lambda df: {(r.new_doc, r.matched_doc) for r in df.collect()}  # noqa: E731
+    routed = key(neardup_ingest_routed(spark, sf_dir))
+    bounded = key(_neardup_ingest_by_family(spark, sf_dir, "bounded_prefix"))
+    band = key(_neardup_ingest_by_family(spark, sf_dir, "band"))
+    assert routed == bounded
+    assert band == bounded
+    assert routed, "test premise: the fixture shard has near-dup matches"
+    for a, b in routed:
+        assert a % _SHARD_MOD == _SHARD_RESIDUE
+        assert b % _SHARD_MOD != _SHARD_RESIDUE
+
+    # the loud-contract guard: a saturated base corpus routes to band
+    # and must raise with the profile numbers, not run the wrong branch
+    sat = DfProfile(100, 100, 90, _JAC_DF_CEIL)
+    with pytest.raises(RuntimeError, match="routed to family 'band'"):
+        assert_routed_family(
+            "neardup_ingest_routed",
+            choose_neardup_family(sat),
+            "bounded_prefix",
+            sat,
+        )
+
+
+def test_deletion_blocking_finds_typo_at_every_position(spark):
+    """r11 verdict task 1's planted-typo pin, strengthened to ALL
+    positions: the old prefix+reversed-prefix two-pass blocking left a
+    substitution at positions 3..16 of an 18-char TPC-H name
+    unreachable (both blocking keys change). The deletion-neighborhood
+    blocking must find a single-substitution pair at EVERY position —
+    including the mid-digit case the verdict named
+    (Customer#000100042 vs Customer#000000042) — plus insertion and
+    deletion edits, and must NOT emit a distance-2 pair that shares a
+    deletion variant (transposition), proving the full-name verify is
+    load-bearing."""
     from pyspark.sql import Row
 
     from imdbmapreduce_spark.operators.dedup import (
@@ -1253,38 +1252,48 @@ def test_multipass_blocking_finds_first_char_typo(spark):
         _link_postings,
     )
 
-    cust = spark.createDataFrame(
-        [
-            Row(c_custkey=1, c_name="Customer#000000042"),
-            Row(c_custkey=2, c_name="Xustomer#000000042"),  # first-char typo of 1
-            Row(c_custkey=3, c_name="Customer#000000043"),  # last-char variant of 1
-            Row(c_custkey=5, c_name="Xustomer#000000043"),  # last-char variant of 2,
-            # first-char typo of 3 — chains the two pass families together
-            Row(c_custkey=9, c_name="Zupplier#999999999"),  # matches nothing
-        ]
-    )
+    base = "Customer#000000042"
+    rows = [Row(c_custkey=1, c_name=base)]
+    # one substitution pair per position (key 100+p differs from base
+    # only at position p, 1-indexed)
+    for p in range(1, len(base) + 1):
+        ch = "X" if base[p - 1] != "X" else "Y"
+        rows.append(
+            Row(c_custkey=100 + p, c_name=base[: p - 1] + ch + base[p:])
+        )
+    rows += [
+        Row(c_custkey=200, c_name=base + "Z"),  # insertion at the end (d=1)
+        Row(c_custkey=201, c_name=base[1:]),  # deletion of the first char (d=1)
+        # transposition of the last two digits: shares deletion variants
+        # with base but sits at Levenshtein distance 2 -> must be REJECTED
+        Row(c_custkey=300, c_name=base[:-2] + base[-1] + base[-2]),
+        Row(c_custkey=400, c_name="Zupplier#999999999"),  # matches nothing
+        # the r11 verdict's literal mid-digit example
+        Row(c_custkey=500, c_name="Customer#000100042"),
+    ]
+    cust = spark.createDataFrame(rows)
     postings = _link_postings(cust)
     pairs = (
         _blocked_fuzzy_pairs(postings, postings)
         .filter(F.col("custkey_a") < F.col("custkey_b"))
         .collect()
     )
-    by_pass = {
-        p: {(r.custkey_a, r.custkey_b) for r in pairs if r["pass"] == p}
-        for p in (1, 2)
-    }
-    # the planted typo pair (1,2): pass 2 ONLY
-    assert (1, 2) in by_pass[2]
-    assert (1, 2) not in by_pass[1]
-    # the suffix variant (1,3): pass 1 ONLY (reversed blocks differ)
-    assert (1, 3) in by_pass[1]
-    assert (1, 3) not in by_pass[2]
-    # full pair inventory: 1-2 (p2), 1-3 (p1), 2-5 (p1), 3-5 (p2)
-    assert by_pass[1] == {(1, 3), (2, 5)}
-    assert by_pass[2] == {(1, 2), (3, 5)}
+    found = {(r.custkey_a, r.custkey_b) for r in pairs}
+    # the verdict's mid-digit case: position 13 (the '1' of #000100042)
+    assert (1, 113) in found
+    assert (1, 500) in found  # the literal Customer#000100042 pair
+    # every substitution position, plus the insert/delete edits
+    for p in range(1, len(base) + 1):
+        assert (1, 100 + p) in found, f"substitution at position {p} missed"
+    assert (1, 200) in found and (1, 201) in found
+    # the distance-2 transposition shares a variant but must not match
+    assert not any(300 in pr for pr in found)
+    assert not any(400 in pr for pr in found)
 
-    # the alternating chain 3 -p1- 1 -p2- 2 -p1- 5 closes into one
-    # entity with the min key as id — the cross-pass star merge at work
+    # chain closure: base links every planted variant into ONE entity
+    # with the min key as id — the cross-block star merge at work
     pair_df = spark.createDataFrame(pairs)
     assign = {r.node: r.cluster_id for r in _entity_components(pair_df).collect()}
-    assert assign == {1: 1, 2: 1, 3: 1, 5: 1}
+    linked_keys = {1, 200, 201, 500} | {100 + p for p in range(1, len(base) + 1)}
+    assert set(assign) == linked_keys
+    assert set(assign.values()) == {1}
