@@ -94,9 +94,27 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    prefer_bucketed_on: str | None = None,
+) -> DataFrame:
+    """Read a catalog table; with ``prefer_bucketed_on=<join key>``,
+    route through the session's full-column bucketed twin WHEN one
+    exists for that (table, key) — the r11-verdict seam that makes the
+    bucketed layout load-bearing for standing consumers (TPC-H's
+    lineitem⨝orders edge). No twin built → plain parquet, identical
+    rows either way (the twin is a full-column rewrite; hash equality
+    pinned by the routed queries' unchanged oracles)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if prefer_bucketed_on is not None and name != "events":
+        from imdbmapreduce_spark.operators.layout import bucketed_layout_if_exists
+
+        twin = bucketed_layout_if_exists(spark, sf_dir, name, prefer_bucketed_on)
+        if twin is not None:
+            return spark.table(twin)
     if name == "events":
         # See normalize_events_ts for the layout variants this absorbs.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":

@@ -32,6 +32,8 @@ __all__ = [
     "write_with_metrics",
     "write_bucketed_table",
     "bucketed_colocated_join",
+    "ensure_bucketed_layout",
+    "bucketed_layout_if_exists",
 ]
 
 _BITS = 16  # per-dimension resolution; 2 dims × 16 bits = 32-bit key
@@ -558,7 +560,20 @@ def write_bucketed_table(
     amortize-the-shuffle primitive for fact tables joined on the same
     key query after query (the r10-scale complement to partitionBy's
     directory pruning: partitioning prunes READS, bucketing removes
-    SHUFFLES)."""
+    SHUFFLES).
+
+    SHARP EDGE — bucket counts must MATCH across join sides: the
+    exchange-free sort-merge join requires both scans to report the
+    same hash partitioning, and Spark's bucket hashing at count N is
+    not a refinement of count 2N, so a 16-bucket table joined to a
+    32-bucket table silently reintroduces the full shuffle on BOTH
+    sides (the negative pin in tests/test_layout.py). Pick ONE count
+    per join key family and size it for the end state, not today's
+    data: buckets ≈ total_table_bytes / target_file_size (128-512 MB
+    files), e.g. a 100 TB fact at 256 MB files wants ~400k buckets —
+    and every table sharing the key uses the same number, even the
+    small ones (their per-bucket files are tiny; that is the price of
+    the standing co-location, paid at write time, not per query)."""
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, key)
@@ -568,48 +583,66 @@ def write_bucketed_table(
     )
 
 
-def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Idempotent per-(session, corpus) setup of the bucketed
-    orders/customer pair — the one-time layout cost a warehouse pays at
-    ingest so every later custkey join is exchange-free. Table names
-    carry a corpus+schema tag; the in-memory catalog scopes them to the
+def _ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str,
+    build_df,
+    n_buckets: int = _N_BUCKETS,
+) -> str:
+    """Shared once-per-(session, corpus) bucketed-table setup (factored
+    from the two pair builders — ADVICE r11): returns the warehouse
+    table name for ``name`` bucketed on ``key``, writing it from
+    ``build_df()`` if this session hasn't yet. Table names carry a
+    corpus+schema tag; the in-memory catalog scopes them to the
     session, so a fresh session rebuilds (the same once-per-session
-    contract as the index artifacts)."""
+    contract as the index artifacts).
+
+    Orphan clearing is safe by construction since round 12: a table
+    written by a PREVIOUS session in this process is forgotten by the
+    in-memory catalog but its managed location survives, and CREATE
+    refuses the occupied path (LOCATION_ALREADY_EXISTS) — so the stale
+    dir is removed first. The warehouse dir itself is PID-scoped
+    (session._warehouse_dir), so the rmtree can never hit another live
+    process's tables, and dead processes' whole warehouses are swept at
+    session build regardless of schema-tag version."""
     import hashlib
     import shutil
     from urllib.parse import urlparse
 
     tag = hashlib.md5(f"{sf_dir}|v{_BUCKET_SCHEMA_V}".encode()).hexdigest()[:8]
-    bo, bc = f"b_orders_{tag}", f"b_customer_{tag}"
-
-    def clear_orphan(name: str) -> None:
-        # the default catalog is in-memory: a table written by a PREVIOUS
-        # session is forgotten by the catalog but its managed location
-        # survives, and CREATE refuses the occupied path
-        # (LOCATION_ALREADY_EXISTS). An unknown-to-the-catalog location
-        # is an orphan by definition — remove it before writing.
+    tbl = f"b_{name}_{tag}"
+    if not spark.catalog.tableExists(tbl):
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
         if wh:
-            shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+            shutil.rmtree(f"{wh}/{tbl.lower()}", ignore_errors=True)
+        write_bucketed_table(build_df(), tbl, key, n_buckets)
+    return tbl
 
-    if not spark.catalog.tableExists(bo):
-        clear_orphan(bo)
-        write_bucketed_table(
-            table(spark, sf_dir, "orders").select(
-                "o_custkey",
-                "o_orderkey",
-                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-            ),
-            bo,
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotent setup of the bucketed orders/customer pair — the
+    one-time layout cost a warehouse pays at ingest so every later
+    custkey join is exchange-free (:func:`_ensure_bucketed`)."""
+    bo = _ensure_bucketed(
+        spark,
+        sf_dir,
+        "orders",
+        "o_custkey",
+        lambda: table(spark, sf_dir, "orders").select(
             "o_custkey",
-        )
-    if not spark.catalog.tableExists(bc):
-        clear_orphan(bc)
-        write_bucketed_table(
-            table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
-            bc,
-            "c_custkey",
-        )
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ),
+    )
+    bc = _ensure_bucketed(
+        spark,
+        sf_dir,
+        "customer",
+        "c_custkey",
+        lambda: table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+    )
     return bo, bc
 
 
@@ -671,41 +704,77 @@ bucketed_colocated_join.__doc__ = bucketed_colocated_join.__doc__.replace(
 
 def _bucketed_fact_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """The FACT-FACT bucketed pair (lineitem + orders on the order
-    key) — same once-per-(session, corpus) contract as
-    :func:`_bucketed_pair`."""
-    import hashlib
-    import shutil
-    from urllib.parse import urlparse
-
-    tag = hashlib.md5(f"{sf_dir}|v{_BUCKET_SCHEMA_V}".encode()).hexdigest()[:8]
-    bl, bo = f"b_lineitem_{tag}", f"b_orders_ok_{tag}"
-
-    def clear_orphan(name: str) -> None:
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if wh:
-            shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
-
-    if not spark.catalog.tableExists(bl):
-        clear_orphan(bl)
-        write_bucketed_table(
-            table(spark, sf_dir, "lineitem").select(
-                "l_orderkey",
-                F.round(F.col("l_extendedprice") * 100).cast("long").alias("line_cents"),
-            ),
-            bl,
+    key) — same :func:`_ensure_bucketed` contract as the dim pair."""
+    bl = _ensure_bucketed(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        lambda: table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
-        )
-    if not spark.catalog.tableExists(bo):
-        clear_orphan(bo)
-        write_bucketed_table(
-            table(spark, sf_dir, "orders").select(
-                "o_orderkey",
-                F.round(F.col("o_totalprice") * 100).cast("long").alias("order_cents"),
-            ),
-            bo,
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("line_cents"),
+        ),
+    )
+    bo = _ensure_bucketed(
+        spark,
+        sf_dir,
+        "orders_ok",
+        "o_orderkey",
+        lambda: table(spark, sf_dir, "orders").select(
             "o_orderkey",
-        )
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("order_cents"),
+        ),
+    )
     return bl, bo
+
+
+# --- the standing-consumer seam (r11 verdict task 2) ------------------------
+
+# Full-column bucketed twins a standing query can route through:
+# (table, join key) -> the layout every consumer of that join edge
+# shares. One bucket count per key family (see write_bucketed_table's
+# sizing note) — lineitem and orders share the orderkey family.
+BUCKETED_LAYOUTS = {
+    ("lineitem", "l_orderkey"): "lineitem_ok_full",
+    ("orders", "o_orderkey"): "orders_ok_full",
+}
+
+
+def ensure_bucketed_layout(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> str:
+    """Build (once per session) the FULL-COLUMN bucketed twin of a
+    catalog table on its standing join key, and return its warehouse
+    table name. This is the ingest-time layout a production warehouse
+    maintains for its hottest join edge; standing queries reach it
+    through ``catalog.table(..., prefer_bucketed_on=...)``, which routes
+    to the twin when it exists and falls back to plain parquet when it
+    doesn't — so the same query text runs anywhere and goes
+    exchange-free exactly where the layout investment was made.
+    Column pruning still applies (the twin is parquet), so a narrow
+    consumer reads narrow files either way."""
+    layout = BUCKETED_LAYOUTS[(name, key)]
+    return _ensure_bucketed(
+        spark, sf_dir, layout, key, lambda: table(spark, sf_dir, name)
+    )
+
+
+def bucketed_layout_if_exists(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> str | None:
+    """The read side of the seam: the warehouse table name of the
+    full-column bucketed twin IF this session has built it, else None
+    (caller falls back to plain parquet). Never builds — the write is
+    an explicit ingest-time decision (:func:`ensure_bucketed_layout`),
+    not a read-path side effect."""
+    import hashlib
+
+    layout = BUCKETED_LAYOUTS.get((name, key))
+    if layout is None:
+        return None
+    tag = hashlib.md5(f"{sf_dir}|v{_BUCKET_SCHEMA_V}".encode()).hexdigest()[:8]
+    tbl = f"b_{layout}_{tag}"
+    return tbl if spark.catalog.tableExists(tbl) else None
 
 
 @query(

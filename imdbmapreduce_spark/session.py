@@ -26,6 +26,45 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "stop_spark"]
 
 
+def _warehouse_dir() -> str:
+    """Per-PROCESS managed-table warehouse, with a dead-process sweep.
+
+    The default ``spark-warehouse`` under cwd is shared by every process
+    that runs the engine; the bucketed-table setup clears catalog-unknown
+    directories before writing (LOCATION_ALREADY_EXISTS otherwise), and
+    with a SHARED warehouse two live processes (bench + driver sweep)
+    could rmtree each other's tables mid-query (ADVICE r11). A pid-scoped
+    directory makes every managed-table path owned by exactly one
+    process, so orphan clearing can never touch live data. Leftovers
+    from crashed/finished processes are swept here on session build:
+    a sibling ``pid<N>`` dir whose process is gone is garbage by
+    construction, whatever schema version wrote it (the ADVICE's stale-
+    tag case included). ``kill -0`` probes liveness without signaling;
+    EPERM means "alive, different user" and the dir is left alone.
+    """
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "imdbmapreduce_warehouse")
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):
+        if not d.startswith("pid"):
+            continue
+        try:
+            pid = int(d[3:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except PermissionError:
+            pass
+    return os.path.join(root, f"pid{os.getpid()}")
+
+
 def get_spark(
     app_name: str = "imdbmapreduce_spark",
     master: str | None = None,
@@ -56,6 +95,11 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # managed tables (the bucketed layouts) live in a per-process
+        # warehouse — see _warehouse_dir for the cross-process race this
+        # closes. Only effective at session creation; getOrCreate reuse
+        # keeps the creating process's dir, which is the same process.
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
         # TIMESTAMP(NANOS) parquet columns (events.ts) read as raw INT64
         # instead of erroring in the vectorized reader. Set once here —
         # harmless for non-nanos files — so schema never depends on which

@@ -342,3 +342,72 @@ def test_bucketed_fact_fact_join_zero_exchanges(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_q18_routes_through_bucketed_layout(spark, sf_dir):
+    """r11 verdict task 2: the STANDING q18 consumer routes through the
+    full-column orderkey-bucketed twins via the
+    ``catalog.table(..., prefer_bucketed_on=...)`` seam — the whole
+    plan (fact aggregation AND orders join) runs with ZERO Exchange
+    nodes — and value-equals the plain-parquet form of the same query,
+    so the layout lost/duplicated nothing."""
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.functions import cents
+    from imdbmapreduce_spark.plans.relational import _Q18_MIN_QTY_CENTS
+
+    df = registry.get("q18_large_orders").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("sum_qc"))
+        .filter(F.col("sum_qc") > _Q18_MIN_QTY_CENTS)
+    )
+    orders = table(spark, sf_dir, "orders")
+    plain = orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        (cents("o_totalprice").cast("double") / 100.0).alias("total_price"),
+        (F.col("sum_qc").cast("double") / 100.0).alias("sum_qty"),
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucket_count_mismatch_reintroduces_exchange(spark, sf_dir):
+    """write_bucketed_table's sharp edge, pinned negative (r11 verdict
+    task 7): the exchange-free sort-merge join requires EQUAL bucket
+    counts — Spark's bucket hashing at N buckets is not a refinement of
+    2N, so an 8-vs-16 pair silently reintroduces the shuffle the write
+    paid to remove, while the equal-count control stays exchange-free."""
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.layout import _ensure_bucketed
+
+    def orders_df():
+        return table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def li_df():
+        return table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    o8 = _ensure_bucketed(spark, sf_dir, "orders_nb8", "o_orderkey", orders_df, n_buckets=8)
+    o16 = _ensure_bucketed(spark, sf_dir, "orders_nb16", "o_orderkey", orders_df, n_buckets=16)
+    l16 = _ensure_bucketed(spark, sf_dir, "li_nb16", "l_orderkey", li_df, n_buckets=16)
+
+    mismatched = spark.table(o8).join(
+        spark.table(l16).hint("merge"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    assert "Exchange" in mismatched._jdf.queryExecution().executedPlan().toString()
+
+    matched = spark.table(o16).join(
+        spark.table(l16).hint("merge"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    assert "Exchange" not in matched._jdf.queryExecution().executedPlan().toString()
