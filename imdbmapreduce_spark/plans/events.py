@@ -1506,6 +1506,17 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKEW_JOIN_SALT = 16
 
 
+def _hot_key_predicate(key: str, hot_keys: list):
+    """The hot/cold split predicate of :func:`salted_join`, aligned with
+    how ``stats.key_stats`` nominated the keys: the MCV list is
+    collected through ``cast("string")``, so membership is tested
+    through the SAME cast on the column side. Pinned across native key
+    types in tests/test_events_extra.py — the failure mode this closes
+    (ADVICE r11) is a coerced native-vs-string IN matching nothing and
+    silently degrading a 'salted' decision to the plain shuffle."""
+    return F.col(key).cast("string").isin([str(k) for k in hot_keys])
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -1537,8 +1548,20 @@ def salted_join(
     bounded because hot keys are by definition few. Salt count scales
     with executor count, not data volume; residual imbalance within a
     salted key is AQE territory.
+
+    Type note (ADVICE r11): hot keys arrive as STRINGS — ``key_stats``
+    collects its MCV list through a ``cast("string")`` — so the hot
+    filter compares the join column through the SAME cast. A native
+    ``isin`` would make Spark coerce the mixed comparison, and for
+    non-string keys (bigint, decimal, timestamp) a failed coercion
+    silently matches nothing: results stay correct (the cold branch
+    joins everything) but the salted decision degenerates to the plain
+    shuffle it was chosen to avoid. The string compare keeps the hot
+    IN-list aligned with the statistics that nominated it; it lives
+    only on the few-valued hot/cold split, never on the join key
+    itself.
     """
-    hot = F.col(key).isin(hot_keys)
+    hot = _hot_key_predicate(key, hot_keys)
     fact_hot = fact.filter(hot).withColumn(
         "_salt", F.pmod(F.hash(fact_salt_col), F.lit(buckets))
     )

@@ -619,3 +619,45 @@ def test_join_strategy_decision_flips_with_key_statistics(spark):
     assert sorted((r.k, r.v, r.dim_n) for r in j_bc.collect()) == want
     want_u = sorted((r.k, r.v, r.dim_n) for r in uni.join(udim, "k").collect())
     assert sorted((r.k, r.v, r.dim_n) for r in j_shuffle.collect()) == want_u
+
+
+def test_hot_key_predicate_matches_native_typed_keys(spark):
+    """ADVICE r11: key_stats' MCV keys are strings; the salted join's
+    hot/cold split must match them against NATIVE-typed join columns
+    through the same cast the stats used — for every key type a
+    warehouse realistically salts on. A coercion mismatch here is
+    silent (results stay correct via the cold branch) so the pin is on
+    the split itself: the predicate selects exactly the hot rows, and
+    the salted join over a non-string key still routes them through
+    the salted arm (hot dim rows replicated per salt bucket)."""
+    import datetime
+
+    from imdbmapreduce_spark.plans.events import _hot_key_predicate, salted_join
+    from imdbmapreduce_spark.stats import key_stats
+
+    cases = [
+        ("bigint", [(7, "a")] * 9 + [(i, "b") for i in range(10, 19)], 9),
+        ("double", [(7.5, "a")] * 9 + [(float(i), "b") for i in range(9)], 9),
+        (
+            "timestamp",
+            [(datetime.datetime(2024, 1, 1, 12, 0, 0), "a")] * 9
+            + [(datetime.datetime(2024, 2, 1 + i), "b") for i in range(9)],
+            9,
+        ),
+    ]
+    for typ, rows, n_hot in cases:
+        df = spark.createDataFrame(rows, f"k {typ}, v string")
+        stats = key_stats(df, "k")
+        hot = [stats.mcv[0][0]]  # the string-typed MCV head, as shipped
+        got = df.filter(_hot_key_predicate("k", hot)).count()
+        assert got == n_hot, f"{typ}: hot predicate matched {got} of {n_hot}"
+
+        # end to end: the salted arm actually engages — each hot dim row
+        # is replicated across the salt buckets, never lost to coercion
+        dim = df.select("k").distinct()
+        out = salted_join(df, dim, "k", hot, 4, "v")
+        assert out.count() == len(rows)  # lossless rewrite
+        hot_arm = df.filter(_hot_key_predicate("k", hot)).join(
+            dim.filter(_hot_key_predicate("k", hot)), "k"
+        )
+        assert hot_arm.count() == n_hot
