@@ -1754,12 +1754,20 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey equi-join — Catalyst keeps the hash join and applies it as a
     post-join filter, never a theta join. Priority classification is a
     codegen CASE, aggregated map-side to |linestatus| groups.
+
+    Layout seam (round 12): both fact reads pass ``prefer_bucketed_on``
+    WITHOUT ensuring the layout — the opportunistic half of the r11
+    verdict's "prefer the bucketed layout when one exists" contract. In
+    a session where any orderkey consumer (q18) built the full-column
+    twins, this query's join goes exchange-free for free (filters and
+    column pruning still push into the twin's parquet scan); in a fresh
+    session it reads plain parquet, same rows either way (pinned).
     """
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table(spark, sf_dir, "lineitem", prefer_bucketed_on="l_orderkey").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", prefer_bucketed_on="o_orderkey")
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

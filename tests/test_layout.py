@@ -379,6 +379,60 @@ def test_q18_routes_through_bucketed_layout(spark, sf_dir):
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_q12_routes_opportunistically_when_layout_exists(spark, sf_dir):
+    """The opportunistic half of the seam: q12 passes prefer_bucketed_on
+    WITHOUT building the twins; once any orderkey consumer has built
+    them (q18 here), the routed read serves the join from the bucketed
+    layout. At test scale AQE broadcasts the year-filtered fact either
+    way (hiding the exchange question), so the exchange pin compares
+    the SORT-MERGE forms — the strategy a 100 TB run would take, where
+    neither side broadcasts: the bucketed SMJ join is exchange-free on
+    the join keys while the plain SMJ shuffles both sides. The
+    registered query's values are pinned identical to the plain text."""
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark import registry
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.layout import ensure_bucketed_layout
+
+    ensure_bucketed_layout(spark, sf_dir, "lineitem", "l_orderkey")
+    ensure_bucketed_layout(spark, sf_dir, "orders", "o_orderkey")
+
+    year = (
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+
+    def q12_join(prefer: bool):
+        kw = dict(prefer_bucketed_on="l_orderkey") if prefer else {}
+        li = table(spark, sf_dir, "lineitem", **kw).filter(year)
+        okw = dict(prefer_bucketed_on="o_orderkey") if prefer else {}
+        orders = table(spark, sf_dir, "orders", **okw)
+        return li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+
+    routed_plan = q12_join(True)._jdf.queryExecution().executedPlan().toString()
+    plain_plan = q12_join(False)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in routed_plan and "SortMergeJoin" in plain_plan
+    assert routed_plan.count("Exchange") == 0
+    assert plain_plan.count("Exchange") >= 2
+
+    # the registered query (AQE free to broadcast) equals the plain text
+    routed = registry.get("q12_late_shipment_priority").fn(spark, sf_dir)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    plain = (
+        q12_join(False)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+    assert sorted(map(tuple, routed.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_bucket_count_mismatch_reintroduces_exchange(spark, sf_dir):
     """write_bucketed_table's sharp edge, pinned negative (r11 verdict
     task 7): the exchange-free sort-merge join requires EQUAL bucket
