@@ -82,10 +82,14 @@ def main() -> None:
         persist_vector_index,
     )
 
+    from imdbmapreduce_spark.operators.dedup import _er_params, persist_er_index
+
     if indexstore.group_manifest(sf_dir, "vector", _vector_params()) is None:
         persist_vector_index(spark, sf_dir)
     if indexstore.group_manifest(sf_dir, "text", _text_params()) is None:
         persist_text_index(spark, sf_dir)
+    if indexstore.group_manifest(sf_dir, "er", _er_params()) is None:
+        persist_er_index(spark, sf_dir)
     release_shared_caches()
 
     def materialize(name: str) -> None:

@@ -45,7 +45,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 # group -> (source parquet file used for the staleness stamp)
-GROUPS = {"vector": "embeddings.parquet", "text": "documents.parquet"}
+GROUPS = {
+    "vector": "embeddings.parquet",
+    "text": "documents.parquet",
+    # the ER family's MDM artifacts (round 12): the deletion-blocked
+    # match table + the standing base entity assignment
+    "er": "customer.parquet",
+}
 
 # Monotone count of successful artifact loads this process — tooling
 # (tools/plan_report.py) snapshots it around a query to attribute

@@ -843,13 +843,22 @@ def streaming_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from imdbmapreduce_spark import indexstore
     from imdbmapreduce_spark.operators.dedup import (
         _CUST_SHARD_MOD,
         _CUST_SHARD_RESIDUE,
         _customer_base_entities,
+        _er_params,
         _link_postings,
         entity_arrival_verdicts,
     )
+
+    # Same mid-drain guard as the near-dup gate's text index: the base
+    # assignment may resolve FROM the persisted "er" group (a lazy
+    # parquet scan of its files), so a re-persist during the drain could
+    # serve micro-batches a mixed index. Snapshot the manifest, refuse
+    # the run if it moved.
+    er_manifest_before = indexstore.group_manifest(sf_dir, "er", _er_params())
 
     cust = table(spark, sf_dir, "customer")
     is_new = (F.col("c_custkey") % _CUST_SHARD_MOD) == _CUST_SHARD_RESIDUE
@@ -887,6 +896,11 @@ def streaming_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
     )
     _drain_foreach(stream, on_batch)
+    if indexstore.group_manifest(sf_dir, "er", _er_params()) != er_manifest_before:
+        raise RuntimeError(
+            "er index re-persisted mid-drain: micro-batches served mixed "
+            "index versions; re-run the gate against the committed index"
+        )
     if not os.path.isdir(sink):  # zero micro-batches fired
         return spark.createDataFrame([], out_schema)
     # each record lives in exactly one micro-batch; dropDuplicates is the

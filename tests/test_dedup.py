@@ -302,6 +302,61 @@ def test_persisted_text_index_cold_session_roundtrip(spark, sf_dir, tmp_path, mo
         release_shared_caches()
 
 
+def test_persisted_er_index_cold_session_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
+    """ER-index lifecycle (round 12 — the text/vector discipline applied
+    to the MDM artifacts): persist the match table + base entity
+    assignment, empty the session cache, and prove the ER family
+    answers identically FROM DISK by poisoning the posting builder.
+    Also pins the params guard: changing the match threshold refuses
+    the stale on-disk index."""
+    import imdbmapreduce_spark.operators.dedup as D
+    from imdbmapreduce_spark import indexstore, registry
+    from imdbmapreduce_spark.cache import release_shared_caches
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    release_shared_caches()
+    try:
+        def snap(names):
+            return {
+                name: sorted(map(tuple, registry.get(name).fn(spark, sf_dir).collect()))
+                for name in names
+            }
+
+        # fuzzy/groups resolve entirely from the artifacts; the arrival
+        # gate reads the persisted base ASSIGNMENT but always does fresh
+        # shard-probe work (by design: arrival cost ∝ the delivery), so
+        # it is equality-checked without the poison.
+        artifact_only = ("customer_fuzzy_matches", "customer_entity_groups")
+        baseline = snap(artifact_only)
+        arrival_baseline = snap(("customer_entity_arrival",))
+        D.persist_er_index(spark, sf_dir)
+        assert indexstore.group_manifest(sf_dir, "er", D._er_params()) is not None
+
+        release_shared_caches()
+        assert snap(("customer_entity_arrival",)) == arrival_baseline
+
+        release_shared_caches()
+
+        def _boom(*a, **k):
+            raise AssertionError("er-index rebuild attempted despite persisted index")
+
+        monkeypatch.setattr(D, "_link_postings", _boom)
+        assert snap(artifact_only) == baseline
+
+        # params guard: a different match threshold must refuse the index
+        changed = dict(D._er_params(), max_dist=D._LINK_MAX_DIST + 1)
+        assert indexstore.group_manifest(sf_dir, "er", changed) is None
+        assert (
+            indexstore.load_group_artifact(spark, sf_dir, "er", "er_match_pairs", changed)
+            is None
+        )
+        indexstore.drop_group(sf_dir, "er")
+        assert indexstore.group_manifest(sf_dir, "er") is None
+    finally:
+        monkeypatch.undo()
+        release_shared_caches()
+
+
 def test_repersist_over_loaded_index_does_not_destroy_it(spark, sf_dir, tmp_path, monkeypatch):
     """Review-r5 regression: re-running persist in a cold session (whose
     artifacts resolved FROM the on-disk index) previously self-overwrote
