@@ -583,6 +583,49 @@ def write_bucketed_table(
     )
 
 
+def _bucketed_table_name(sf_dir: str, name: str) -> str:
+    """Warehouse table name for a bucketed layout: corpus+schema md5
+    tag PLUS the process id as a parseable ``_p<pid>`` suffix. The pid
+    rides OUTSIDE the hash on purpose (ADVICE r11): bucketed tables are
+    session-scoped anyway (in-memory catalog), so the nonce loses
+    nothing, makes orphan clearing same-process-only by construction
+    even in a SHARED warehouse (a session the engine didn't configure —
+    an external driver's — uses cwd/spark-warehouse), and lets the
+    sweep below reap any dead process's leftovers regardless of
+    schema-tag vintage."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(f"{sf_dir}|v{_BUCKET_SCHEMA_V}".encode()).hexdigest()[:8]
+    return f"b_{name}_{tag}_p{os.getpid()}"
+
+
+def _sweep_dead_bucketed_dirs(spark: SparkSession) -> None:
+    """Remove ``b_*_p<pid>`` warehouse dirs whose owning process is gone
+    — dead sessions' bucketed layouts are garbage by definition,
+    whatever schema tag wrote them. Live processes (including this one)
+    are never touched; EPERM (alive, other user) leaves the dir
+    alone."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if not wh or not os.path.isdir(wh):
+        return
+    for d in os.listdir(wh):
+        m = re.fullmatch(r"b_.*_p(\d+)", d)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+        except PermissionError:
+            pass
+
+
 def _ensure_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -595,25 +638,27 @@ def _ensure_bucketed(
     from the two pair builders — ADVICE r11): returns the warehouse
     table name for ``name`` bucketed on ``key``, writing it from
     ``build_df()`` if this session hasn't yet. Table names carry a
-    corpus+schema tag; the in-memory catalog scopes them to the
-    session, so a fresh session rebuilds (the same once-per-session
-    contract as the index artifacts).
+    corpus+schema tag plus the pid nonce (:func:`_bucketed_table_name`);
+    the in-memory catalog scopes them to the session, so a fresh
+    session rebuilds (the same once-per-session contract as the index
+    artifacts).
 
-    Orphan clearing is safe by construction since round 12: a table
-    written by a PREVIOUS session in this process is forgotten by the
-    in-memory catalog but its managed location survives, and CREATE
-    refuses the occupied path (LOCATION_ALREADY_EXISTS) — so the stale
-    dir is removed first. The warehouse dir itself is PID-scoped
-    (session._warehouse_dir), so the rmtree can never hit another live
-    process's tables, and dead processes' whole warehouses are swept at
-    session build regardless of schema-tag version."""
-    import hashlib
+    Orphan clearing is same-PROCESS-only by construction: the pid is in
+    the table name, so the pre-write rmtree can only ever hit a dir a
+    previous session of THIS process left behind (in-memory catalog
+    forgot it; CREATE would refuse the occupied path with
+    LOCATION_ALREADY_EXISTS). Dead processes' leftovers — any schema
+    vintage — are reaped by :func:`_sweep_dead_bucketed_dirs` on the
+    first ensure of the session; engine-built sessions additionally
+    run in a PID-scoped warehouse (session._warehouse_dir), making the
+    shared-warehouse case the external-session fallback, not the
+    norm."""
     import shutil
     from urllib.parse import urlparse
 
-    tag = hashlib.md5(f"{sf_dir}|v{_BUCKET_SCHEMA_V}".encode()).hexdigest()[:8]
-    tbl = f"b_{name}_{tag}"
+    tbl = _bucketed_table_name(sf_dir, name)
     if not spark.catalog.tableExists(tbl):
+        _sweep_dead_bucketed_dirs(spark)
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
         if wh:
             shutil.rmtree(f"{wh}/{tbl.lower()}", ignore_errors=True)
@@ -767,13 +812,10 @@ def bucketed_layout_if_exists(
     (caller falls back to plain parquet). Never builds — the write is
     an explicit ingest-time decision (:func:`ensure_bucketed_layout`),
     not a read-path side effect."""
-    import hashlib
-
     layout = BUCKETED_LAYOUTS.get((name, key))
     if layout is None:
         return None
-    tag = hashlib.md5(f"{sf_dir}|v{_BUCKET_SCHEMA_V}".encode()).hexdigest()[:8]
-    tbl = f"b_{layout}_{tag}"
+    tbl = _bucketed_table_name(sf_dir, layout)
     return tbl if spark.catalog.tableExists(tbl) else None
 
 
