@@ -15,6 +15,8 @@ interleave) — JVM-side, codegen-friendly, no UDF.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -545,6 +547,8 @@ _N_BUCKETS = 16
 # the warehouse table names, so stale layouts are never silently reused
 _BUCKET_SCHEMA_V = 1
 
+_ENSURE_LOCK = threading.Lock()
+
 
 def write_bucketed_table(
     df: DataFrame, name: str, key: str, n_buckets: int = _N_BUCKETS
@@ -657,12 +661,16 @@ def _ensure_bucketed(
     from urllib.parse import urlparse
 
     tbl = _bucketed_table_name(sf_dir, name)
-    if not spark.catalog.tableExists(tbl):
-        _sweep_dead_bucketed_dirs(spark)
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if wh:
-            shutil.rmtree(f"{wh}/{tbl.lower()}", ignore_errors=True)
-        write_bucketed_table(build_df(), tbl, key, n_buckets)
+    # serialize concurrent first-ensures within the process: bench's
+    # 4-lane TPC-H pass (and any user running q18 from two threads of
+    # one session) must not race the exists-check/saveAsTable pair
+    with _ENSURE_LOCK:
+        if not spark.catalog.tableExists(tbl):
+            _sweep_dead_bucketed_dirs(spark)
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+            if wh:
+                shutil.rmtree(f"{wh}/{tbl.lower()}", ignore_errors=True)
+            write_bucketed_table(build_df(), tbl, key, n_buckets)
     return tbl
 
 
