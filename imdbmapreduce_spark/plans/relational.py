@@ -118,14 +118,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders grow linearly with data), so forcing a broadcast would OOM at
     100× — AQE picks broadcast vs shuffle from the runtime size instead.
     The orders→lineitem shuffle on orderkey is the only unavoidable
-    exchange. Top-10 is a TakeOrdered, not a global sort. LIMIT has a
-    total order (revenue, l_orderkey) so the selected set is deterministic.
+    exchange — unavoidable on PLAIN parquet, that is: both fact reads
+    pass ``prefer_bucketed_on`` (round 12, the q12-style opportunistic
+    seam), so in a session whose orderkey twins exist the sort-merge
+    form runs with both fact sides pre-partitioned (a BroadcastHashJoin
+    preserves its streamed child's partitioning, so the orders side
+    keeps the bucketing through the dim join). At test scale AQE
+    broadcasts the date-filtered lineitem instead — the same
+    strategy-vs-layout split q12's pin documents; the bucketed win is
+    the at-scale SMJ path. Top-10 is a TakeOrdered, not a global sort.
+    LIMIT has a total order (revenue, l_orderkey) so the selected set
+    is deterministic.
     """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = table(spark, sf_dir, "orders").filter(
+    orders = table(spark, sf_dir, "orders", prefer_bucketed_on="o_orderkey").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table(spark, sf_dir, "lineitem", prefer_bucketed_on="l_orderkey").filter(
         F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
     return (
