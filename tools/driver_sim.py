@@ -73,17 +73,46 @@ print("RESULT:", "ALL MATCH" if not fails else f"FAILURES: {fails}")
 # is what flips an edited query back from "stale, tier 1" to "verified"
 # in registry.sweep_order(). Failures keep their old entry, so a red
 # query stays demoted.
+#
+# The refresh runs in a FRESH SUBPROCESS (round 12): a source file
+# edited while this long sweep runs makes in-process inspect.getsource
+# extract WRONG text (the loaded functions carry old line numbers;
+# linecache re-reads the new file on mtime change), poisoning every
+# fingerprint after the edit point. A fresh interpreter's line numbers
+# and file contents always agree. The subprocess recomputes only names
+# passed on stdin (sweep-verified ones), merging into the existing
+# manifest exactly as before.
 import json
+import subprocess
 
 from imdbmapreduce_spark import registry
 
+refresh_src = """
+import json, sys
+sys.path.insert(0, "/root/repo")
+from imdbmapreduce_spark import registry
+names = json.load(sys.stdin)
 manifest = dict(registry._manifest())
-for name in qs:
-    if name not in fails:
-        manifest[name] = registry.query_fingerprint(name)
+for name in names:
+    manifest[name] = registry.query_fingerprint(name)
 with open(registry.manifest_path(), "w", encoding="utf-8") as f:
     json.dump(dict(sorted(manifest.items())), f, indent=1)
-print(f"fingerprint manifest: {len(manifest)} entries refreshed -> {registry.manifest_path()}")
+print(len(manifest))
+"""
+ok_names = [name for name in qs if name not in fails]
+proc = subprocess.run(
+    [sys.executable, "-c", refresh_src],
+    input=json.dumps(ok_names),
+    capture_output=True,
+    text=True,
+)
+if proc.returncode != 0:
+    print(f"fingerprint refresh FAILED:\n{proc.stderr[-2000:]}")
+else:
+    print(
+        f"fingerprint manifest: {proc.stdout.strip()} entries refreshed -> "
+        f"{registry.manifest_path()}"
+    )
 
 spark.stop()
 sys.exit(1 if fails else 0)
