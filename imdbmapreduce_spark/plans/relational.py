@@ -189,14 +189,17 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the equi-join (never a theta join), and each order short-circuits at
     its first matching line — no duplicate-then-distinct blowup. One
     shuffle pair on orderkey, then a map-side-combined agg to |priorities|
-    (=5) groups. At 100×, AQE may flip the semi-join to shuffled-hash per
+    (=5) groups — and when the session's orderkey bucketed twins exist,
+    both reads route through them (round 12, the q12/q3 opportunistic
+    seam) and the semi-join's shuffle pair disappears in the sort-merge
+    form. At 100×, AQE may flip the semi-join to shuffled-hash per
     partition size; semantics are unchanged.
     """
-    orders = table(spark, sf_dir, "orders").filter(
+    orders = table(spark, sf_dir, "orders", prefer_bucketed_on="o_orderkey").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
     )
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", prefer_bucketed_on="l_orderkey")
     return (
         orders.join(
             li,
