@@ -1480,14 +1480,25 @@ def _prefix_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_join(
-    spark: SparkSession, sf_dir: str, df_ceil: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    df_ceil: int | None = None,
+    side_a=None,
+    side_b=None,
 ) -> DataFrame:
-    """Shared symmetric prefix-join plan behind
-    :func:`jaccard_prefix_join` (df_ceil=None — exact, complete) and
-    :func:`jaccard_prefix_join_bounded` (df_ceil set — posting-list
-    ceiling on the candidate join, bounded recall). Mirrors
-    :func:`_containment_join`'s ceiling mechanics over the SAME shared
-    ranked artifact; the exact verify always counts the FULL sets."""
+    """Shared prefix-join plan behind :func:`jaccard_prefix_join`
+    (df_ceil=None — exact, complete), :func:`jaccard_prefix_join_bounded`
+    (df_ceil set — posting-list ceiling on the candidate join, bounded
+    recall) and the routed ARRIVAL gate (``side_a``/``side_b`` set —
+    doc_id predicates restricting each candidate side, e.g. shard vs
+    base; the symmetric ``doc_a < doc_b`` dedupe is then replaced by
+    role order + ``doc_a != doc_b``, and the prefix/PPJoin theorems are
+    side-split-agnostic: the first surviving common shingle of a
+    qualifying pair lies in BOTH prefixes whichever side each document
+    is on). One definition for candidate generation, tightening, and
+    the exact full-set verify — batch and arrival semantics cannot
+    fork. Mirrors :func:`_containment_join`'s ceiling/side mechanics
+    over the SAME shared ranked artifact."""
     ex = _shingle_rows_cached(spark, sf_dir)  # distinct (doc_id, shingle)
 
     # The df-ordered ranked table is the derivation half of the join
@@ -1537,12 +1548,19 @@ def _jaccard_join(
     _ub = 1 + F.least(
         F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
     )
+    pa = pref.filter(side_a) if side_a is not None else pref
+    pb = pref.filter(side_b) if side_b is not None else pref
+    pair_pred = (
+        F.col("a.doc_id") != F.col("b.doc_id")
+        if side_a is not None or side_b is not None
+        else F.col("a.doc_id") < F.col("b.doc_id")
+    )
     cand = (
-        pref.alias("a")
+        pa.alias("a")
         .join(
-            pref.alias("b"),
+            pb.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & pair_pred
             & (_PFX_TAU_DEN * _min_n >= _PFX_TAU_NUM * _max_n)
             & (
                 (_PFX_TAU_NUM + _PFX_TAU_DEN) * _ub
@@ -1566,7 +1584,10 @@ def _jaccard_join(
     return (
         common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-        .filter(8 * F.col("n_common") >= 3 * (F.col("n_a") + F.col("n_b")))
+        .filter(
+            (_PFX_TAU_NUM + _PFX_TAU_DEN) * F.col("n_common")
+            >= _PFX_TAU_NUM * (F.col("n_a") + F.col("n_b"))
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -1902,77 +1923,26 @@ def neardup_pairs_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_ingest_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The bounded-prefix Jaccard ARRIVAL gate plan: candidates =
-    arriving-shard prefix postings x base prefix postings, both under
-    the df-ceiling, with the same PPJoin length/positional tightening
-    and exact full-set verify as :func:`_jaccard_join` (the theorems
-    are side-split-agnostic: the first surviving common shingle of a
-    qualifying pair lies in BOTH prefixes whichever side each document
-    is on). df/ranks come from the shared full-corpus ranked artifact —
+    """The bounded-prefix Jaccard ARRIVAL gate plan: the shared
+    :func:`_jaccard_join` with the df-ceiling and the shard/base side
+    predicates (candidate generation, PPJoin tightening, and the exact
+    full-set verify are ONE definition — the round-12 review folded the
+    previous copy back in, so batch and arrival semantics cannot
+    fork). df/ranks come from the shared full-corpus ranked artifact —
     the index-snapshot convention every arrival gate here follows.
     Fresh candidate work is proportional to the SHARD's surviving
     prefix postings; output is (new_doc, matched_doc, jaccard) at the
     prefix families' tau."""
-    ex = _shingle_rows_cached(spark, sf_dir)
-    pref = _prefix_postings(spark, sf_dir).filter(F.col("df") <= _JAC_DF_CEIL)
-    pref = stable_checkpoint(pref.select("doc_id", "shingle", "n_sh", "rn"))
-    a = pref.filter(_is_shard("doc_id")).alias("a")
-    b = pref.filter(~_is_shard("doc_id")).alias("b")
-    _min_n = F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-    _max_n = F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
-    _ub = 1 + F.least(
-        F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (_PFX_TAU_DEN * _min_n >= _PFX_TAU_NUM * _max_n)
-            & (
-                (_PFX_TAU_NUM + _PFX_TAU_DEN) * _ub
-                >= _PFX_TAU_NUM * (F.col("a.n_sh") + F.col("b.n_sh"))
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("new_doc"),
-            F.col("b.doc_id").alias("matched_doc"),
-        )
-        .distinct()
-    )
-    common = (
-        ex.select(F.col("doc_id").alias("new_doc"), "shingle")
-        .join(cand, "new_doc")
-        .join(
-            ex.select(F.col("doc_id").alias("matched_doc"), "shingle"),
-            ["matched_doc", "shingle"],
-        )
-        .groupBy("new_doc", "matched_doc")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("n_a")),
-            "new_doc",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("matched_doc"), F.col("n_sh").alias("n_b")
-            ),
-            "matched_doc",
-        )
-        .filter(
-            (_PFX_TAU_NUM + _PFX_TAU_DEN) * F.col("n_common")
-            >= _PFX_TAU_NUM * (F.col("n_a") + F.col("n_b"))
-        )
-        .select(
-            "new_doc",
-            "matched_doc",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
+    return _jaccard_join(
+        spark,
+        sf_dir,
+        df_ceil=_JAC_DF_CEIL,
+        side_a=_is_shard("doc_id"),
+        side_b=~_is_shard("doc_id"),
+    ).select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("matched_doc"),
+        "jaccard",
     )
 
 
@@ -3795,7 +3765,9 @@ def _link_postings(cust: DataFrame) -> DataFrame:
     ).select("c_custkey", "c_name", F.col("v.pos").alias("pos"), F.col("v.blk").alias("blk"))
 
 
-def _blocked_fuzzy_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+def _blocked_fuzzy_pairs(
+    left: DataFrame, right: DataFrame, right_materialized: bool = False
+) -> DataFrame:
     """Blocked Levenshtein match candidates between two deletion-
     neighborhood POSTING frames (:func:`_link_postings` — same
     block-then-verify shape for the batch self-join and the arrival
@@ -3818,11 +3790,19 @@ def _blocked_fuzzy_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
     # Materialize each posting frame once: three join arms below would
     # otherwise re-run the variant explode six times for a self-join
     # (measured ~3 s of the 4 s warm match join at sf0.1). The `is`
-    # check keeps the self-join case to ONE materialization.
+    # check keeps the self-join case to ONE materialization;
+    # ``right_materialized`` lets a caller that probes the SAME standing
+    # frame repeatedly (the streaming gate: one base, many micro-
+    # batches) checkpoint it once outside and skip the per-call copy —
+    # without it every micro-batch re-ran the full base variant explode,
+    # violating the arrival-cost-proportional-to-delivery contract.
     lp = stable_checkpoint(left.select("c_custkey", "c_name", "pos", "blk"))
-    rp = lp if right is left else stable_checkpoint(
-        right.select("c_custkey", "c_name", "pos", "blk")
-    )
+    if right is left:
+        rp = lp
+    elif right_materialized:
+        rp = right.select("c_custkey", "c_name", "pos", "blk")
+    else:
+        rp = stable_checkpoint(right.select("c_custkey", "c_name", "pos", "blk"))
     a = lp.select(
         F.col("c_custkey").alias("custkey_a"),
         F.col("c_name").alias("name_a"),
@@ -4080,7 +4060,12 @@ def persist_er_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def entity_arrival_verdicts(new: DataFrame, base: DataFrame, assign: DataFrame) -> DataFrame:
+def entity_arrival_verdicts(
+    new: DataFrame,
+    base: DataFrame,
+    assign: DataFrame,
+    base_materialized: bool = False,
+) -> DataFrame:
     """The arrival-gate plan over ANY batch of arriving keyed customers
     (posting frames from :func:`_link_postings`): deletion-neighborhood
     blocked fuzzy probe vs the standing base (deduped on the record
@@ -4092,7 +4077,7 @@ def entity_arrival_verdicts(new: DataFrame, base: DataFrame, assign: DataFrame) 
     per-batch verdicts are complete and the union over batches equals
     the batch query."""
     links = (
-        _blocked_fuzzy_pairs(new, base)
+        _blocked_fuzzy_pairs(new, base, right_materialized=base_materialized)
         .dropDuplicates(["custkey_a", "custkey_b"])
         .join(assign, F.col("custkey_b") == F.col("node"))
         .select(F.col("custkey_a").alias("new_custkey"), "cluster_id")

@@ -607,27 +607,15 @@ def _bucketed_table_name(sf_dir: str, name: str) -> str:
 def _sweep_dead_bucketed_dirs(spark: SparkSession) -> None:
     """Remove ``b_*_p<pid>`` warehouse dirs whose owning process is gone
     — dead sessions' bucketed layouts are garbage by definition,
-    whatever schema tag wrote them. Live processes (including this one)
-    are never touched; EPERM (alive, other user) leaves the dir
-    alone."""
-    import os
-    import re
-    import shutil
+    whatever schema tag wrote them (the shared liveness probe lives in
+    session.reap_dead_pid_dirs)."""
     from urllib.parse import urlparse
 
+    from imdbmapreduce_spark.session import reap_dead_pid_dirs
+
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if not wh or not os.path.isdir(wh):
-        return
-    for d in os.listdir(wh):
-        m = re.fullmatch(r"b_.*_p(\d+)", d)
-        if not m or int(m.group(1)) == os.getpid():
-            continue
-        try:
-            os.kill(int(m.group(1)), 0)
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
-        except PermissionError:
-            pass
+    if wh:
+        reap_dead_pid_dirs(wh, r"b_.*_p(\d+)")
 
 
 def _ensure_bucketed(

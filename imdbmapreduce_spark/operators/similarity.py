@@ -2287,9 +2287,9 @@ def _embedding_neardup_by_family(
 @query(
     "embedding_neardup_routed",
     # the family decision rides along in the result (ADVICE r11): this
-    # router legitimately flips per scale (snm <= 1,024 vectors, cells
-    # past it — bench corpora cross the boundary, so a loud assert like
-    # the document router's would be wrong here), and the oracle checks
+    # router legitimately flips per scale (snm up to EMB_SNM_MAX_VECTORS,
+    # cells past it — bench corpora cross the boundary, so a loud assert
+    # like the document router's would be wrong here), and the oracle checks
     # the SNM branch at the driver's under-boundary correctness scales —
     # a flip at an oracle-checked scale now surfaces as an explicit
     # family-column diff, not a bare pair-set hash mismatch.

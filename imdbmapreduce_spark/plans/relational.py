@@ -776,7 +776,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimated HAVING output) — the seam degrades to exactly what
     shipped before, measured as the A/B in SCALE.md round 12.
     """
-    from imdbmapreduce_spark.operators.layout import ensure_bucketed_layout
+    from imdbmapreduce_spark.operators.layout import (
+        bucketed_layout_if_exists,
+        ensure_bucketed_layout,
+    )
 
     ensure_bucketed_layout(spark, sf_dir, "lineitem", "l_orderkey")
     ensure_bucketed_layout(spark, sf_dir, "orders", "o_orderkey")
@@ -787,8 +790,17 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qc") > _Q18_MIN_QTY_CENTS)
     )
     orders = table(spark, sf_dir, "orders", prefer_bucketed_on="o_orderkey")
+    # the merge hint belongs to the BUCKETED plan only (it is what makes
+    # the exchange-free SMJ visible at test scale); in the no-twin
+    # fallback the r11 plan's AQE broadcast of the decimated HAVING
+    # output is strictly better than a forced sort-merge
+    routed = (
+        bucketed_layout_if_exists(spark, sf_dir, "orders", "o_orderkey")
+        is not None
+    )
+    big_side = big.hint("merge") if routed else big
     return (
-        orders.join(big.hint("merge"), orders.o_orderkey == big.l_orderkey)
+        orders.join(big_side, orders.o_orderkey == big.l_orderkey)
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),

@@ -26,6 +26,33 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "stop_spark"]
 
 
+def reap_dead_pid_dirs(root: str, pattern: str) -> None:
+    """Remove subdirectories of ``root`` whose embedded owner process is
+    gone — the shared liveness sweep behind the per-process warehouse
+    (below) and the pid-nonced bucketed-table names
+    (operators/layout.py). ``pattern`` is a regex over the dir NAME with
+    exactly one capture group, the owning pid. ``kill -0`` probes
+    liveness without signaling; EPERM means "alive, different user" and
+    the dir is left alone; the calling process's own dirs are never
+    touched. Dead owners' dirs are garbage by construction, whatever
+    schema version wrote them."""
+    import re
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        m = re.fullmatch(pattern, d)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except PermissionError:
+            pass
+
+
 def _warehouse_dir() -> str:
     """Per-PROCESS managed-table warehouse, with a dead-process sweep.
 
@@ -35,33 +62,19 @@ def _warehouse_dir() -> str:
     with a SHARED warehouse two live processes (bench + driver sweep)
     could rmtree each other's tables mid-query (ADVICE r11). A pid-scoped
     directory makes every managed-table path owned by exactly one
-    process, so orphan clearing can never touch live data. Leftovers
-    from crashed/finished processes are swept here on session build:
-    a sibling ``pid<N>`` dir whose process is gone is garbage by
-    construction, whatever schema version wrote it (the ADVICE's stale-
-    tag case included). ``kill -0`` probes liveness without signaling;
-    EPERM means "alive, different user" and the dir is left alone.
-    """
-    import shutil
-    import tempfile
+    process, so orphan clearing can never touch live data; leftovers from
+    crashed/finished processes are swept on session build.
 
-    root = os.path.join(tempfile.gettempdir(), "imdbmapreduce_warehouse")
+    Location: ``sessions/`` under the package's own spark-warehouse —
+    DISK-backed alongside the persisted index artifacts. (The round-12
+    review caught the first cut using tempfile.gettempdir(): /tmp is a
+    size-limited RAM tmpfs on many hosts, exactly where full-column
+    bucketed twins of the two largest tables must not land.)
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(repo, "spark-warehouse", "sessions")
     os.makedirs(root, exist_ok=True)
-    for d in os.listdir(root):
-        if not d.startswith("pid"):
-            continue
-        try:
-            pid = int(d[3:])
-        except ValueError:
-            continue
-        if pid == os.getpid():
-            continue
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        except PermissionError:
-            pass
+    reap_dead_pid_dirs(root, r"pid(\d+)")
     return os.path.join(root, f"pid{os.getpid()}")
 
 

@@ -808,9 +808,9 @@ def _entity_arrival_oracle() -> str:
     # lives in exactly one micro-batch and verdicts are per-record
     # complete, so the gate's sink union equals customer_entity_arrival
     # (pinned below in test_streaming.py) and can carry the same oracle —
-    # r11 verdict "what's missing #3". Imported lazily only to keep this
-    # module's import graph acyclic-by-construction; dedup never imports
-    # the streaming package.
+    # r11 verdict "what's missing #3". The import runs at module load
+    # (the decorator evaluates this function then); it lives in a helper
+    # only to keep the dedup dependency in one greppable place.
     from imdbmapreduce_spark.operators.dedup import _ENTITY_ARRIVAL_ORACLE
 
     return _ENTITY_ARRIVAL_ORACLE
@@ -871,7 +871,14 @@ def streaming_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust.filter(is_new).repartition(4).write.mode("overwrite").json(path)
 
-    base = _link_postings(cust.filter(~is_new))
+    # materialize the standing base's postings ONCE before the drain —
+    # every micro-batch probes this same frame, and without the explicit
+    # checkpoint each on_batch would re-run the full base variant
+    # explode (the arrival-cost contract violation the round-12 review
+    # caught)
+    from imdbmapreduce_spark.cache import stable_checkpoint
+
+    base = stable_checkpoint(_link_postings(cust.filter(~is_new)))
     assign = _customer_base_entities(spark, sf_dir)
     sink = os.path.join(os.path.dirname(path), "verdicts")
     shutil.rmtree(sink, ignore_errors=True)
@@ -883,7 +890,9 @@ def streaming_entity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean = _link_postings(
             mb.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
         )
-        verdicts = entity_arrival_verdicts(clean, base, assign)
+        verdicts = entity_arrival_verdicts(
+            clean, base, assign, base_materialized=True
+        )
         verdicts.write.mode("overwrite").parquet(
             os.path.join(sink, f"epoch={int(epoch)}")
         )

@@ -107,7 +107,11 @@ proc = subprocess.run(
     text=True,
 )
 if proc.returncode != 0:
+    # a silently-stale manifest is exactly the failure class it exists
+    # to prevent — surface it as a run failure, like the old in-process
+    # refresh's exception did
     print(f"fingerprint refresh FAILED:\n{proc.stderr[-2000:]}")
+    fails.append("__fingerprint_refresh__")
 else:
     print(
         f"fingerprint manifest: {proc.stdout.strip()} entries refreshed -> "
