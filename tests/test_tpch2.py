@@ -125,14 +125,24 @@ def test_q4_exists_becomes_semi_join(spark, sf_dir):
     """The EXISTS must decorrelate to a LEFT SEMI equi-join on orderkey
     carrying the lateness predicate as a join filter — never a theta or
     nested-loop join — with the quarter filter pushed to the orders scan
-    and lineitem pruned to (l_orderkey, l_shipdate)."""
+    and lineitem pruned to (l_orderkey, l_shipdate). Since round 12 q4
+    reads through the opportunistic bucketed seam, so in a session
+    whose orderkey twins exist the scans are the full-column twins —
+    also parquet, so pushdown and pruning must hold identically on
+    whichever layout served the read."""
     plan = _executed_plan(spark, sf_dir, "q4_order_priority")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    orders_scan = next(s for s in _scans(plan) if "orders.parquet" in s)
+    orders_scan = next(
+        s for s in _scans(plan) if "orders.parquet" in s or "b_orders_ok_full" in s
+    )
     assert "o_orderdate" in orders_scan.split("PushedFilters")[1][:300]
-    li_scan = next(s for s in _scans(plan) if "lineitem.parquet" in s)
+    li_scan = next(
+        s
+        for s in _scans(plan)
+        if "lineitem.parquet" in s or "b_lineitem_ok_full" in s
+    )
     read_schema = li_scan.split("ReadSchema:")[1][:200]
     assert "l_orderkey" in read_schema and "l_shipdate" in read_schema
     assert "l_extendedprice" not in read_schema
