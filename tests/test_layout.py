@@ -433,6 +433,53 @@ def test_q12_routes_opportunistically_when_layout_exists(spark, sf_dir):
     assert sorted(map(tuple, routed.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_bucketed_append_preserves_colocation(spark, sf_dir):
+    """Incremental layout maintenance: a production warehouse does not
+    rebuild a bucketed fact table per delivery — it APPENDS, and Spark's
+    bucketed append hashes the new rows into the same bucket files, so
+    the layout contract (exchange-free co-located joins) survives
+    arrivals. Pinned: base write + shard append == full rebuild by
+    value, and the appended table's merge join against an equal-count
+    bucketed side still runs with ZERO Exchange nodes."""
+    from pyspark.sql import functions as F
+
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.layout import (
+        _ensure_bucketed,
+        write_bucketed_table,
+    )
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    is_new = (F.col("o_orderkey") % 10) == 7
+    name = "t_orders_append_pin"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed_table(orders.filter(~is_new), name, "o_orderkey")
+    # the delivery lands as an append — no rebuild, same bucket spec
+    orders.filter(is_new).write.mode("append").bucketBy(
+        16, "o_orderkey"
+    ).sortBy("o_orderkey").format("parquet").saveAsTable(name)
+
+    appended = spark.table(name)
+    assert sorted(map(tuple, appended.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+
+    l16 = _ensure_bucketed(
+        spark,
+        sf_dir,
+        "li_nb16",
+        "l_orderkey",
+        lambda: table(spark, sf_dir, "lineitem").select("l_orderkey"),
+        n_buckets=16,
+    )
+    j = appended.join(
+        spark.table(l16).hint("merge"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    assert "Exchange" not in j._jdf.queryExecution().executedPlan().toString()
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_bucket_count_mismatch_reintroduces_exchange(spark, sf_dir):
     """write_bucketed_table's sharp edge, pinned negative (r11 verdict
     task 7): the exchange-free sort-merge join requires EQUAL bucket
