@@ -566,6 +566,11 @@ def write_bucketed_table(
     directory pruning: partitioning prunes READS, bucketing removes
     SHUFFLES).
 
+    Incremental maintenance: deliveries APPEND (``mode("append")`` with
+    the same bucket spec) — Spark hashes new rows into the same bucket
+    layout, so the exchange-free property survives arrivals without a
+    rebuild (value + zero-exchange pin in tests/test_layout.py).
+
     SHARP EDGE — bucket counts must MATCH across join sides: the
     exchange-free sort-merge join requires both scans to report the
     same hash partitioning, and Spark's bucket hashing at count N is
