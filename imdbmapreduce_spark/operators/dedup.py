@@ -1507,25 +1507,30 @@ def _jaccard_join(
     # derives from the same one. The tau-prefix is a trivial filter on
     # the cached frame (shared helper — the family router profiles the
     # same frame).
-    pref = _prefix_postings(spark, sf_dir)
-    if df_ceil is not None:
-        # df-ceiling on the prefix postings entering the candidate join
-        # (symmetric — both sides are this frame). rn/n_sh stay as
-        # computed over the FULL order, so a pair is detected iff its
-        # RAREST shared shingle has df <= ceiling (hot shingles sort
-        # last in the df-ASC order, so the ceiling only truncates the
-        # prefix tail) — the bounded-recall semantics the oracle
-        # reproduces and neardup_recall_audit's jaccard_bounded arm
-        # scores. The exact verify below still counts every shingle.
-        pref = pref.filter(F.col("df") <= df_ceil)
-    # Checkpoint the FILTERED prefix: both candidate-join sides consume
-    # it, and reading the tau-prefix (~2/5 of rows) twice out of the
-    # full cached ranked artifact measured +0.5 s at sf0.1 vs a
-    # materialized prefix (the r9 driver-bench regression the verdict
-    # flagged — attributed by A/B this round, not jitter). The shared
-    # artifact still pays the df count + windows once per session; this
-    # truncation is only the small filtered result.
-    pref = stable_checkpoint(pref.select("doc_id", "shingle", "n_sh", "rn"))
+    # The FILTERED prefix is itself a session-shared artifact (r12: was
+    # a per-invocation localCheckpoint — every call re-materialized it;
+    # now built once per (corpus, ceiling) and served to the exact,
+    # bounded, routed AND ingest forms alike, since the side predicates
+    # below filter AFTER the cache). Materializing it at all is the r9
+    # finding: both candidate-join sides consume it, and reading the
+    # tau-prefix (~2/5 of rows) twice out of the full cached ranked
+    # artifact measured +0.5 s at sf0.1 vs a materialized prefix.
+    def build_pref() -> DataFrame:
+        p = _prefix_postings(spark, sf_dir)
+        if df_ceil is not None:
+            # df-ceiling on the prefix postings entering the candidate
+            # join (symmetric — both sides are this frame). rn/n_sh stay
+            # as computed over the FULL order, so a pair is detected iff
+            # its RAREST shared shingle has df <= ceiling (hot shingles
+            # sort last in the df-ASC order, so the ceiling only
+            # truncates the prefix tail) — the bounded-recall semantics
+            # the oracle reproduces and neardup_recall_audit's
+            # jaccard_bounded arm scores. The exact verify below still
+            # counts every shingle.
+            p = p.filter(F.col("df") <= df_ceil)
+        return p.select("doc_id", "shingle", "n_sh", "rn")
+
+    pref = shared_cache(spark, ("jaccard_tau_prefix", sf_dir, df_ceil), build_pref)
     # PPJoin tightening (Xiao et al. 2008) — two exact-integer predicates
     # on columns the prefix table already carries, applied IN the
     # candidate join so pruned pairs never reach the verify join:
@@ -1555,6 +1560,12 @@ def _jaccard_join(
         if side_a is not None or side_b is not None
         else F.col("a.doc_id") < F.col("b.doc_id")
     )
+    # r12 optimization (guide §2.4): the pair's (n_a, n_b) flow THROUGH
+    # the candidate join (n_sh rides both prefix sides already) instead
+    # of being re-derived by a sizes groupBy + two post-verify joins —
+    # one exchange and two joins gone; n_a/n_b are functions of the doc
+    # ids, so the distinct() dedupes exactly as before. Same change as
+    # _containment_join's (measured there: 2.27 s → 1.74 s warm sf0.1).
     cand = (
         pa.alias("a")
         .join(
@@ -1567,7 +1578,12 @@ def _jaccard_join(
                 >= _PFX_TAU_NUM * (F.col("a.n_sh") + F.col("b.n_sh"))
             ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").cast("long").alias("n_a"),
+            F.col("b.n_sh").cast("long").alias("n_b"),
+        )
         .distinct()
     )
     common = (
@@ -1577,14 +1593,11 @@ def _jaccard_join(
             ex.select(F.col("doc_id").alias("doc_b"), "shingle"),
             ["doc_b", "shingle"],
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     return (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-        .filter(
+        common.filter(
             (_PFX_TAU_NUM + _PFX_TAU_DEN) * F.col("n_common")
             >= _PFX_TAU_NUM * (F.col("n_a") + F.col("n_b"))
         )
@@ -2866,7 +2879,6 @@ def _containment_join(
     ``contained_where``/``container_where`` are optional Column
     predicates over doc_id restricting the respective join sides."""
     ex = _shingle_rows_cached(spark, sf_dir)  # distinct (doc_id, shingle)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # The shared ranked artifact: every shingle with its per-doc rank in
     # the global (df, shingle) order + the doc's set size — the
     # container side indexes all of it (no b-prefix exists for
@@ -2906,6 +2918,13 @@ def _containment_join(
     _ub = 1 + F.least(
         F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
     )
+    # r12 optimization (guide §2.4): both candidate sides already carry
+    # the doc's full-set size (n_sh rides the ranked artifact), so the
+    # pair's (n_a, n_b) flow THROUGH the candidate join instead of being
+    # re-derived by a sizes groupBy + two post-verify joins — one
+    # exchange and two joins gone, measured 2.27 s → 1.74 s warm at
+    # sf0.1 with identical output (n_a/n_b are functions of the doc ids,
+    # so the distinct() dedupes exactly as before).
     cand = (
         pref.alias("a")
         .join(
@@ -2915,7 +2934,12 @@ def _containment_join(
             & (_CNT_TAU_DEN * F.col("b.n_sh") >= _CNT_TAU_NUM * F.col("a.n_sh"))
             & (_CNT_TAU_DEN * _ub >= _CNT_TAU_NUM * F.col("a.n_sh")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").cast("long").alias("n_a"),
+            F.col("b.n_sh").cast("long").alias("n_b"),
+        )
         .distinct()
     )
     # Verify with the exploded equi-join (shingle rows of candidate docs,
@@ -2931,19 +2955,11 @@ def _containment_join(
             ex.select(F.col("doc_id").alias("doc_b"), "shingle"),
             ["doc_b", "shingle"],
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
-            "doc_b",
-        )
-        .filter(_CNT_TAU_DEN * F.col("n_common") >= _CNT_TAU_NUM * F.col("n_a"))
+        common.filter(_CNT_TAU_DEN * F.col("n_common") >= _CNT_TAU_NUM * F.col("n_a"))
         .select(
             "doc_a",
             "doc_b",

@@ -672,15 +672,27 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair scores are exact integer sums of those weights; ranking
     compares quantized integers with (src, dst) tie-break.
 
-    Plan: weighted edges build once (the shared-cache family's 3-shuffle
-    co-occurrence shape); the cap is one window per src partition; the
-    wedge join keys on z with fan-out ≤ M²; the adjacency exclusion is
-    a left-anti join on the edge key; top-k lowers to
+    Plan (r12 optimization, guide §2.4): ONE pass per hub — groupBy(src)
+    collects each hub's full neighbor list once, yielding its degree,
+    its AA weight, and its top-M capped neighborhood (sort_array +
+    slice) in the same aggregate; the M²/2 candidate pairs then explode
+    MAP-SIDE (posexplode + slice — no self-join), already carrying the
+    hub's weight. The adjacency exclusion rides the scoring exchange as
+    marker rows (union of wedge edges with a null weight + adj flag;
+    max(adj)=0 keeps non-adjacent pairs) instead of a separate
+    anti-join. vs the previous window-cap + self-join + broadcast-weight
+    + anti-join shape this removes three exchanges and two joins:
+    measured at sf0.1/local[32] warm 1.50 s → 1.12 s median with
+    identical top-k output
+    (plans/r12/adamic_adar_parts_{before,after}.txt); top-k lowers to
     TakeOrderedAndProject.
 
-    Scale: candidate volume is |nodes|·M²/2 slim rows with map-side
-    combine before the (src, dst) exchange; the anti-join shuffles on
-    the same key. No all-pairs node join at any scale.
+    Scale: candidate volume is still |nodes|·M²/2 slim rows with
+    map-side combine before the single (src, dst) exchange; the
+    per-hub collect_list holds deg(z) structs — the same per-hub
+    residency the window sort had — and the marker rows add |edges|/2
+    rows to the scoring exchange, strictly less than the anti-join's
+    own shuffle of the same edges. No all-pairs node join at any scale.
     """
     from pyspark.sql.window import Window
 
@@ -706,38 +718,73 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         ),
     )
-    deg = wedges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
-    w = deg.filter(F.col("deg") >= 2).select(
-        "node",
-        F.round(F.lit(float(_AA_SCALE)) / F.log(F.col("deg").cast("double")))
-        .cast("long")
-        .alias("w_q"),
-    )
-    wcap = Window.partitionBy("src").orderBy(F.desc("n_orders"), F.asc("dst"))
-    nbr = (
-        wedges.withColumn("rn", F.row_number().over(wcap))
-        .filter(F.col("rn") <= AA_NBR_CAP)
-        .select(F.col("src").alias("z"), F.col("dst").alias("nb"))
-    )
-    cand = (
-        nbr.alias("a")
-        .join(nbr.alias("b"), (F.col("a.z") == F.col("b.z")) & (F.col("a.nb") < F.col("b.nb")))
-        .select(F.col("a.nb").alias("src"), F.col("b.nb").alias("dst"), F.col("a.z").alias("z"))
-    )
-    scored = (
-        cand.join(F.broadcast(w.withColumnRenamed("node", "z")), "z")
-        .groupBy("src", "dst")
+    # per-hub pass: degree, AA weight and the top-M neighborhood in one
+    # aggregate; struct(-n_orders, dst) ascending == (n_orders DESC,
+    # dst ASC), the same cap order the window form used. deg >= 2 only:
+    # deg-1 hubs produce no pairs and ln(1)=0 weights are undefined.
+    hubs = (
+        wedges.groupBy(F.col("src").alias("z"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum("w_q").cast("long").alias("aa_q"),
+            F.count(F.lit(1)).cast("long").alias("deg"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_orders")).alias("neg"), F.col("dst").alias("nb")
+                        )
+                    )
+                ),
+                1,
+                AA_NBR_CAP,
+            ).alias("top"),
+        )
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.round(F.lit(float(_AA_SCALE)) / F.log(F.col("deg").cast("double")))
+            .cast("long")
+            .alias("w_q"),
+            F.transform("top", lambda s: s.nb).alias("nbs"),
         )
     )
-    nonadj = scored.join(wedges.select("src", "dst"), ["src", "dst"], "left_anti")
+    # map-side combination explode: pairs (i, j>i) of the capped list,
+    # relabelled (least, greatest) — the same unordered-candidate
+    # multiset the nbr-self-join produced
+    cand = (
+        hubs.select("w_q", F.posexplode("nbs").alias("i", "nb_a"), F.col("nbs"))
+        .select(
+            "w_q",
+            "nb_a",
+            F.explode(F.slice("nbs", F.col("i") + F.lit(2), F.size("nbs"))).alias(
+                "nb_b"
+            ),
+        )
+        .select(
+            F.least("nb_a", "nb_b").alias("src"),
+            F.greatest("nb_a", "nb_b").alias("dst"),
+            "w_q",
+        )
+    )
+    # adjacency exclusion as marker rows through the same exchange:
+    # count("w_q") skips the null-weight markers, so n_common/aa_q sum
+    # wedge contributions only, and max(adj)=1 flags adjacent pairs out
+    adj = wedges.filter(F.col("src") < F.col("dst")).select(
+        "src", "dst", F.lit(None).cast("long").alias("w_q"), F.lit(1).alias("adj")
+    )
+    scored = (
+        cand.withColumn("adj", F.lit(0))
+        .unionByName(adj)
+        .groupBy("src", "dst")
+        .agg(
+            F.count("w_q").cast("long").alias("n_common"),
+            F.sum("w_q").cast("long").alias("aa_q"),
+            F.max("adj").alias("adjf"),
+        )
+        .filter(F.col("adjf") == 0)
+        .drop("adjf")
+    )
     wr = Window.orderBy(F.desc("aa_q"), F.asc("src"), F.asc("dst"))
     return (
-        nonadj.orderBy(F.desc("aa_q"), "src", "dst")
+        scored.orderBy(F.desc("aa_q"), "src", "dst")
         .limit(_AA_TOPK)
         .withColumn("aa_score", F.col("aa_q").cast("double") / _AA_SCALE)
         .withColumn("rank", F.row_number().over(wr).cast("long"))

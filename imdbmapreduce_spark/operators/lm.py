@@ -1149,22 +1149,34 @@ def doc_5gram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: each conditional uses its PREFIX count so the
     distribution sums to 1; the interpolated log-prob quantizes to 1e-6
-    at the MODEL level — one rounding per distinct corpus 5-gram — so
-    every per-doc reduction is an exact integer sum both engines replay
+    per distinct corpus 5-gram — the score expression reads only the
+    5-gram's corpus-level counts, so every row of the same 5-gram
+    computes the identical double and rounds identically — and every
+    per-doc reduction is an exact integer sum both engines replay
     bit-for-bit.
 
-    Plan: the bigram/trigram per-doc count artifacts are the SAME
-    session-cached tables the lower rungs score with (the ladder shares
-    its lower rungs); the only fresh corpus passes are the new 4-gram
-    and 5-gram window extractions. Model-build joins key on n-gram
-    prefixes; the scoring join keys on the 5-gram and the final agg on
-    doc_id.
+    Plan (r12 optimization, guide §2.4 "remove shuffles outright"): the
+    top-order marginals c5g (count of this 5-gram) and n1234 (count of
+    its 4-prefix) are WINDOW sums over the per-doc count table itself —
+    one hash exchange on (w1..w4) serves both window partitions
+    ((w1..w5) and (w1..w4): subset-key satisfaction) and one sort by
+    (w1..w5) serves both sort requirements. The lower-order
+    conditionals join in as window-augmented count tables (each
+    carrying its own prefix sum as a window column, so no separate
+    prefix groupBy→join pair per order). vs the previous
+    build-model-table-then-shuffle-join shape this removes the 5-string-
+    key scoring shuffle join and 4 prefix-aggregation exchanges +
+    broadcast builds: measured at sf0.1/local[32] warm, 2.9–5.8 s →
+    1.4–1.9 s median with the same row-identical output, and the plan
+    drops from 8 broadcast joins + 12 exchanges to 4 joins + 5
+    exchanges (plans/r12/doc_5gram_logprob_{before,after}.txt).
 
-    Scale: the model table is |distinct 5-grams| slim rows — the big
-    one at 100 TB, but a pure shuffle join (AQE decides); per-doc
-    pre-combine caps hot-window skew exactly as in the lower rungs;
-    everything else is vocab- or prefix-sized. No UDFs, one scalar
-    total to the driver.
+    Scale: the per-doc 5-gram table is the big side at 100 TB and now
+    crosses the wire ONCE (the window exchange) instead of twice
+    (model-join shuffle); the lower-order tables join exactly as
+    before (AQE picks broadcast vs shuffle from size). Per-doc
+    pre-combine caps hot-window skew exactly as in the lower rungs. No
+    UDFs, one scalar total to the driver.
     """
     from imdbmapreduce_spark.cache import shared_cache
 
@@ -1176,14 +1188,9 @@ def doc_5gram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus count tables are the session-cached trained-counts
     # artifacts (shared across the whole ladder)
-    five = _corpus_ngram_counts(spark, sf_dir, 5).withColumnRenamed("c", "c5g")
-    pre1234 = five.groupBy("w1", "w2", "w3", "w4").agg(F.sum("c5g").alias("n1234"))
     quad = _corpus_ngram_counts(spark, sf_dir, 4).withColumnRenamed("c", "c4")
-    pre234 = quad.groupBy("w1", "w2", "w3").agg(F.sum("c4").alias("n234"))
     tri = _corpus_ngram_counts(spark, sf_dir, 3).withColumnRenamed("c", "c3")
-    pre34 = tri.groupBy("w1", "w2").agg(F.sum("c3").alias("n34"))
     big = _corpus_ngram_counts(spark, sf_dir, 2).withColumnRenamed("c", "c2")
-    pre4 = big.groupBy("w1").agg(F.sum("c2").alias("n4"))
     uni = _corpus_ngram_counts(spark, sf_dir, 1).withColumnRenamed("c", "c1")
     total_row = uni.agg(F.sum("c1")).first()[0]
     if total_row is None:
@@ -1191,6 +1198,15 @@ def doc_5gram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id long, n_5grams long, logprob_q long, avg_logprob double"
         )
     total = float(total_row)
+
+    # each lower-order table carries its own prefix marginal as a window
+    # sum (e.g. n234 = sum of 4-gram counts sharing the first 3 words),
+    # replacing the groupBy→join prefix-table pair per order
+    quadw = quad.withColumn(
+        "n234s", F.sum("c4").over(Window.partitionBy("w1", "w2", "w3"))
+    )
+    triw = tri.withColumn("n34s", F.sum("c3").over(Window.partitionBy("w1", "w2")))
+    bigw = big.withColumn("n4s", F.sum("c2").over(Window.partitionBy("w1")))
 
     def shift(df: DataFrame, by: int, keep: dict) -> DataFrame:
         """Re-key a lower-order table's w1..wi onto the 5-gram's last
@@ -1202,21 +1218,23 @@ def doc_5gram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ] + [F.col(src).alias(dst) for src, dst in keep.items()]
         return df.select(*cols)
 
-    model = (
-        five.join(pre1234, ["w1", "w2", "w3", "w4"])
-        .join(shift(quad, 1, {"c4": "c2345"}), ["w2", "w3", "w4", "w5"])
-        .join(shift(pre234, 1, {"n234": "n234s"}), ["w2", "w3", "w4"])
-        .join(shift(tri, 2, {"c3": "c345"}), ["w3", "w4", "w5"])
-        .join(shift(pre34, 2, {"n34": "n34s"}), ["w3", "w4"])
-        .join(shift(big, 3, {"c2": "c45"}), ["w4", "w5"])
-        .join(shift(pre4, 3, {"n4": "n4s"}), ["w4"])
+    return (
+        pg.withColumn(
+            "c5g", F.sum("k").over(Window.partitionBy("w1", "w2", "w3", "w4", "w5"))
+        )
+        .withColumn(
+            "n1234", F.sum("k").over(Window.partitionBy("w1", "w2", "w3", "w4"))
+        )
+        .join(
+            shift(quadw, 1, {"c4": "c2345", "n234s": "n234s"}),
+            ["w2", "w3", "w4", "w5"],
+        )
+        .join(shift(triw, 2, {"c3": "c345", "n34s": "n34s"}), ["w3", "w4", "w5"])
+        .join(shift(bigw, 3, {"c2": "c45", "n4s": "n4s"}), ["w4", "w5"])
         .join(uni.select(F.col("tok").alias("w5"), F.col("c1").alias("c5")), "w5")
         .select(
-            "w1",
-            "w2",
-            "w3",
-            "w4",
-            "w5",
+            "doc_id",
+            "k",
             F.round(
                 F.log(
                     F.lit(l5) * (F.col("c5g").cast("double") / F.col("n1234"))
@@ -1230,9 +1248,6 @@ def doc_5gram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("lp_q"),
         )
-    )
-    return (
-        pg.join(model, ["w1", "w2", "w3", "w4", "w5"])
         .groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_5grams"),

@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from imdbmapreduce_spark.cache import shared_cache
+from imdbmapreduce_spark.cache import register_release_hook, shared_cache
 from imdbmapreduce_spark.registry import query
 
 _LR_ROUNDS = 10
@@ -311,25 +311,31 @@ def _logreg_eval_oracle_sql(rounds: int = _LR_ROUNDS) -> str:
     )
 
 
-@query("doc_quality_logreg_eval", oracle=_logreg_eval_oracle_sql(), bench=True)
-def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval separation for the quality classifier: fit the
-    logistic regression ON THE TRAIN SPLIT ONLY (the same content-hash
-    split `dataset_split` publishes), then score every split with the
-    frozen weights — the held-out generalization check that closes the
-    train-a-classifier loop (train on train, report on val/test, never
-    peek).
+# Session memo for the TRAIN-split logreg fit (r12 optimization, guide
+# §1.2 "don't compute things you throw away"): the eval and calibration
+# reports freeze the IDENTICAL model (same features, same split, same
+# 10-round recurrence) — training it once per (session, corpus) and
+# serving both is the same build-once/serve-many contract as the BPE
+# trained-tokenizer memo in operators.lm (the weights are corpus-derived
+# state, deterministic, and released with every other session artifact).
+_TRAIN_W_MEMO: dict[tuple, list] = {}
 
-    Output: one row per split — documents, correct decisions, exact
-    integer-accuracy per mille — plus the frozen weights (identical on
-    every row, so the artifact is self-contained).
+register_release_hook(_TRAIN_W_MEMO.clear)
 
-    Scale: the feature build joins the map-only split projection onto
-    the cached feature table once; training sees |train| rows per round
-    (same one-aggregation-per-round shape as `doc_quality_logreg`), and
-    the final scoring pass is a single grouped aggregation over all
-    splits with the weights as literals.
+
+def _train_split_weights(spark: SparkSession, sf_dir: str) -> list:
+    """The frozen train-split weights shared by
+    :func:`doc_quality_logreg_eval` and :func:`doc_quality_calibration`:
+    fit on the train split only, one exact-quantized-gradient
+    aggregation per round (the same recurrence both oracles unroll).
+    ``[None]*4`` on an empty train split — NULL weights flow through the
+    scoring expressions as NULL, matching the oracles' NULL propagation.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TRAIN_W_MEMO.get(key)
+    if hit is not None:
+        return list(hit)
+
     from imdbmapreduce_spark.catalog import table
     from imdbmapreduce_spark.operators.text import split_assignment
 
@@ -337,8 +343,7 @@ def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ("logreg_features", sf_dir), lambda: quality_features(spark, sf_dir)
     )
     split = split_assignment(table(spark, sf_dir, "documents"))
-    labeled = feats.join(split, "doc_id")
-    train = labeled.filter(F.col("split") == "train")
+    train = feats.join(split, "doc_id").filter(F.col("split") == "train")
 
     n = None
     w: list = [0.0, 0.0, 0.0, 0.0]
@@ -367,6 +372,41 @@ def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         for j in range(4):
             w[j] -= _LR_RATE * (agg[f"g{j}"] / _GRAD_SCALE) / n
+    _TRAIN_W_MEMO[key] = list(w)
+    return list(w)
+
+
+@query("doc_quality_logreg_eval", oracle=_logreg_eval_oracle_sql(), bench=True)
+def doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval separation for the quality classifier: fit the
+    logistic regression ON THE TRAIN SPLIT ONLY (the same content-hash
+    split `dataset_split` publishes), then score every split with the
+    frozen weights — the held-out generalization check that closes the
+    train-a-classifier loop (train on train, report on val/test, never
+    peek).
+
+    Output: one row per split — documents, correct decisions, exact
+    integer-accuracy per mille — plus the frozen weights (identical on
+    every row, so the artifact is self-contained).
+
+    Scale: the feature build joins the map-only split projection onto
+    the cached feature table once; training sees |train| rows per round
+    (same one-aggregation-per-round shape as `doc_quality_logreg`) and
+    is the shared :func:`_train_split_weights` fit — trained once per
+    (session, corpus), served to this report AND the calibration twin
+    (r12: the two queries ran the identical 10-round fit back to back);
+    the final scoring pass is a single grouped aggregation over all
+    splits with the weights as literals.
+    """
+    from imdbmapreduce_spark.catalog import table
+    from imdbmapreduce_spark.operators.text import split_assignment
+
+    feats = shared_cache(
+        spark, ("logreg_features", sf_dir), lambda: quality_features(spark, sf_dir)
+    )
+    split = split_assignment(table(spark, sf_dir, "documents"))
+    labeled = feats.join(split, "doc_id")
+    w = _train_split_weights(spark, sf_dir)
 
     margin = sum(F.lit(w[j]).cast("double") * F.col(f"x{j}") for j in range(4))
     pred = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) > 0.5).cast("int")
@@ -925,9 +965,10 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays them exactly.
 
     Scale: the same one-aggregation-per-round training as the eval twin
-    (model-sized driver state only), then ONE grouped aggregation over
-    the val split — no sort, no window, 10 output rows at any corpus
-    size.
+    (model-sized driver state only) via the shared
+    :func:`_train_split_weights` fit (r12: trained once per session,
+    not re-fit per report), then ONE grouped aggregation over the val
+    split — no sort, no window, 10 output rows at any corpus size.
     """
     from imdbmapreduce_spark.catalog import table
     from imdbmapreduce_spark.operators.text import split_assignment
@@ -937,30 +978,7 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = split_assignment(table(spark, sf_dir, "documents"))
     labeled = feats.join(split, "doc_id")
-    train = labeled.filter(F.col("split") == "train")
-
-    n = None
-    w: list = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(_LR_ROUNDS):
-        margin = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-        r = p - F.col("y").cast("double")
-        agg = train.agg(
-            *[
-                F.sum(F.round(r * F.col(f"x{j}") * _GRAD_SCALE).cast("long")).alias(
-                    f"g{j}"
-                )
-                for j in range(4)
-            ],
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        if n is None:
-            n = agg["n"]
-        if n == 0:
-            w = [None, None, None, None]
-            break
-        for j in range(4):
-            w[j] -= _LR_RATE * (agg[f"g{j}"] / _GRAD_SCALE) / n
+    w = _train_split_weights(spark, sf_dir)
 
     margin = sum(F.lit(w[j]).cast("double") * F.col(f"x{j}") for j in range(4))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))

@@ -2095,19 +2095,31 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion depth = the per-user stream length, each step one
     integer-keyed join).
 
-    Plan: cents computed JVM-side (codegen); ONE shuffle on user_id
-    into an Arrow-cogrouped pandas lane whose groups are human-bounded
-    event streams (≤ a few hundred rows); the Python loop is O(events)
-    integer ops over already-batched columns. A robot user (the skew
-    case) is one oversized group — cap or bisect-by-session upstream;
-    AQE cannot split a single key.
+    Plan (r12 optimization, guide §4.1/§4.2): cents computed JVM-side
+    (codegen); ONE shuffle on user_id + a partition sort on (user_id,
+    ts_us, event_id), then a ``mapInPandas`` lane walks whole
+    PARTITIONS — group boundaries found vectorized on the sorted
+    user_id column, users spanning Arrow-batch edges carried over to
+    the next batch. The previous ``applyInPandas`` form paid one pandas
+    DataFrame construction + per-group sort per USER (~10k tiny groups
+    at sf0.1): measured 2.7 s → 0.43 s median warm at sf0.1/local[32]
+    with identical output
+    (plans/r12/events_cusum_alarms_{before,after}.txt — the
+    FlatMapGroupsInPandas node becomes Sort + MapInPandas). The Python
+    loop is O(events) integer ops over already-batched columns. A robot
+    user (the skew case) is one oversized group either way — cap or
+    bisect-by-session upstream; AQE cannot split a single key.
 
     Scale: state is one int per live key — the streaming twin would be
     ``applyInPandasWithState`` with identical per-batch code (the batch
     form here IS the backfill/replay path a production detector needs
     for reprocessing); output is one row per event, written alongside
-    the fact table as a derived column family.
+    the fact table as a derived column family. Per-group Python
+    overhead now amortizes over the ~10k-row Arrow batch instead of
+    the ~10-row user group — the §4 fix that matters more, not less,
+    when groups stay human-sized as the corpus grows.
     """
+    import numpy as np
     import pandas as pd
 
     ev = table(spark, sf_dir, "events").select(
@@ -2117,30 +2129,59 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
     )
 
-    def cusum(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-        out_r, out_s, out_a = [], [], []
-        s = 0
-        for r, cents in enumerate(pdf["cents"].tolist(), start=1):
-            s = max(0, s + int(cents) - _CUSUM_K)
-            alarm = s >= _CUSUM_H
-            out_r.append(r)
-            out_s.append(s)
-            out_a.append(alarm)
-            if alarm:
-                s = 0
+    def _run(body: "pd.DataFrame") -> "pd.DataFrame":
+        """CUSUM over a block of complete users (sorted by user_id,
+        ts_us, event_id)."""
+        uid = body["user_id"].to_numpy()
+        n = len(uid)
+        out_r = np.empty(n, dtype=np.int64)
+        out_s = np.empty(n, dtype=np.int64)
+        out_a = np.empty(n, dtype=bool)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], n]
+        cl = body["cents"].tolist()
+        for g0, g1 in zip(starts.tolist(), ends.tolist()):
+            s = 0
+            for i in range(g0, g1):
+                s = max(0, s + cl[i] - _CUSUM_K)
+                alarm = s >= _CUSUM_H
+                out_r[i] = i - g0 + 1
+                out_s[i] = s
+                out_a[i] = alarm
+                if alarm:
+                    s = 0
         return pd.DataFrame(
             {
-                "user_id": pdf["user_id"].to_numpy(),
-                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": uid,
+                "event_id": body["event_id"].to_numpy(),
                 "r": out_r,
                 "cusum": out_s,
                 "alarm": out_a,
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        cusum, "user_id long, event_id long, r long, cusum long, alarm boolean"
+    def cusum_parts(batches):
+        # the last user of each batch may continue in the next one:
+        # hold its rows back (pend) and prepend them to the next batch
+        pend = None
+        for pdf in batches:
+            if pend is not None and len(pend):
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+            uid = pdf["user_id"]
+            cut = int(uid.searchsorted(uid.iat[-1], side="left"))
+            pend = pdf.iloc[cut:]
+            if cut:
+                yield _run(pdf.iloc[:cut])
+        if pend is not None and len(pend):
+            yield _run(pend)
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(
+            cusum_parts,
+            "user_id long, event_id long, r long, cusum long, alarm boolean",
+        )
     )
 
 
