@@ -138,10 +138,20 @@ def persist_group(
     group: str,
     artifacts: dict[str, DataFrame],
     params: dict | None = None,
+    build_t0: float | None = None,
 ) -> str:
     """Write a group's artifacts as parquet + manifest; returns the
     group dir. Overwrites any previous index for this (corpus, group);
     the manifest lands last so readers never see a torn index.
+
+    ``build_t0``: monotonic timestamp at which the CALLER started
+    building the artifact frames. Artifact builds can run real jobs
+    before this function is entered (shared-cache materializations,
+    closure checkpoints), so the manifest's ``build_sec`` must cover
+    them — a persist-window-only number understates the true build cost
+    (the r12 verdict measured the ER build ~20-40 s at sf0.1 against a
+    recorded 0.9 s). Callers that construct artifacts lazily may omit
+    it; the timer then starts here, as before.
     """
     import shutil
     import time
@@ -157,7 +167,7 @@ def persist_group(
     # otherwise get the NEW stamp glued onto artifacts of the OLD data,
     # silently defeating the staleness guard.
     src = _source_stamp(sf_dir, group)
-    t0 = time.monotonic()
+    t0 = time.monotonic() if build_t0 is None else build_t0
     d = _group_dir(sf_dir, group)
     os.makedirs(d, exist_ok=True)
     # STAGE-THEN-SWAP: when a re-persist's artifacts were themselves

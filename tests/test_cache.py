@@ -172,6 +172,35 @@ def test_torn_persist_leaves_no_manifest(spark, sf_dir, tmp_path, monkeypatch):
         release_shared_caches()
 
 
+def test_persist_group_build_t0_covers_prebuild_work(spark, sf_dir, tmp_path, monkeypatch):
+    """``build_sec`` must cover work done BEFORE persist_group is entered
+    when the caller passes ``build_t0`` (r13 verdict task 5: the ER
+    artifacts materialize during build_er_index, so a persist-window-only
+    timer understated the true build cost by ~30x)."""
+    import time
+
+    from imdbmapreduce_spark import indexstore
+    from imdbmapreduce_spark.cache import release_shared_caches
+    from imdbmapreduce_spark.operators.dedup import _text_params, build_text_index
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    release_shared_caches()
+    try:
+        artifacts = build_text_index(spark, sf_dir)
+        # a build that "started" 5 s before persist_group was entered:
+        # the manifest must record the full window, not the write window
+        t0 = time.monotonic() - 5.0
+        indexstore.persist_group(
+            spark, sf_dir, "text", artifacts, params=_text_params(), build_t0=t0
+        )
+        m = indexstore.group_manifest(sf_dir, "text", _text_params())
+        assert m is not None
+        assert m["build_sec"] >= 5.0
+    finally:
+        indexstore.drop_group(sf_dir, "text")
+        release_shared_caches()
+
+
 def test_stable_checkpoint_durable_mode_is_bit_identical(spark, tmp_path):
     """With a checkpoint dir configured, stable_checkpoint switches every
     iterative operator to DURABLE checkpoints — results must stay
