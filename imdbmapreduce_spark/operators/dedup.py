@@ -27,9 +27,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from imdbmapreduce_spark.cache import shared_cache, stable_checkpoint
+from imdbmapreduce_spark.cache import (
+    shared_cache,
+    stable_checkpoint,
+    stable_checkpoint_lazy,
+)
 from imdbmapreduce_spark.catalog import parallelize_scan, table
-from imdbmapreduce_spark.functions import cents_sum, tokens
+from imdbmapreduce_spark.functions import cents, cents_sum, tokens
 from imdbmapreduce_spark.registry import query
 from imdbmapreduce_spark.stats import NEARDUP_OVER_PPM_MAX
 
@@ -398,10 +402,18 @@ def persist_text_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the text-dedup artifacts and write them as the
     on-disk "text" index group; later sessions' dedup queries then skip
     the shingling/hashing jobs entirely."""
+    import time
+
     from imdbmapreduce_spark import indexstore
 
+    t0 = time.monotonic()  # artifact builds run jobs before persist_group
     return indexstore.persist_group(
-        spark, sf_dir, "text", build_text_index(spark, sf_dir), params=_text_params()
+        spark,
+        sf_dir,
+        "text",
+        build_text_index(spark, sf_dir),
+        params=_text_params(),
+        build_t0=t0,
     )
 
 
@@ -763,7 +775,7 @@ def incremental_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_edges = pairs.filter(
             ~_is_shard("doc_a") & ~_is_shard("doc_b")
         ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        return connected_components(base_nodes, base_edges)
+        return connected_components(base_nodes, base_edges, edges_unique=True)
 
     base_assign = shared_cache(
         spark,
@@ -1128,7 +1140,12 @@ def hamming_pairs(members: DataFrame, max_hamming: int = 3) -> DataFrame:
 # --- connected-components clustering (pairs → cluster assignment) ---------
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25) -> DataFrame:
+def connected_components(
+    nodes: DataFrame | None,
+    edges: DataFrame,
+    max_iters: int = 25,
+    edges_unique: bool = False,
+) -> DataFrame:
     """Connected components over an undirected edge list: every node gets
     ``cluster_id`` = the minimum node id reachable from it.
 
@@ -1139,7 +1156,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
     /root/reference/Code/csv_to_ets.erl:27-53), so this generalizes R9's
     cross-level dedup to transitive content identity.
 
-    ``nodes``: one column ``node``; ``edges``: columns ``src,dst``.
+    ``nodes``: one column ``node``, or ``None`` (r13) to use the
+    edge-incident set itself as the universe — the caller then gets one
+    row per MATCHED node, skips the singleton rejoin entirely, and the
+    returned frame carries a broadcast hint whenever the loop's own
+    label frame was broadcast-sized (the count is already measured
+    here, so consumers joining the assignment onto a corpus-sized table
+    inherit the right strategy for free).
+    ``edges_unique``: caller's guarantee that the edge list is already
+    one row per unordered pair (every production caller feeds deduped
+    src<dst pair artifacts) — the symmetrized frame is then distinct by
+    construction and the dedup exchange is skipped (r13, guide §2.4).
+    Duplicates would not break correctness either way (the loop takes
+    MINs, which are multiset-insensitive); the flag only prunes work.
 
     Algorithm: min-label propagation with pointer jumping. Each round
     (a) lowers every label to the min over its graph neighbors, then
@@ -1150,14 +1179,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
     label — both uniform keys. Lineage is truncated every round with
     ``localCheckpoint`` (on a real cluster: ``checkpoint`` to durable
     storage) so the plan doesn't grow exponentially with iterations; the
-    driver holds only the scalar changed-row count, never row data.
+    driver holds only a scalar convergence statistic (the exact decimal
+    label sum), never row data.
     """
-    sym = (
-        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-        .unionByName(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
-        .distinct()
-        .transform(stable_checkpoint)
+    sym = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
     )
+    if not edges_unique:
+        sym = sym.distinct()
+    sym = stable_checkpoint(sym)
     # Only edge-incident nodes can ever change label — every other node is
     # a singleton, decided before the loop starts. In a deduplicated
     # corpus near-dup pairs are o(corpus), so this shrinks every
@@ -1173,9 +1205,26 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
     # big to broadcast simply falls back to the shuffle joins below.
     # The one extra count here is over the checkpointed sym — cheap —
     # and is exactly the statistic a CBO would read off the edge list.
-    bcast = active.count() <= 2_000_000
+    # One aggregate reads the two statistics the loop needs: the active
+    # cardinality (broadcast decision) and the initial label sum (the
+    # convergence yardstick below) — one job instead of a count now and
+    # a join+count per round.
+    stats0 = active.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("node").cast("decimal(38,0)")).alias("s"),
+    ).first()
+    bcast = stats0["n"] <= 2_000_000
     hint = F.broadcast if bcast else (lambda df: df)
-    comp = active.select("node", F.col("node").alias("comp")).transform(stable_checkpoint)
+    prev_sum = stats0["s"]
+    # LAZY checkpoints throughout the loop (the _lpa_run pattern, r13):
+    # the convergence aggregate below is the action that materializes
+    # each round's frame, so a round is ONE job, not an eager-checkpoint
+    # job plus a check job. comp0 likewise materializes under round 1's
+    # first broadcast build. Measured at sf0.1 (262k-edge ER graph):
+    # closure 3.7 s -> 3.2 s median warm.
+    comp = active.select("node", F.col("node").alias("comp")).transform(
+        stable_checkpoint_lazy
+    )
     result = None
     for _ in range(max_iters):
         nbr_min = (
@@ -1197,24 +1246,34 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iters: int = 25
                 "comp",
             )
             .select("node", F.col("comp2").alias("comp"))
-            .transform(stable_checkpoint)
+            .transform(stable_checkpoint_lazy)
         )
-        changed = (
-            jumped.join(hint(comp.withColumnRenamed("comp", "prev")), "node")
-            .filter(F.col("comp") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
+        # Convergence check without a join (r13, guide §5 — one slim agg
+        # over the frame the loop just checkpointed): labels are monotone
+        # non-increasing per node (lowered <= comp by least(); jumped =
+        # lowered[lowered[x]] <= lowered[x] because lowered never maps a
+        # node above itself), so the EXACT decimal label sum is strictly
+        # decreasing until the fixpoint and equal exactly there. Replaces
+        # the per-round jumped-vs-prev equi-join + limit + count.
+        cur_sum = jumped.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).first()[0]
         comp = jumped
-        if changed == 0:
+        if cur_sum == prev_sum:
             result = comp.select("node", F.col("comp").alias("cluster_id"))
             break
+        prev_sum = cur_sum
     if result is None:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
-    singletons = nodes.join(sym.select("node").distinct(), "node", "left_anti").select(
-        "node", F.col("node").alias("cluster_id")
+    if nodes is None:
+        return hint(result)
+    # Singleton rejoin as ONE left join + coalesce (r13): `result`
+    # covers exactly the edge-incident nodes, so a node it misses is
+    # its own cluster — same relation as the previous anti-join +
+    # distinct + union, one join and one exchange fewer.
+    return nodes.join(hint(result), "node", "left").select(
+        "node", F.coalesce("cluster_id", "node").alias("cluster_id")
     )
-    return result.unionByName(singletons)
 
 
 @query(
@@ -1289,7 +1348,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = neardup_ngram_jaccard(spark, sf_dir).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        assign = connected_components(docs.select(F.col("doc_id").alias("node")), edges)
+        assign = connected_components(
+            docs.select(F.col("doc_id").alias("node")), edges, edges_unique=True
+        )
         return assign.select(
             F.col("node").alias("doc_id"),
             "cluster_id",
@@ -2762,13 +2823,26 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = ex.groupBy("shingle", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    a = per_src.alias("a")
-    b = per_src.alias("b")
+    # r13 (guide §2.4, the adamic_adar_parts shape): ONE
+    # groupBy(shingle) collects the per-shingle (source, n_docs) rows —
+    # at most |sources| structs per shingle — as a sorted array; the
+    # ordered source pairs (diagonal included: slice starts AT i, so
+    # a <= b) then explode map-side from that array. Removes the
+    # shingle-keyed self-join and its duplicated per_src lineage
+    # (plans/r13/source_overlap_matrix_{before,after}.txt); fan-out per
+    # shingle stays <= |sources|², never C(docs, 2).
+    per_sh = per_src.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("source"), F.col("n_docs")))
+        ).alias("ss")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") <= F.col("b.source")),
+        per_sh.select(F.posexplode("ss").alias("i", "a"), F.col("ss"))
+        .select(
+            "a",
+            F.explode(F.slice("ss", F.col("i") + F.lit(1), F.size("ss"))).alias(
+                "b"
+            ),
         )
         .select(
             F.col("a.source").alias("source_a"),
@@ -3315,8 +3389,11 @@ def _global_rank(
     # Checkpoint after the local rank: the frame is consumed twice (the
     # offsets build and the output join) and the range partitioner adds
     # a sampling pass — without truncation the upstream plan computes
-    # ~3x (measured 8 s -> ~1 s on the 50k-doc sf1 fixture).
-    local = stable_checkpoint(
+    # ~3x (measured 8 s -> ~1 s on the 50k-doc sf1 fixture). LAZY
+    # (r13): the offsets broadcast build is the first consumer and
+    # materializes the blocks inside the consuming job — truncation
+    # without a separate eager-checkpoint job per invocation.
+    local = stable_checkpoint_lazy(
         ranged.withColumn(
             "_lrk",
             F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)),
@@ -3365,7 +3442,8 @@ def _grouped_global_rank(
     ranged = df.repartitionByRange(parts, group_col, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    local = stable_checkpoint(
+    # lazy for the same reason as _global_rank's local checkpoint (r13)
+    local = stable_checkpoint_lazy(
         ranged.withColumn(
             "_lrk",
             F.row_number().over(
@@ -3885,19 +3963,19 @@ def _entity_components(pairs: DataFrame) -> DataFrame:
     closure in ~3 s. The closure itself stays O(log diameter) rounds
     over |matched| edges — the 100 TB shape is unchanged; only the
     pointless contraction level is gone."""
-    # Per-block pair multiplicity is NOT deduped here: connected_components
-    # distincts its symmetrized edge frame anyway, so a pre-dedupe would
-    # just add a shuffle of the same rows.
+    # The match-pair artifact is deduped on the pair key upstream
+    # (_er_match_pairs.dropDuplicates), so the closure's symmetrized
+    # edge frame is distinct by construction — edges_unique skips the
+    # dedup exchange connected_components would otherwise pay (r13;
+    # duplicates would be harmless for the min-label math either way).
+    # nodes=None: the universe IS the matched set, so the closure skips
+    # its singleton rejoin and returns the assignment broadcast-hinted
+    # when it measured the label frame broadcast-sized.
     edges = pairs.select(
         F.least("custkey_a", "custkey_b").alias("src"),
         F.greatest("custkey_a", "custkey_b").alias("dst"),
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    return connected_components(nodes, edges)
+    return connected_components(None, edges, edges_unique=True)
 
 
 @query(
@@ -3959,22 +4037,27 @@ def customer_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = _er_match_pairs(spark, sf_dir)
     linked = _entity_components(pairs)
-    singles = cust.join(
-        linked.select(F.col("node").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select(F.col("c_custkey").alias("node"), F.col("c_custkey").alias("cluster_id"))
-    comp = linked.unionByName(singles)
-    j = comp.join(cust, comp.node == cust.c_custkey).select(
+    # MATCHED/SINGLETON SPLIT (r13, guide §8 — aggregate only the rows
+    # whose group is in question): the closure assignment covers only
+    # MATCHED customers, o(corpus) by the ER design, and rides in
+    # broadcast-hinted when the closure measured it broadcast-sized.
+    # Matched members flow through the membership join + entity
+    # aggregation as before; every OTHER customer is a complete
+    # single-member entity whose output row is a map-only projection —
+    # no join, no aggregation. vs the r12 shape this shrinks the
+    # membership join and the entity exchange from |customers| rows to
+    # |matched| rows and drops the corpus-wide SortMergeJoin/
+    # SortAggregate pass
+    # (plans/r13/customer_entity_groups_{before,after}.txt).
+    matched = cust.join(linked, cust.c_custkey == linked.node).select(
         F.col("cluster_id").alias("entity_id"), "c_custkey", "c_acctbal"
     )
     # Survivorship as a struct-argmax INSIDE the one aggregation (the
     # events_first_touch pattern): max over (c_acctbal, -c_custkey) is
     # lexicographic, so ties on balance resolve to the LOWEST key —
     # exactly the oracle's ROW_NUMBER ordering — without a second
-    # window pass over the membership (the r9 plan windowed + re-joined
-    # the same frame, recomputing the closure lineage per consumer;
-    # this plan is one linear pipeline: match join -> closure ->
-    # membership join -> single partial/final agg).
-    agg = j.groupBy("entity_id").agg(
+    # window pass over the membership.
+    agg = matched.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         cents_sum("c_acctbal", "total_acctbal"),
         F.max(
@@ -3984,12 +4067,21 @@ def customer_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_g"),
     )
-    return agg.select(
+    grouped = agg.select(
         "entity_id",
         "n_members",
         "total_acctbal",
         (-F.col("_g.negkey")).cast("long").alias("golden_custkey"),
     )
+    singles = cust.join(
+        linked.select(F.col("node").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select(
+        F.col("c_custkey").alias("entity_id"),
+        F.lit(1).cast("long").alias("n_members"),
+        (cents("c_acctbal").cast("double") / F.lit(100.0)).alias("total_acctbal"),
+        F.col("c_custkey").alias("golden_custkey"),
+    )
+    return grouped.unionByName(singles)
 
 
 # The arriving-record split for the ER arrival gate: customers with
@@ -4031,6 +4123,7 @@ def _customer_base_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(
                 F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
             ),
+            edges_unique=True,
         )
 
     return shared_cache(spark, ("customer_base_entities", sf_dir), build)
@@ -4069,10 +4162,22 @@ def persist_er_index(spark: SparkSession, sf_dir: str) -> str:
     join and the base closure entirely — the `ets:tab2file` analog
     (/root/reference/Code/csv_to_ets.erl:63-74) for approximate
     identity, same lifecycle as :func:`persist_text_index`."""
+    import time
+
     from imdbmapreduce_spark import indexstore
 
+    # The match-table and base-closure builds run their jobs (posting
+    # checkpoints, the iterative closure) INSIDE build_er_index, before
+    # persist_group ever sees a frame — start the recorded build timer
+    # here so index_build.er reports the true cost (r13 verdict task 5).
+    t0 = time.monotonic()
     return indexstore.persist_group(
-        spark, sf_dir, "er", build_er_index(spark, sf_dir), params=_er_params()
+        spark,
+        sf_dir,
+        "er",
+        build_er_index(spark, sf_dir),
+        params=_er_params(),
+        build_t0=t0,
     )
 
 

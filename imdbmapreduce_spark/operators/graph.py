@@ -936,11 +936,22 @@ def _lpa_run(
     (tests/test_graph.py::test_lpa_early_exit_on_converged_fixture)
     proves the exit fires on a graph that converges in 2 < max_rounds.
     """
+    # The label frame is one slim row per node. When that fits a
+    # broadcast (the connected_components convention and threshold),
+    # hinting it onto the per-round joins removes the per-round
+    # exchanges of the label frame AND of the (cached) edge list — the
+    # r12 scaling block measured LPA as the worst inversion (32 cores
+    # 1.75x SLOWER than 8 at sf0.1: per-round task waves over tiny
+    # exchanges, guide §2). A graph too big to broadcast falls back to
+    # the shuffle joins unchanged. One count on the cached nodes frame —
+    # the statistic a CBO would already hold.
+    bcast = nodes.count() <= 2_000_000
+    hint = F.broadcast if bcast else (lambda df: df)
     labels = nodes.select("node", F.col("node").alias("lbl"))
     rounds_run = max_rounds
     for t in range(1, max_rounds + 1):
         counted = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            edges.join(hint(labels.withColumnRenamed("node", "src")), "src")
             .groupBy("dst", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -950,7 +961,7 @@ def _lpa_run(
             .select(F.col("dst").alias("node"), (-F.col("m.neg")).alias("new_lbl"))
         )
         stepped = (
-            labels.join(best, "node", "left")
+            labels.join(hint(best), "node", "left")
             .select(
                 "node",
                 F.coalesce("new_lbl", "lbl").alias("lbl"),

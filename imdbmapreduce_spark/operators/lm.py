@@ -907,13 +907,15 @@ def doc_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus trigram — making every per-doc reduction an exact integer
     sum both engines replay bit-for-bit.
 
-    Plan: ONE corpus pass builds per-(doc, trigram) counts; the corpus
-    trigram/bigram/unigram tables and both prefix tables all derive
-    from shared-cached per-doc counts (the bigram table is the SAME
-    session artifact the bigram scorer uses — the ladder shares its
-    lower rungs). Model-build joins key on n-gram prefixes
-    (vocab-sized); the scoring join keys on the trigram and the final
-    agg on doc_id.
+    Plan (r13, the doc_5gram_logprob r12 window shape one rung down):
+    ONE corpus pass builds per-(doc, trigram) counts; the trigram count
+    and its 2-prefix marginal are window sums over that table (one
+    (w1, w2) exchange serves both partitions), the bigram table (the
+    SAME session artifact the bigram scorer uses) joins in carrying its
+    own prefix marginal as a window column, and the unigram join stays.
+    vs the r12 shape this removes the separate model-table build — the
+    trigram-keyed scoring shuffle join and both prefix groupBy→join
+    pairs (plans/r13/doc_trigram_logprob_{before,after}.txt).
 
     Scale: the model table is |distinct trigrams| slim rows — a shuffle
     join at 100 TB (AQE decides); per-doc pre-combine caps hot-trigram
@@ -927,10 +929,7 @@ def doc_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("trigram_doc_counts", sf_dir),
         lambda: _doc_trigram_counts(spark, sf_dir),
     )
-    tri = _corpus_ngram_counts(spark, sf_dir, 3).withColumnRenamed("c", "c123")
-    pre12 = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("n12"))
     big = _corpus_ngram_counts(spark, sf_dir, 2).withColumnRenamed("c", "c12")
-    pre1 = big.groupBy("w1").agg(F.sum("c12").alias("n1"))
     uni = _corpus_ngram_counts(spark, sf_dir, 1).withColumnRenamed("c", "c1")
     total_row = uni.agg(F.sum("c1")).first()[0]
     if total_row is None:
@@ -938,26 +937,40 @@ def doc_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id long, n_trigrams long, logprob_q long, avg_logprob double"
         )
     total = float(total_row)
-    model = (
-        tri.join(pre12, ["w1", "w2"])
+    # r13, the doc_5gram_logprob r12 shape one rung down (guide §2.4):
+    # the top-order marginals c123 (corpus count of this trigram) and
+    # n12 (its 2-prefix count) are WINDOW sums over the per-doc count
+    # table itself — one (w1, w2) hash exchange serves both window
+    # partitions — and the bigram table carries its own prefix marginal
+    # (n1) as a window column, replacing the separate trigram-table
+    # build + two prefix groupBy→join pairs. The score expression reads
+    # only corpus-level counts, so every row of the same trigram
+    # computes the identical double and rounds identically — the
+    # model-level 1e-6 quantization contract is unchanged
+    # (plans/r13/doc_trigram_logprob_{before,after}.txt).
+    bigw = big.withColumn("n1s", F.sum("c12").over(Window.partitionBy("w1")))
+    return (
+        tg.withColumn(
+            "c123", F.sum("k").over(Window.partitionBy("w1", "w2", "w3"))
+        )
+        .withColumn("n12", F.sum("k").over(Window.partitionBy("w1", "w2")))
         .join(
-            big.select(
+            bigw.select(
                 F.col("w1").alias("w2"),
                 F.col("w2").alias("w3"),
                 F.col("c12").alias("c23"),
+                F.col("n1s").alias("n2s"),
             ),
             ["w2", "w3"],
         )
-        .join(pre1.select(F.col("w1").alias("w2"), F.col("n1").alias("n2")), "w2")
         .join(uni.select(F.col("tok").alias("w3"), F.col("c1").alias("c3")), "w3")
         .select(
-            "w1",
-            "w2",
-            "w3",
+            "doc_id",
+            "k",
             F.round(
                 F.log(
                     F.lit(_MIX3_TRI) * (F.col("c123").cast("double") / F.col("n12"))
-                    + F.lit(_MIX3_BI) * (F.col("c23").cast("double") / F.col("n2"))
+                    + F.lit(_MIX3_BI) * (F.col("c23").cast("double") / F.col("n2s"))
                     + F.lit(_MIX3_UNI) * (F.col("c3").cast("double") / F.lit(total))
                 )
                 * _LP_SCALE
@@ -965,9 +978,6 @@ def doc_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("lp_q"),
         )
-    )
-    return (
-        tg.join(model, ["w1", "w2", "w3"])
         .groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_trigrams"),

@@ -34,7 +34,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from imdbmapreduce_spark.cache import shared_cache, stable_checkpoint
+from imdbmapreduce_spark.cache import (
+    shared_cache,
+    stable_checkpoint,
+    stable_checkpoint_lazy,
+)
 from imdbmapreduce_spark.catalog import table
 from imdbmapreduce_spark.registry import query
 
@@ -298,8 +302,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: candidate generation is the shared exact-scoring stage
     (:func:`_probe_scored` — one |probes|×|corpus| partial-sum
     exchange); the pairwise-similarity matrix is POOL²-bounded per
-    probe (a self-join of pool-sized candidate lists on position —
-    never corpus×corpus); the greedy loop runs per probe in ONE
+    probe and computed on quantized ARRAYS (zip_with dot per pair row —
+    r13; never corpus×corpus, no positional explode); the greedy loop runs per probe in ONE
     Arrow-cogrouped pandas lane (`FlatMapCoGroupsInPandas`), each group
     _MMR_POOL relevance rows + _MMR_POOL² similarity rows — constant work,
     distributed across probes. The oracle unrolls the greedy recurrence
@@ -324,8 +328,6 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-sized scoring stage re-runs per arm
         .transform(stable_checkpoint)
     )
-    ex = _shared_components(spark, sf_dir)
-    comp = ex.join(F.broadcast(cand.select("vec_id").distinct()), "vec_id")
     pairs = (
         cand.alias("x")
         .join(
@@ -339,27 +341,59 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.vec_id").alias("b"),
         )
     )
-    pdot = (
+    # Pool-pair similarities on quantized ARRAYS (r13 — the
+    # snm_embedding_pairs r12 verify shape): each pair ships two
+    # 64-long arrays in one row per side via zip_with/aggregate
+    # expressions, where the r12 plan exploded every candidate into d
+    # rows per side and paid a (b, pos)-keyed exchange plus a
+    # (q_id, a, b) dot aggregation plus two norm joins. Same integer
+    # math (F.round HALF_UP at _SCALE), so cosines match bit-for-bit
+    # (plans/r13/mmr_diversified_topk_{before,after}.txt).
+    vq = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * _SCALE).cast("long")
+            ).alias("vq"),
+        )
+        .withColumn(
+            "n2",
+            F.aggregate(
+                F.transform("vq", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = (
         pairs.join(
-            comp.select(F.col("vec_id").alias("a"), "pos", F.col("v").alias("va")), "a"
+            vq.select(
+                F.col("vec_id").alias("a"),
+                F.col("vq").alias("va"),
+                F.col("n2").alias("n2_a"),
+            ),
+            "a",
         )
         .join(
-            comp.select(F.col("vec_id").alias("b"), "pos", F.col("v").alias("vb")),
-            ["b", "pos"],
+            vq.select(
+                F.col("vec_id").alias("b"),
+                F.col("vq").alias("vb"),
+                F.col("n2").alias("n2_b"),
+            ),
+            "b",
         )
-        .groupBy("q_id", "a", "b")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-    )
-    norms = _norms(ex)
-    sim = (
-        pdot.join(norms.select(F.col("vec_id").alias("a"), F.col("n2").alias("n2_a")), "a")
-        .join(norms.select(F.col("vec_id").alias("b"), F.col("n2").alias("n2_b")), "b")
         .select(
             "q_id",
             "a",
             "b",
             (
-                F.col("dot").cast("double")
+                pair_dot.cast("double")
                 / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double")))
             ).alias("sim"),
         )
@@ -559,41 +593,71 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_rescore_topk(ex: DataFrame, cand: DataFrame, q_pred=None) -> DataFrame:
+def _exact_rescore_topk(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, q_pred=None
+) -> DataFrame:
     """Shared ANN tail: exact integer rescore of (q_id, vec_id) candidate
     pairs + per-probe top-k. Identical math to :func:`knn_bruteforce`, so
     an ANN plan differs from brute force only in which pairs it scores.
     ``q_pred`` (Column over vec_id) selects the query set; default is the
     standing probe set (vec_id < _N_PROBES) — the arrival lookup passes
-    the shard predicate instead."""
+    the shard predicate instead.
+
+    r13 (the snm_embedding_pairs r12 verify shape, guide §2.3): each
+    candidate pair ships the two quantized vectors as 64-long ARRAYS in
+    one row per side (zip_with/aggregate dot, norms riding along),
+    where the r12 plan exploded candidates into d rows per side and
+    paid a (q_id, pos)-keyed join plus a (q_id, vec_id) dot aggregation
+    plus two norm joins. Same F.round HALF_UP integer quantization as
+    quantized_components, exact long sums either way — cosines are
+    bit-identical (recall pins in tests/test_similarity.py unchanged).
+    """
     if q_pred is None:
         q_pred = F.col("vec_id") < _N_PROBES
-    probes = ex.filter(q_pred).select(
-        F.col("vec_id").alias("q_id"), "pos", F.col("v").alias("qv")
+    vq = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * _SCALE).cast("long")
+            ).alias("vq"),
+        )
+        .withColumn(
+            "n2",
+            F.aggregate(
+                F.transform("vq", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
     )
-    dots = (
-        ex.join(cand, "vec_id")
-        .join(F.broadcast(probes), ["q_id", "pos"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
-    )
-    norms = _norms(ex)
     # query-sized broadcast (see knn_bruteforce): only q_pred rows can
-    # match q_id, so don't ship the corpus-sized norms table
-    nq = F.broadcast(
-        norms.filter(q_pred)
-        .select(F.col("vec_id").alias("q_id"), F.col("n2").alias("n2_q"))
+    # match q_id, so don't ship the corpus-sized array table
+    probes = F.broadcast(
+        vq.filter(q_pred).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vq").alias("qv"),
+            F.col("n2").alias("n2_q"),
+        )
     )
-    nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("n2_c"))
+    dot = F.aggregate(
+        F.zip_with("qv", "vc", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     scored = (
-        dots.withColumnRenamed("vec_id", "neighbor_id")
-        .join(nq, "q_id")
-        .join(nc, "neighbor_id")
+        cand.join(
+            vq.select(
+                F.col("vec_id"), F.col("vq").alias("vc"), F.col("n2").alias("n2_c")
+            ),
+            "vec_id",
+        )
+        .join(probes, "q_id")
         .select(
             "q_id",
-            "neighbor_id",
+            F.col("vec_id").alias("neighbor_id"),
             (
-                F.col("dot").cast("double")
+                dot.cast("double")
                 / (F.sqrt(F.col("n2_q").cast("double")) * F.sqrt(F.col("n2_c").cast("double")))
             ).alias("cosine"),
         )
@@ -631,7 +695,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
         .distinct()
     )
-    return _exact_rescore_topk(ex, cand)
+    return _exact_rescore_topk(spark, sf_dir, cand)
 
 
 # IVF coarse quantizer: C cells, probes search the NPROBE nearest cells.
@@ -868,14 +932,17 @@ def persist_vector_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the six index artifacts and write them as the
     on-disk index; returns the index directory. Later sessions' ann_*
     queries then answer from the prebuilt index."""
+    import time
+
     from imdbmapreduce_spark import indexstore
 
+    t0 = time.monotonic()  # artifact builds run jobs before persist_group
     artifacts = build_vector_index(spark, sf_dir)
     missing = set(indexstore.INDEX_ARTIFACTS) - set(artifacts)
     if missing:
         raise ValueError(f"missing index artifacts: {sorted(missing)}")
     return indexstore.persist_group(
-        spark, sf_dir, "vector", artifacts, params=_vector_params()
+        spark, sf_dir, "vector", artifacts, params=_vector_params(), build_t0=t0
     )
 
 
@@ -930,7 +997,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
         .distinct()
     )
-    return _exact_rescore_topk(ex, cand)
+    return _exact_rescore_topk(spark, sf_dir, cand)
 
 
 @query(
@@ -1154,8 +1221,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IVF cells to prune, PQ codes to score) in the standard IVFPQ
     layout.
     """
-    ex = _shared_components(spark, sf_dir)
-    return _exact_rescore_topk(ex, _adc_shortlist(spark, sf_dir))
+    return _exact_rescore_topk(spark, sf_dir, _adc_shortlist(spark, sf_dir))
 
 
 @query("ann_ivfpq_topk")  # no SQL oracle: composed index specifics; see tests
@@ -1198,7 +1264,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "vec_id"
     )
     # PQ side: the shared ADC scoring tail over the PRUNED candidates
-    return _exact_rescore_topk(ex, _adc_shortlist(spark, sf_dir, cand))
+    return _exact_rescore_topk(spark, sf_dir, _adc_shortlist(spark, sf_dir, cand))
 
 
 # --- random projection (Johnson-Lindenstrauss dimension reduction) --------
@@ -1761,7 +1827,7 @@ def ann_shard_arrival_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
         .distinct()
     )
-    return _exact_rescore_topk(ex, cand, q_pred=_is_shard("vec_id"))
+    return _exact_rescore_topk(spark, sf_dir, cand, q_pred=_is_shard("vec_id"))
 
 
 ann_shard_arrival_topk.__doc__ = ann_shard_arrival_topk.__doc__.replace(
@@ -2064,7 +2130,10 @@ def snm_embedding_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job): each pass then ranks an n-row slice of a materialized frame
     # instead of re-running the join+agg lineage per pass (the r9 loop
     # paid the projection 2x; at 8 passes it would be 8x).
-    proj = stable_checkpoint(
+    # LAZY checkpoint (r13): the parts-sizing count below is the first
+    # action and materializes the blocks in the same job — one job per
+    # invocation instead of an eager checkpoint job plus a count job.
+    proj = stable_checkpoint_lazy(
         ex.join(F.broadcast(signs), "pos")
         .groupBy("vec_id", "k")
         .agg(F.sum(F.col("s") * F.col("v")).alias("key"))

@@ -1026,10 +1026,13 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row — the lm.py model-level contract); ranking compares the
     quantized integers only.
 
-    Plan: reuses the shared per-(doc, token) count artifact (tokenize
-    once, consume many); cap = one window per doc partition; the pair
-    self-join keys on doc_id (per-key fan-out ≤ M); marginal joins are
-    vocab-sized broadcasts; top-k lowers to TakeOrderedAndProject.
+    Plan (r13): reuses the shared per-(doc, token) count artifact
+    (tokenize once, consume many); ONE groupBy(doc_id) yields the
+    capped sorted term list per doc (sort_array + slice — the
+    adamic_adar_parts shape), pairs explode map-side from that list
+    (posexplode + slice, per-doc fan-out ≤ M²/2 — no self-join, no
+    window pass); marginal joins are vocab-sized broadcasts; top-k
+    lowers to TakeOrderedAndProject.
 
     Scale: pair-generation output is |docs|·M²/2 slim rows with
     map-side combine collapsing repeats before the (term_a, term_b)
@@ -1040,19 +1043,43 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     dt = _doc_token_counts(spark, sf_dir)
-    wcap = Window.partitionBy("doc_id").orderBy(F.desc("k"), F.asc("tok"))
-    capped = (
-        dt.withColumn("rn", F.row_number().over(wcap))
-        .filter(F.col("rn") <= PMI_DOC_TOP_M)
-        .select("doc_id", "tok")
+    # r13 (guide §2.4, the adamic_adar_parts r12 shape): ONE
+    # groupBy(doc_id) collects each doc's (count, term) structs;
+    # struct(-k, tok) ascending == the window's (k DESC, tok ASC) cap
+    # order, slice takes the top M, and a second sort_array orders the
+    # capped terms lexicographically so the i<j explode (posexplode +
+    # slice, map-side — no self-join) emits exactly the tok_a < tok_b
+    # pairs the self-join produced. Removes the row_number window pass
+    # and the doc_id-keyed self-join
+    # (plans/r13/term_pmi_pairs_{before,after}.txt).
+    capped_lists = dt.groupBy("doc_id").agg(
+        F.sort_array(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct((-F.col("k")).alias("neg"), F.col("tok"))
+                        )
+                    ),
+                    1,
+                    PMI_DOC_TOP_M,
+                ),
+                lambda s: s.tok,
+            )
+        ).alias("ts")
     )
+    capped = capped_lists.select("doc_id", F.explode("ts").alias("tok"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     marg = capped.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
-    a = capped.alias("a")
-    b = capped.alias("b")
     pairs = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
-        .groupBy(F.col("a.tok").alias("term_a"), F.col("b.tok").alias("term_b"))
+        capped_lists.select(F.posexplode("ts").alias("i", "term_a"), F.col("ts"))
+        .select(
+            "term_a",
+            F.explode(F.slice("ts", F.col("i") + F.lit(2), F.size("ts"))).alias(
+                "term_b"
+            ),
+        )
+        .groupBy("term_a", "term_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= PMI_MIN_SUPPORT)
     )

@@ -930,9 +930,16 @@ def price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v0 = at_rank.select("l_returnflag", F.col("k").alias("k0"), F.col("pc").alias("v0"))
     v1 = at_rank.select("l_returnflag", F.col("k").alias("k1"), F.col("pc").alias("v1"))
+    # v0/v1 are ≤6 rows per group BY CONSTRUCTION (the needed order
+    # statistics), but they sit behind the checkpoint, whose missing
+    # stats made the planner pick SortMergeJoin — exchanging and
+    # sorting 9-row frames (r13, caught in the before-dump; guide §3.1:
+    # pick the strategy deliberately when sizes are known). Broadcast
+    # hints are scale-safe here: the frames are rank-count-sized at any
+    # data volume (plans/r13/price_quartiles_{before,after}.txt).
     q = (
-        ranks.join(v0, ["l_returnflag", "k0"])
-        .join(v1, ["l_returnflag", "k1"])
+        ranks.join(F.broadcast(v0), ["l_returnflag", "k0"])
+        .join(F.broadcast(v1), ["l_returnflag", "k1"])
         .withColumn("frac", F.col("p") * (F.col("n") - 1) - F.col("k0"))
         .withColumn(
             "val",
@@ -2493,28 +2500,47 @@ def order_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp·n < 9.2e12 — five orders of magnitude above this fixture;
     quantize down before a corpus approaches it.)
 
-    Scale shape: baskets dedup with one (order, type) shuffle; the
-    pair generation self-joins ON THE ORDER KEY, so fan-out per order
+    Scale shape: baskets form with ONE order-keyed shuffle (collect_set
+    dedupes types inside the aggregate); pair generation explodes
+    map-side from each basket's sorted type array, so fan-out per order
     is C(items, 2) with items bounded by lines-per-order (7 in TPC-H) —
-    never a cross join over types; supports broadcast back onto the
-    pair aggregate (|types|-row build sides). The A-priori cascade to
-    3-itemsets is the same join shape seeded from these pairs.
+    never a cross join over types, and no self-join at any scale;
+    supports broadcast back onto the pair aggregate (|types|-row build
+    sides). The A-priori cascade to 3-itemsets is the same explode
+    shape seeded from these pairs.
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    b = (
+    # r13 (guide §2.4, the adamic_adar_parts shape): ONE groupBy(o)
+    # collects each basket's distinct types as a sorted array —
+    # collect_set dedupes IN the aggregate, so the separate
+    # distinct-(o, t) exchange disappears — and the i<j pairs explode
+    # map-side from that array (posexplode + slice; per-basket fan-out
+    # C(items, 2), items bounded by lines-per-order). Removes the
+    # basket self-join and the distinct exchange; the driver-blocking
+    # n_orders count folds into the plan as a broadcast 1-row aggregate
+    # (plans/r13/order_basket_lift_{before,after}.txt). The basket
+    # frame (|orders| rows, ≤|lines| array cells) is checkpointed once
+    # for its three consumers (pairs, supports, n_orders).
+    baskets = stable_checkpoint(
         li.join(pt, li.l_partkey == pt.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_type").alias("t"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("p_type")).alias("ts"))
     )
-    b = stable_checkpoint(b)  # three consumers: pairs (twice) + supports
-    n_orders = b.select("o").distinct().count()
-    supp = b.groupBy("t").agg(F.count(F.lit(1)).alias("s"))
-    a = b.select(F.col("o"), F.col("t").alias("type_a"))
-    x = b.select(F.col("o"), F.col("t").alias("type_b"))
+    n = F.broadcast(baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
+    supp = (
+        baskets.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
     ab = (
-        a.join(x, "o")
-        .filter(F.col("type_a") < F.col("type_b"))
+        baskets.select(F.posexplode("ts").alias("i", "type_a"), F.col("ts"))
+        .select(
+            "type_a",
+            F.explode(F.slice("ts", F.col("i") + F.lit(2), F.size("ts"))).alias(
+                "type_b"
+            ),
+        )
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("supp_ab"))
     )
@@ -2523,15 +2549,16 @@ def order_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ab.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
+        .crossJoin(n)
         .select(
             "type_a",
             "type_b",
-            F.lit(n_orders).cast("long").alias("n_orders"),
+            "n_orders",
             "supp_a",
             "supp_b",
             "supp_ab",
             F.expr(
-                f"CAST(supp_ab * {n_orders}L * {_MB_PPM} DIV (supp_a * supp_b)"
+                f"CAST(supp_ab * n_orders * {_MB_PPM} DIV (supp_a * supp_b)"
                 " AS BIGINT)"
             ).alias("lift_ppm"),
             F.expr(f"CAST(supp_ab * {_MB_PPM} DIV supp_a AS BIGINT)").alias(
