@@ -58,6 +58,9 @@ _BNLJ_ALLOWED = {
     # 1-row (n, over_c) totals broadcast into the sqrt-bounded df
     # histogram for the lower-median scan (the q11 pattern)
     "neardup_family_audit",
+    # 1-row n_orders build side (r13 — the tfidf pattern: the previous
+    # driver-blocking distinct().count() now enters the plan lazily)
+    "order_basket_lift",
 }
 
 
